@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
+  *
+  * Determinism: every float is widened to double before arithmetic, and dot
+  * products / norms are computed as LEFT FOLDS (`aggregate` in Spark,
+  * `list_reduce` in DuckDB) so the floating-point operation order — and
+  * therefore every bit of the result — is identical in both engines.
+  *
+  * Scale: brute-force top-k broadcasts the (small) query set and scans the
+  * corpus once — the right baseline plan; the LSH-bucketed variant (round 2)
+  * cuts the scan to matching buckets for large query sets.
+  */
+object SimilarityQueries {
+
+  private val foldAdd: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+    org.apache.spark.sql.Column = (a, x) => a + x
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 8. */
+  val e01CosineKnn: GraftQuery = GraftQuery(
+    "e01_cosine_knn",
+    "brute-force cosine top-5 (deterministic left-fold dot products)",
+    (s, dir) => {
+      val v = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ve"))
+      val n = v.withColumn("nrm",
+        sqrt(aggregate(transform(col("ve"), x => x * x), lit(0.0), foldAdd)))
+      val q = broadcast(n.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("ve").as("qv"), col("nrm").as("qnrm")))
+      val scored = n.crossJoin(q)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot",
+          aggregate(zip_with(col("qv"), col("ve"), (x, y) => x * y), lit(0.0), foldAdd))
+        .withColumn("cosine", col("dot") / (col("qnrm") * col("nrm")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id"), col("rnk"), col("cosine"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some("""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, ve,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS nrm
+        FROM v),
+      q AS (SELECT vec_id AS qid, ve AS qv, nrm AS qnrm FROM n WHERE vec_id < 8),
+      scored AS (
+        SELECT q.qid, n.vec_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(q.qv, n.ve), p -> p[1] * p[2])), (a, b) -> a + b)
+            / (q.qnrm * n.nrm) AS cosine
+        FROM q, n WHERE n.vec_id <> q.qid)
+      SELECT qid, vec_id, CAST(rnk AS INT) AS rnk, cosine FROM (
+        SELECT qid, vec_id, cosine,
+          row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored)
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+
+  val all: Seq[GraftQuery] = Seq(e01CosineKnn)
+}

@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.functions.PortableHash._
+import graft.functions.DedupFunctions._
+
+/** Text-analysis + deduplication operators over the `documents` table — the
+  * training-data-pipeline surface (builder brief): exact dedup, MinHash+LSH
+  * near-dup, SimHash, n-gram Jaccard verification, token counting, quality
+  * scoring, language-ID, fingerprinting. Every operator — including the
+  * sketch-based ones — carries a full DuckDB value oracle thanks to
+  * [[graft.functions.PortableHash]].
+  *
+  * Scale design: all per-document work (shingling, hashing, signatures) is
+  * embarrassingly parallel map-side expression work on the scan; the only
+  * shuffles are (a) the group-by on content hash for exact dedup and (b) the
+  * LSH band-key equi-join for near-dup candidates — each O(candidates), not
+  * O(n²). The quadratic exact-Jaccard step runs only on LSH candidates.
+  */
+object TextQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  /** Exact deduplication: hash-groupBy on content digest, keep min doc_id.
+    * At scale: one shuffle on a 128-bit digest, uniform distribution. */
+  val d01DedupExact: GraftQuery = GraftQuery(
+    "d01_dedup_exact",
+    "exact dedup via md5 content digest group-by (keep lowest doc_id)",
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id")),
+    Some("""SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
+
+  /** Canonicalized content fingerprint (whitespace-normalized, lowercased). */
+  val d02Fingerprint: GraftQuery = GraftQuery(
+    "d02_fingerprint",
+    "normalized md5 content fingerprint per document",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+
+  /** Token counting + length stats (whitespace tokenization). */
+  val d03TokenStats: GraftQuery = GraftQuery(
+    "d03_token_stats",
+    "whitespace token count, char count, mean token length",
+    (s, dir) => {
+      val toks = split(col("text"), "\\s+")
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          ((length(col("text")) - (size(toks) - lit(1))) / size(toks)).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars_calc,
+      (length(text) - (len(string_split_regex(text, '\s+')) - 1)) /
+        len(string_split_regex(text, '\s+')) AS avg_token_len
+      FROM documents ORDER BY doc_id"""))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "is", "in")
+
+  /** Quality scoring: token count, stopword ratio, flag. */
+  val d04QualityScore: GraftQuery = GraftQuery(
+    "d04_quality_score",
+    "document quality heuristics: stopword ratio + length band flag",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val stopCnt = size(filter(toks, t => t.isin(Stopwords: _*)))
+      docs(s, dir)
+        .select(col("doc_id"), nTok.as("n_tokens"),
+          stopCnt.cast("long").as("n_stopwords"),
+          (stopCnt.cast("double") / nTok.cast("double")).as("stop_ratio"),
+          (nTok >= 20 && nTok <= 120 && stopCnt > 0).cast("int").as("is_quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      CAST(len(list_filter(string_split(text, ' '),
+        t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stopwords,
+      CAST(len(list_filter(string_split(text, ' '),
+        t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) /
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+      CAST(len(string_split(text, ' ')) BETWEEN 20 AND 120
+        AND len(list_filter(string_split(text, ' '),
+          t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) > 0 AS INT) AS is_quality
+      FROM documents ORDER BY doc_id"""))
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "que", "y"),
+    "de" -> Seq("der", "und", "die", "das"))
+
+  /** Language-ID by stopword-marker argmax with deterministic precedence. */
+  val d05LangId: GraftQuery = GraftQuery(
+    "d05_langid",
+    "marker-token language identification (deterministic argmax)",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val cnts = LangMarkers.map { case (lg, ws) =>
+        lg -> size(filter(toks, t => t.isin(ws: _*)))
+      }
+      val Seq(en, fr, es, de) = cnts.map(_._2)
+      val guess = when(fr > en && fr >= es && fr >= de, lit("fr"))
+        .when(es > en && es > fr && es >= de, lit("es"))
+        .when(de > en && de > fr && de > es, lit("de"))
+        .when(en > 0, lit("en"))
+        .otherwise(lit("und"))
+      docs(s, dir)
+        .select(col("doc_id"), en.as("c_en"), fr.as("c_fr"), es.as("c_es"),
+          de.as("c_de"), guess.as("lang_guess"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      def cnt(ws: Seq[String]) =
+        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS INT)"
+      val Seq(en, fr, es, de) = LangMarkers.map(m => cnt(m._2))
+      s"""SELECT doc_id, $en AS c_en, $fr AS c_fr, $es AS c_es, $de AS c_de,
+        CASE WHEN $fr > $en AND $fr >= $es AND $fr >= $de THEN 'fr'
+             WHEN $es > $en AND $es > $fr AND $es >= $de THEN 'es'
+             WHEN $de > $en AND $de > $fr AND $de > $es THEN 'de'
+             WHEN $en > 0 THEN 'en' ELSE 'und' END AS lang_guess
+        FROM documents ORDER BY doc_id"""
+    })
+
+  /** Rolling-hash document fingerprint (portable polynomial hash). */
+  val d06RollingHash: GraftQuery = GraftQuery(
+    "d06_rolling_hash",
+    "portable rolling-hash fingerprint per document",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), stringHash(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, ${stringHashSql("text")} AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  /** MinHash signatures + LSH band keys → candidate near-dup pairs with
+    * estimated Jaccard. The sketch itself is oracle-checked bit-for-bit. */
+  val d07MinhashPairs: GraftQuery = GraftQuery(
+    "d07_minhash_pairs",
+    "MinHash(16)+LSH(8x2) near-duplicate candidate pairs with estimated Jaccard",
+    (s, dir) => {
+      val sig = docs(s, dir).select(col("doc_id"),
+        minhashSignature(shingleHashes(wordShingles(col("text"), 3))).as("sig"))
+      val bands = sig.select(col("doc_id"),
+        posexplode(bandKeys(col("sig"))).as(Seq("band", "bh")))
+      val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          signatureMatches(col("sig_a"), col("sig_b")).as("matches"))
+        .withColumn("est_jaccard", col("matches").cast("double") / lit(K).cast("double"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some {
+      val toks = "string_split(text, ' ')"
+      s"""WITH sig AS (
+        SELECT doc_id, ${minhashSignatureSql(
+          s"list_transform(${wordShinglesSql(toks, 3)}, s -> ${stringHashSql("s")})")} AS sig
+        FROM documents),
+      bands AS (
+        SELECT doc_id, band - 1 AS band, (${bandKeysSql("sig")})[band] AS bh
+        FROM sig, (SELECT unnest(generate_series(1, $Bands)) AS band)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b,
+        CAST(list_sum(list_transform(generate_series(1, $K),
+          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS matches,
+        CAST(list_sum(list_transform(generate_series(1, $K),
+          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) /
+          CAST($K AS DOUBLE) AS est_jaccard
+      FROM cand JOIN sig sa ON cand.doc_a = sa.doc_id
+                JOIN sig sb ON cand.doc_b = sb.doc_id
+      ORDER BY doc_a, doc_b"""
+    })
+
+  /** SimHash fingerprint per document (30-bit, portable). */
+  val d08Simhash: GraftQuery = GraftQuery(
+    "d08_simhash",
+    "30-bit SimHash fingerprint over token hashes",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          simhash(shingleHashes(split(col("text"), " "))).as("simhash"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, ${simhashSql(
+        s"list_transform(string_split(text, ' '), s -> ${stringHashSql("s")})")} AS simhash
+      FROM documents ORDER BY doc_id"""))
+
+  /** Full near-dup pipeline: LSH candidates verified with EXACT n-gram
+    * Jaccard (quadratic work confined to candidate pairs). */
+  val d09NgramJaccard: GraftQuery = GraftQuery(
+    "d09_ngram_jaccard",
+    "exact word-3-gram Jaccard >= 0.5 on LSH candidate pairs",
+    (s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+        wordShingles(col("text"), 3).as("sh"))
+      val sig = sh.select(col("doc_id"),
+        minhashSignature(shingleHashes(col("sh"))).as("sig"))
+      val bands = sig.select(col("doc_id"),
+        posexplode(bandKeys(col("sig"))).as(Seq("band", "bh")))
+      val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val uni = size(col("sh_a")) + size(col("sh_b")) - inter
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (inter.cast("double") / uni.cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some {
+      val toks = "string_split(text, ' ')"
+      s"""WITH sh AS (
+        SELECT doc_id, ${wordShinglesSql(toks, 3)} AS sh FROM documents),
+      sig AS (
+        SELECT doc_id, ${minhashSignatureSql(s"list_transform(sh, s -> ${stringHashSql("s")})")} AS sig
+        FROM sh),
+      bands AS (
+        SELECT doc_id, band - 1 AS band, (${bandKeysSql("sig")})[band] AS bh
+        FROM sig, (SELECT unnest(generate_series(1, $Bands)) AS band)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+            CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
+        FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+                  JOIN sh sb ON cand.doc_b = sb.doc_id)
+      WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+    })
+
+  val all: Seq[GraftQuery] = Seq(
+    d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
+    d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard)
+}
