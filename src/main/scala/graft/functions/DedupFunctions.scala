@@ -1,38 +1,64 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import PortableHash._
 
 /** Near-duplicate detection building blocks for the training-data pipeline:
-  * word shingles → portable MinHash signatures → LSH band keys, plus a
-  * 30-bit SimHash. All pure Catalyst expressions (higher-order functions on
-  * arrays) — per-row map-side work that scales linearly; the only shuffle in
-  * the dedup pipeline is the LSH band-key join, which is exactly the
-  * shuffle MinHash-LSH exists to make small.
+  * token hashes → hashed word shingles → portable MinHash signatures → LSH
+  * band keys, plus a 30-bit SimHash. All pure Catalyst expressions
+  * (higher-order functions on arrays) — per-row map-side work that scales
+  * linearly; the only shuffle in the dedup pipeline is the LSH band-key
+  * join, which is exactly the shuffle MinHash-LSH exists to make small.
+  *
+  * Cost model (the r1→r2 fix): each token is char-folded ONCE per document
+  * (`tokenHashes`, O(chars) total), and each k-shingle hash is then a k-step
+  * integer fold over token hashes (`hashedShingles`, O(tokens·k) cheap int
+  * ops) — replacing the r1 design that char-folded every shingle string
+  * (O(chars·k) interpreted higher-order steps, re-evaluated per reference).
   */
 object DedupFunctions {
 
-  /** Distinct word k-shingles of a space-tokenized text column. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = split(text, " ")
+  /** Portable hash of every (non-empty) token, one char-fold per token. */
+  def tokenHashes(text: Column): Column =
+    transform(tokens(text), t => stringHash(t))
+
+  /** DuckDB fragment for [[tokenHashes]]. */
+  def tokenHashesSql(textExpr: String): String =
+    s"list_transform(${tokensSql(textExpr)}, t -> ${stringHashSql("t")})"
+
+  /** Distinct hashed word k-shingles from a token-hash array: the shingle
+    * hash is the k-step [[PortableHash.foldHash]] of its token hashes. */
+  def hashedShingles(th: Column, k: Int): Column =
+    when(size(th) >= k,
+      array_distinct(transform(sequence(lit(0), size(th) - k),
+        i => foldHash(slice(th, i + lit(1), lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** DuckDB fragment for [[hashedShingles]] over a BIGINT[] expression. */
+  def hashedShinglesSql(thExpr: String, k: Int): String =
+    s"CASE WHEN len($thExpr) >= $k THEN list_distinct(" +
+      s"list_transform(generate_series(1, len($thExpr) - ${k - 1}), " +
+      s"i -> ${foldHashSql(s"($thExpr)[i:i+${k - 1}]")})) " +
+      s"ELSE CAST([] AS BIGINT[]) END"
+
+  /** Distinct word k-shingles as strings (for exact-Jaccard verification).
+    * Takes an already-materialized token ARRAY column, never raw text — an
+    * inlined tokenizer subtree would be re-evaluated once per lambda
+    * invocation (interpreted HOFs have no CSE; see TextQueries staging). */
+  def wordShingles(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       array_distinct(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
       .otherwise(array().cast("array<string>"))
-  }
 
-  /** DuckDB fragment for [[wordShingles]] over `string_split(text, ' ')`. */
+  /** DuckDB fragment for [[wordShingles]] over a filtered token list. */
   def wordShinglesSql(toksExpr: String, k: Int): String =
     s"CASE WHEN len($toksExpr) >= $k THEN list_distinct(" +
       s"list_transform(generate_series(1, len($toksExpr) - ${k - 1}), " +
       s"i -> array_to_string(($toksExpr)[i:i+${k - 1}], ' '))) " +
       s"ELSE CAST([] AS VARCHAR[]) END"
-
-  /** Portable-hash each shingle. */
-  def shingleHashes(shingles: Column): Column =
-    transform(shingles, sh => stringHash(sh))
 
   /** K-minima MinHash signature (array<bigint>, null entries iff no
     * shingles). */

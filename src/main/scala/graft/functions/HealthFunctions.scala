@@ -34,12 +34,14 @@ object HealthFunctions {
   /** Nested alert classifier (reference `IOTSparkStreaming.scala:132-137`).
     * Threshold is configurable because the variants disagree (0.95 in the
     * main class / workingTest vs 0.85 in test.scala — SURVEY.md §2.9.1);
-    * canonical default 0.95.
+    * canonical default 0.95. The escalation category set is a parameter so
+    * every query routes through this single implementation.
     */
   def warning(pulse: Column, age: Column, bpCat: Column,
-              threshold: Double = 0.95): Column =
+              threshold: Double = 0.95,
+              criticalCats: Seq[String] = CriticalBpCats): Column =
     when(pulse >= lit(threshold) * maxPulseLimit(age),
-      when(bpCat.isin(CriticalBpCats: _*), lit("critical"))
+      when(bpCat.isin(criticalCats: _*), lit("critical"))
         .otherwise(lit("simple")))
       .otherwise(lit("no-use"))
 }

@@ -21,25 +21,47 @@ object PortableHash {
   val P: Long = 1000000007L
 
   /** Minhash family size: h_i(x) = (A(i)·x + B(i)) mod P. */
-  val K: Int = 16
-  /** LSH banding: Bands × Rows == K; threshold ≈ (1/Bands)^(1/Rows) ≈ 0.35,
-    * tuned to catch the ≥0.5-Jaccard near-duplicate band of the corpus. */
+  val K: Int = 32
+  /** LSH banding: Bands × Rows == K; collision threshold ≈
+    * (1/Bands)^(1/Rows) = (1/8)^(1/4) ≈ 0.59 — right at the ≥0.5-Jaccard
+    * near-duplicate target, and 4-row bands keep the false-positive candidate
+    * count from exploding quadratically as the corpus grows (2-row bands
+    * admit ~sqrt-threshold collisions; see VERDICT r1 item 3). */
   val Bands: Int = 8
-  val Rows: Int = 2
+  val Rows: Int = 4
 
   /** Multipliers (primes < 2^30). */
   val A: Seq[Long] = Seq(
-    982451653L, 941083981L, 920419813L, 899809343L,
-    879190747L, 858599509L, 838041641L, 817504243L,
-    796966801L, 776531401L, 756065159L, 735632791L,
-    715225739L, 694847533L, 674506081L, 654188383L)
+    982451707L, 972451687L, 962451667L, 952451737L,
+    942451667L, 932451661L, 922451681L, 912451663L,
+    902451659L, 892451671L, 882451663L, 872451667L,
+    862451659L, 852451657L, 842451671L, 832451657L,
+    822451673L, 812451659L, 802451687L, 792451657L,
+    782451679L, 772451657L, 762451663L, 752451673L,
+    742451701L, 732451669L, 722451659L, 712451659L,
+    702451663L, 692451659L, 682451677L, 672451669L)
 
   /** Offsets (primes). */
   val B: Seq[Long] = Seq(
-    15485863L, 32452843L, 49979687L, 67867967L,
-    86028121L, 104395301L, 122949823L, 141650939L,
-    160481183L, 179424673L, 198491317L, 217645177L,
-    236887691L, 256203161L, 275604541L, 295075147L)
+    15485867L, 24485891L, 33485867L, 42485867L,
+    51485869L, 60485869L, 69485873L, 78485909L,
+    87485869L, 96485891L, 105485869L, 114485873L,
+    123485903L, 132485869L, 141485879L, 150485893L,
+    159485923L, 168485869L, 177485873L, 186485879L,
+    195485879L, 204485867L, 213485911L, 222485869L,
+    231485867L, 240485867L, 249485881L, 258485873L,
+    267485873L, 276485879L, 285485873L, 294485881L)
+
+  /** Space-tokenize a text column, dropping empty tokens. Doubled / leading /
+    * trailing spaces produce empty strings from `split`, and the engines
+    * disagree on hashing them (Spark `ascii('')` = 0, DuckDB `ord('')` = -1)
+    * — filtering keeps every downstream hash engine-portable. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** DuckDB fragment for [[tokens]]. */
+  def tokensSql(expr: String): String =
+    s"list_filter(string_split($expr, ' '), t -> t <> '')"
 
   /** Rolling hash of a string column: fold (h*31 + codepoint) mod P. */
   def stringHash(s: Column): Column =

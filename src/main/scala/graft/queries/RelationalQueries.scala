@@ -98,11 +98,8 @@ object RelationalQueries {
     "piecewise scalar fn + nested when/otherwise classifier + derived-column filter (P9/P10/P11)",
     (s, dir) => {
       val age = col("user_id") % 60 + 18
-      val warn = when(
-        col("value") >= lit(0.95) * HealthFunctions.maxPulseLimit(age),
-        when(col("event_type").isin("error", "purchase"), lit("critical"))
-          .otherwise(lit("simple")))
-        .otherwise(lit("no-use"))
+      val warn = HealthFunctions.warning(col("value"), age, col("event_type"),
+        criticalCats = Seq("error", "purchase"))
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"), age.cast("int").as("age"),
           col("value").as("pulse"), warn.as("warning"))
@@ -310,23 +307,29 @@ object RelationalQueries {
     "per-key running sum over an explicit ROWS window",
     (s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .select(col("l_suppkey"),
           unix_millis(col("l_shipdate").cast("timestamp")).as("ship_ms"),
-          col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"),
           sum(col("l_quantity").cast("decimal(18,6)")).over(w).cast("double").as("running_qty"))
-        .orderBy(col("l_suppkey"), col("ship_ms"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_suppkey"), col("ship_ms"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_quantity"))
     },
-    // (l_orderkey, l_linenumber) is not unique in the synthetic data, so the
-    // total order (and the window order) includes l_shipdate first.
+    // (l_suppkey, l_shipdate, l_orderkey, l_linenumber) is NOT unique in the
+    // synthetic data (duplicate key at sf0.1 with differing quantities), so
+    // both the ROWS-window order and the final ORDER BY append l_partkey and
+    // l_quantity to make the ordering total — otherwise the running sum and
+    // tied-row output order are nondeterministic across engines.
     Some("""SELECT l_suppkey, epoch_ms(l_shipdate) AS ship_ms, l_orderkey, l_linenumber,
+      l_partkey, l_quantity,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (
         PARTITION BY l_suppkey
-        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_quantity
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
-      FROM lineitem ORDER BY l_suppkey, ship_ms, l_orderkey, l_linenumber"""))
+      FROM lineitem ORDER BY l_suppkey, ship_ms, l_orderkey, l_linenumber, l_partkey, l_quantity"""))
 
   /** Set operation: union + distinct. */
   val q17SetOps: GraftQuery = GraftQuery(

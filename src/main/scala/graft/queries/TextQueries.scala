@@ -24,6 +24,37 @@ object TextQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
 
+  /** Staged, materialized sketch pipeline shared by d07/d08/d09.
+    *
+    * WHY the persists: higher-order array functions run interpreted (no
+    * whole-stage codegen, hence no common-subexpression elimination), and an
+    * inlined subtree like `tokenHashes(text)` gets RE-EVALUATED once per
+    * lambda invocation of every HOF that references it — the r1 d07 ran the
+    * per-char hash fold O(shingles × K) times per document. Materializing
+    * each stage to a cached column makes every downstream lambda read an
+    * attribute instead of recomputing the subtree, so the end-to-end cost is
+    * the sum of the stages: O(chars) token hashing + O(tokens·k) shingle
+    * folds + O(shingles·K) minhash — each evaluated exactly once per doc.
+    * The `repartition` spreads the (single-file) documents scan across the
+    * cluster; at 100 TB the same sketch table would be a materialized
+    * intermediate too.
+    */
+  private def tokenHashTable(s: org.apache.spark.sql.SparkSession, dir: String) =
+    docs(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokenHashes(col("text")).as("th"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def shingleHashTable(s: org.apache.spark.sql.SparkSession, dir: String) =
+    tokenHashTable(s, dir)
+      .select(col("doc_id"), hashedShingles(col("th"), 3).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def signatureTable(s: org.apache.spark.sql.SparkSession, dir: String) =
+    shingleHashTable(s, dir)
+      .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact deduplication: hash-groupBy on content digest, keep min doc_id.
     * At scale: one shuffle on a 128-bit digest, uniform distribution. */
   val d01DedupExact: GraftQuery = GraftQuery(
@@ -37,24 +68,29 @@ object TextQueries {
     Some("""SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
 
-  /** Canonicalized content fingerprint (whitespace-normalized, lowercased). */
+  /** Canonicalized content fingerprint (whitespace-normalized, lowercased).
+    * The whitespace class is spelled out ([ \t\n\r\f]) because Java's \s
+    * includes U+000B while DuckDB's RE2 \s does not — the explicit class
+    * means the oracle contract holds on any text, not just text without
+    * vertical tabs. */
   val d02Fingerprint: GraftQuery = GraftQuery(
     "d02_fingerprint",
     "normalized md5 content fingerprint per document",
     (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
-          md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
+          md5(regexp_replace(lower(col("text")), "[ \\t\\n\\r\\f]+", " ")).as("fingerprint"))
         .orderBy(col("doc_id")),
-    Some("""SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+    Some("""SELECT doc_id, md5(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')) AS fingerprint
       FROM documents ORDER BY doc_id"""))
 
-  /** Token counting + length stats (whitespace tokenization). */
+  /** Token counting + length stats (whitespace tokenization; explicit
+    * whitespace class for cross-engine regex parity, see d02). */
   val d03TokenStats: GraftQuery = GraftQuery(
     "d03_token_stats",
     "whitespace token count, char count, mean token length",
     (s, dir) => {
-      val toks = split(col("text"), "\\s+")
+      val toks = split(col("text"), "[ \\t\\n\\r\\f]+")
       docs(s, dir)
         .select(col("doc_id"),
           size(toks).as("n_tokens"),
@@ -63,10 +99,10 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id,
-      CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+      CAST(len(string_split_regex(text, '[ \t\n\r\f]+')) AS INT) AS n_tokens,
       CAST(length(text) AS BIGINT) AS n_chars_calc,
-      (length(text) - (len(string_split_regex(text, '\s+')) - 1)) /
-        len(string_split_regex(text, '\s+')) AS avg_token_len
+      (length(text) - (len(string_split_regex(text, '[ \t\n\r\f]+')) - 1)) /
+        len(string_split_regex(text, '[ \t\n\r\f]+')) AS avg_token_len
       FROM documents ORDER BY doc_id"""))
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "is", "in")
@@ -148,13 +184,19 @@ object TextQueries {
       FROM documents ORDER BY doc_id"""))
 
   /** MinHash signatures + LSH band keys → candidate near-dup pairs with
-    * estimated Jaccard. The sketch itself is oracle-checked bit-for-bit. */
+    * estimated Jaccard. The sketch itself is oracle-checked bit-for-bit.
+    *
+    * Scale/perf design (r2): token hashes are char-folded once per document,
+    * shingle hashes are k-step integer folds over them, the signature
+    * DataFrame is persisted so the band self-join and the two signature
+    * join-backs read the sketch once instead of re-evaluating the whole
+    * expression tree per reference, and 4-row bands (threshold ≈ 0.59) keep
+    * false-positive candidates sub-quadratic as the corpus grows. */
   val d07MinhashPairs: GraftQuery = GraftQuery(
     "d07_minhash_pairs",
-    "MinHash(16)+LSH(8x2) near-duplicate candidate pairs with estimated Jaccard",
+    s"MinHash($K)+LSH(${Bands}x$Rows) near-duplicate candidate pairs with estimated Jaccard",
     (s, dir) => {
-      val sig = docs(s, dir).select(col("doc_id"),
-        minhashSignature(shingleHashes(wordShingles(col("text"), 3))).as("sig"))
+      val sig = signatureTable(s, dir)
       val bands = sig.select(col("doc_id"),
         posexplode(bandKeys(col("sig"))).as(Seq("band", "bh")))
       val cand = bands.as("x").join(bands.as("y"),
@@ -171,11 +213,12 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some {
-      val toks = "string_split(text, ' ')"
-      s"""WITH sig AS (
-        SELECT doc_id, ${minhashSignatureSql(
-          s"list_transform(${wordShinglesSql(toks, 3)}, s -> ${stringHashSql("s")})")} AS sig
-        FROM documents),
+      s"""WITH th AS (
+        SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents),
+      hs AS (
+        SELECT doc_id, ${hashedShinglesSql("th", 3)} AS hs FROM th),
+      sig AS (
+        SELECT doc_id, ${minhashSignatureSql("hs")} AS sig FROM hs),
       bands AS (
         SELECT doc_id, band - 1 AS band, (${bandKeysSql("sig")})[band] AS bh
         FROM sig, (SELECT unnest(generate_series(1, $Bands)) AS band)),
@@ -199,24 +242,29 @@ object TextQueries {
     "d08_simhash",
     "30-bit SimHash fingerprint over token hashes",
     (s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"),
-          simhash(shingleHashes(split(col("text"), " "))).as("simhash"))
+      tokenHashTable(s, dir)
+        .select(col("doc_id"), simhash(col("th")).as("simhash"))
         .orderBy(col("doc_id")),
-    Some(s"""SELECT doc_id, ${simhashSql(
-        s"list_transform(string_split(text, ' '), s -> ${stringHashSql("s")})")} AS simhash
+    Some(s"""SELECT doc_id, ${simhashSql(tokenHashesSql("text"))} AS simhash
       FROM documents ORDER BY doc_id"""))
 
   /** Full near-dup pipeline: LSH candidates verified with EXACT n-gram
-    * Jaccard (quadratic work confined to candidate pairs). */
+    * Jaccard (quadratic work confined to candidate pairs). Candidates come
+    * from the cheap hashed-shingle sketch; verification intersects the
+    * string shingle sets. Both the shingle and signature DataFrames are
+    * persisted — each feeds two join paths. */
   val d09NgramJaccard: GraftQuery = GraftQuery(
     "d09_ngram_jaccard",
     "exact word-3-gram Jaccard >= 0.5 on LSH candidate pairs",
     (s, dir) => {
-      val sh = docs(s, dir).select(col("doc_id"),
-        wordShingles(col("text"), 3).as("sh"))
-      val sig = sh.select(col("doc_id"),
-        minhashSignature(shingleHashes(col("sh"))).as("sig"))
+      val toksT = docs(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sh = toksT
+        .select(col("doc_id"), wordShingles(col("toks"), 3).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = signatureTable(s, dir)
       val bands = sig.select(col("doc_id"),
         posexplode(bandKeys(col("sig"))).as(Seq("band", "bh")))
       val cand = bands.as("x").join(bands.as("y"),
@@ -235,12 +283,13 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some {
-      val toks = "string_split(text, ' ')"
-      s"""WITH sh AS (
-        SELECT doc_id, ${wordShinglesSql(toks, 3)} AS sh FROM documents),
+      s"""WITH th AS (
+        SELECT doc_id, ${tokensSql("text")} AS toks, ${tokenHashesSql("text")} AS th
+        FROM documents),
+      sh AS (
+        SELECT doc_id, ${wordShinglesSql("toks", 3)} AS sh FROM th),
       sig AS (
-        SELECT doc_id, ${minhashSignatureSql(s"list_transform(sh, s -> ${stringHashSql("s")})")} AS sig
-        FROM sh),
+        SELECT doc_id, ${minhashSignatureSql(hashedShinglesSql("th", 3))} AS sig FROM th),
       bands AS (
         SELECT doc_id, band - 1 AS band, (${bandKeysSql("sig")})[band] AS bh
         FROM sig, (SELECT unnest(generate_series(1, $Bands)) AS band)),

@@ -18,13 +18,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts is a nanosecond parquet timestamp, which Spark 4 rejects
-      // by default. Read it as raw nanos and truncate to micros — exactly
-      // what DuckDB does on read (TIMESTAMP_NS → TIMESTAMP), so the oracle
-      // sees identical values.
+  /** Session contract for every query entry path, applied once per session:
+    *
+    *  - `spark.sql.session.timeZone = UTC` — all `date_format`/`strftime`
+    *    renderings of LTZ timestamps must agree with the DuckDB oracle's
+    *    naive-timestamp formatting, which holds only in UTC. Enforced here
+    *    (not just in Verify/Bench) so a driver-built session in a non-UTC
+    *    JVM cannot silently shift dates.
+    *  - `spark.sql.legacy.parquet.nanosAsLong = true` — `events.ts` is a
+    *    nanosecond parquet timestamp, which Spark 4 rejects by default; we
+    *    read raw nanos and truncate to micros in [[load]], exactly what
+    *    DuckDB does on read (TIMESTAMP_NS → TIMESTAMP).
+    *
+    * Both settings are constant, so repeated application is a no-op — unlike
+    * the r1 design, this is the documented invariant of the catalog rather
+    * than a hidden per-table side effect.
+    */
+  def prepare(spark: SparkSession): Unit = {
+    if (!spark.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    prepare(spark)
+    if (name == "events") {
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {
