@@ -1,0 +1,239 @@
+package graft.queries
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.{StreamHarness, StreamPipelines, UpsertSink, Wire}
+import graft.streaming.StreamPipelines._
+
+/** The streaming vertical (SURVEY.md §2.1 S1, §2.5 K1–K5, §2.7): real
+  * `StreamingQuery` executions — micro-batch engine, checkpointing,
+  * watermarks, idempotent sinks — driven to completion inside a registered
+  * query so the driver's DuckDB gate can value-check streaming results
+  * against the same parquet tables.
+  *
+  * The feed is the `events` table rendered as the reference's multiplexed
+  * CSV wire lines ([[Wire.fitbitLine]]), chunked into micro-batches in
+  * event order — the deterministic stand-in for Kafka arrival order
+  * (reference `IOTSparkStreaming.scala:43-46`). Collecting the feed to the
+  * driver is source-harness plumbing (the broker's role), not dataflow: all
+  * transforms run distributed inside micro-batches.
+  */
+object StreamingQueries {
+
+  private val Chunks = 4
+
+  private def lines(s: SparkSession, dir: String): Seq[String] =
+    StreamHarness.collectLines(Wire.eventsAsFitbitLines(s, dir))
+
+  /** c01 — the CSV wire-parse layer itself (P2/P3/P6 typed parse + the
+    * malformed-line policy the reference lacks, SURVEY.md §2.7): every 97th
+    * event's pulse field is corrupted; PERMISSIVE parse nulls the bad field,
+    * keeps the rest, and flags the row. Pure batch dataflow (no driver
+    * collect). */
+  val c01MultiplexParse: GraftQuery = GraftQuery(
+    "c01_multiplex_parse",
+    "multiplexed CSV typed parse, PERMISSIVE corrupt-record policy (P2/P6/S1 parse layer)",
+    (s, dir) => {
+      val corruptLine = concat_ws(",",
+        lit("fitbit"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+        col("user_id").cast("string"),
+        (col("user_id") % 90).cast("string"),
+        (col("event_id") % 180).cast("string"),
+        lit("bad"),
+        col("value").cast("string"),
+        (col("user_id") % 60 + 18).cast("string"),
+        col("event_type"),
+        unix_millis(col("ts")).cast("string"))
+      val raw = Tables.load(s, dir, "events")
+        .select(when(col("event_id") % 97 === 0, corruptLine)
+          .otherwise(Wire.fitbitLine).as("value"))
+      parseFitbit(raw)
+        .select(col("user_id"), col("lat"), col("long"), col("pulse"),
+          col("temp"), col("age"), col("bp_cat"), col("machine_ts"),
+          col("_corrupt").isNotNull.as("is_corrupt"))
+        .orderBy(col("user_id"), col("machine_ts"), col("long"), col("pulse"))
+    },
+    Some(s"""SELECT CAST(user_id AS VARCHAR) AS user_id, $LatSql AS lat, $LongSql AS long,
+      CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS pulse,
+      value AS temp, $AgeSql AS age, event_type AS bp_cat,
+      CAST(epoch_ms(ts) AS VARCHAR) AS machine_ts,
+      (event_id % 97 = 0) AS is_corrupt
+      FROM events
+      ORDER BY CAST(user_id AS VARCHAR), CAST(epoch_ms(ts) AS VARCHAR), $LongSql,
+        CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END"""))
+
+  /** s01 — the reference's flagship pipeline as a REAL StreamingQuery
+    * (SURVEY.md §7.2.2): MemoryStream of multiplexed CSV → tag demux →
+    * `from_csv` → classifier → memory sink, drained over $Chunks
+    * micro-batches with a checkpoint (reference
+    * `IOTSparkStreaming.scala:43-48,117-141`). */
+  val s01WarningStream: GraftQuery = GraftQuery(
+    "s01_warning_stream",
+    "streaming warning classifier: MemoryStream -> demux -> from_csv -> classify -> memory sink (S1/P1/P2/P8-P11)",
+    (s, dir) => {
+      val qn = "s01_sink_" + UUID.randomUUID().toString.replace("-", "")
+      StreamHarness.drainChunked(s, lines(s, dir), Chunks) { raw =>
+        warningAlerts(parseFitbit(raw))
+          .select(col("user_id"), col("age"), col("pulse"), col("warning"),
+            col("machine_ts"))
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s01"))
+          .outputMode("append").start()
+      }
+      s.table(qn).orderBy(col("user_id"), col("machine_ts"), col("pulse"),
+        col("warning"), col("age"))
+    },
+    Some(s"""SELECT CAST(user_id AS VARCHAR) AS user_id, $AgeSql AS age,
+      $PulseSql AS pulse, $WarningSql AS warning,
+      CAST(epoch_ms(ts) AS VARCHAR) AS machine_ts
+      FROM events WHERE $WarningSql <> 'no-use'
+      ORDER BY CAST(user_id AS VARCHAR), CAST(epoch_ms(ts) AS VARCHAR),
+        $PulseSql, $WarningSql, $AgeSql"""))
+
+  /** s02 — K3 latest-location upsert sink: `foreachBatch` into an
+    * idempotent snapshot-swap parquet register keyed by user (reference
+    * `IOTSparkStreaming.scala:158-167`); last-write-wins by version, so the
+    * result is independent of batch boundaries and replay. */
+  val s02LatestLocationSink: GraftQuery = GraftQuery(
+    "s02_latest_location_sink",
+    "streaming upsert register: foreachBatch snapshot-swap, last-write-wins per user (K3)",
+    (s, dir) => {
+      val sink = new UpsertSink(StreamHarness.tempDir("s02-loc"),
+        Seq("user_id"), Seq("ver", "long", "lat"))
+      StreamHarness.drainChunked(s, lines(s, dir), Chunks) { raw =>
+        locations(parseFitbit(raw))
+          .writeStream
+          .option("checkpointLocation", StreamHarness.checkpointDir("s02"))
+          .foreachBatch { (b: DataFrame, id: Long) => sink.upsert(b, id) }
+          .start()
+      }
+      sink.snapshot(s).get
+        .select(col("user_id"), col("lat"), col("long"), col("ver").as("last_ms"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT CAST(user_id AS VARCHAR) AS user_id, $LatSql AS lat,
+      $LongSql AS long, epoch_ms(ts) AS last_ms
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+        ORDER BY epoch_ms(ts) DESC, $LongSql DESC, $LatSql DESC) = 1
+      ORDER BY CAST(user_id AS VARCHAR)"""))
+
+  /** s03 — J1 stream-static enrichment join with PER-BATCH dimension
+    * refresh (SURVEY.md §7.4.4): `foreachBatch` re-reads the customer
+    * dimension each micro-batch (the reference's always-fresh per-record
+    * Cassandra lookup, `workingTest.scala:183-184`) and broadcast-joins it. */
+  val s03EnrichStream: GraftQuery = GraftQuery(
+    "s03_enrich_stream",
+    "stream-static broadcast join, dimension re-read per micro-batch (J1 streaming)",
+    (s, dir) => {
+      val out = StreamHarness.tempDir("s03-out")
+      StreamHarness.drainChunked(s, lines(s, dir), Chunks) { raw =>
+        warningAlerts(parseFitbit(raw))
+          .writeStream
+          .option("checkpointLocation", StreamHarness.checkpointDir("s03"))
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val dim = broadcast(Tables.load(b.sparkSession, dir, "customer")
+              .select(col("c_custkey"), col("c_mktsegment")))
+            b.join(dim, b("user_id").cast("bigint") === dim("c_custkey"))
+              .select(col("user_id"), col("warning"), col("machine_ts"),
+                col("c_mktsegment"))
+              .write.mode("append").parquet(out)
+          }
+          .start()
+      }
+      s.read.parquet(out)
+        .orderBy(col("user_id"), col("machine_ts"), col("warning"),
+          col("c_mktsegment"))
+    },
+    Some(s"""SELECT CAST(user_id AS VARCHAR) AS user_id, $WarningSql AS warning,
+      CAST(epoch_ms(ts) AS VARCHAR) AS machine_ts, c_mktsegment
+      FROM events JOIN customer ON user_id = c_custkey
+      WHERE $WarningSql <> 'no-use'
+      ORDER BY CAST(user_id AS VARCHAR), CAST(epoch_ms(ts) AS VARCHAR),
+        $WarningSql, c_mktsegment"""))
+
+  /** s04 — K4 history append sink: date-partitioned parquet via the file
+    * sink (exactly-once through its `_spark_metadata` commit log), with the
+    * reference's string-timestamp parse (reference `test.scala:216-229`). */
+  val s04HistoryAppend: GraftQuery = GraftQuery(
+    "s04_history_append",
+    "streaming append sink: date-partitioned parquet, string-ts parse to epoch millis (K4/P5)",
+    (s, dir) => {
+      val out = StreamHarness.tempDir("s04-out")
+      StreamHarness.drainChunked(s, lines(s, dir), Chunks) { raw =>
+        history(parseFitbit(raw))
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s04"))
+          .partitionBy("dt")
+          .outputMode("append").start()
+      }
+      s.read.parquet(out)
+        .select(col("user_id"), col("dt").cast("string").as("dt"),
+          col("time_ms"), col("lat"), col("long"), col("pulse"), col("temp"))
+        .orderBy(col("user_id"), col("time_ms"), col("long"), col("pulse"))
+    },
+    Some(s"""SELECT CAST(user_id AS VARCHAR) AS user_id,
+      strftime(ts, '%Y-%m-%d') AS dt,
+      epoch_ms(date_trunc('second', ts)) AS time_ms,
+      $LatSql AS lat, $LongSql AS long, value AS pulse, value AS temp
+      FROM events
+      ORDER BY CAST(user_id AS VARCHAR), epoch_ms(date_trunc('second', ts)),
+        $LongSql, value"""))
+
+  /** s05 — event-time tumbling window + watermark (the beyond-reference
+    * streaming-semantics surface, SURVEY.md §7.2.7): hourly counts in
+    * APPEND mode, so only watermark-finalized windows are emitted. Two
+    * far-future sentinel lines advance the watermark past every real
+    * window (watermark for batch N comes from data seen before N). */
+  val s05WindowCounts: GraftQuery = GraftQuery(
+    "s05_window_counts",
+    "event-time tumbling 1h window counts with watermark, append mode (streaming agg)",
+    (s, dir) => {
+      val qn = "s05_sink_" + UUID.randomUUID().toString.replace("-", "")
+      val sentinel = (1 to 2).map(i =>
+        s"fitbit,2100-01-01 0$i:00:00,0,0,0,1.0,1.0,20,click,4102444800000")
+      StreamHarness.drainChunked(s, lines(s, dir) ++ sentinel, Chunks + 2) { raw =>
+        parseFitbit(raw)
+          .select(to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm:ss").as("event_ts"))
+          .withWatermark("event_ts", "1 second")
+          .groupBy(window(col("event_ts"), "1 hour"))
+          .count()
+          .select(col("window.start").as("ws"), col("count").as("n"))
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s05"))
+          .outputMode("append").start()
+      }
+      s.table(qn).filter(col("ws") < lit("2050-01-01").cast("timestamp"))
+        .orderBy(col("ws"))
+    },
+    Some("""SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** k05 — K5's exact tuple rendering (reference
+    * `IOTSparkStreaming.scala:107,138-140`): alert rows rendered as Scala
+    * tuple strings `(user,warning,yyyy-MM-dd HH:mm:ss)`, byte-for-byte. */
+  val k05TupleRender: GraftQuery = GraftQuery(
+    "k05_tuple_render",
+    "K5 Kafka-producer payload: exact Scala-tuple string rendering of alerts",
+    (s, dir) => {
+      val raw = Tables.load(s, dir, "events").select(Wire.fitbitLine.as("value"))
+      warningAlerts(parseFitbit(raw))
+        .select(renderTuple(col("user_id"), col("warning"), col("ts_str"))
+          .as("rendered"))
+        .orderBy(col("rendered"))
+    },
+    Some(s"""SELECT '(' || CAST(user_id AS VARCHAR) || ',' || $WarningSql || ',' ||
+        $TsStrSql || ')' AS rendered
+      FROM events WHERE $WarningSql <> 'no-use'
+      ORDER BY rendered"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    c01MultiplexParse, s01WarningStream, s02LatestLocationSink,
+    s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender)
+}

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import StreamPipelines._
+
+/** End-to-end Structured Streaming over crafted multiplexed CSV
+  * (SURVEY.md §5.2): real MemoryStream micro-batches through the actual
+  * pipelines, asserting exact sink contents — including the K5 golden
+  * rendering and watermark-append window finalization. */
+class StreamingE2ESpec extends SparkSpec {
+
+  private def mkLine(ts: String, user: String, pulse: Double, age: Int,
+                     cat: String, mts: String): String =
+    s"fitbit,$ts,$user,1,2,$pulse,36.6,$age,$cat,$mts"
+
+  test("warning pipeline e2e: two micro-batches, exact alert tuples") {
+    val lines = Seq(
+      mkLine("2024-01-01 10:00:00", "u1", 200.0, 30, "HYP_1", "100"), // critical
+      mkLine("2024-01-01 10:00:01", "u2", 50.0, 30, "NORMAL", "101"), // no-use
+      "sales,2024-01-01,42", // demuxed away
+      mkLine("2024-01-01 10:00:02", "u3", 185.0, 30, "NORMAL", "102"), // simple (185 >= 180.5)
+      mkLine("2024-01-01 10:00:03", "u4", 180.0, 30, "NORMAL", "103")) // no-use (180 < 180.5)
+    val qn = "e2e_warn_sink"
+    StreamHarness.drainChunked(spark, lines, 2) { raw =>
+      warningAlerts(parseFitbit(raw),
+        criticalCats = graft.functions.HealthFunctions.CriticalBpCats)
+        .select(col("user_id"), col("warning"), col("machine_ts"))
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", StreamHarness.checkpointDir("e2e-warn"))
+        .outputMode("append").start()
+    }
+    val got = spark.table(qn).orderBy("user_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(("u1", "critical", "100"), ("u3", "simple", "102")))
+  }
+
+  test("K5 golden rendering matches the reference tuple format byte-for-byte") {
+    import spark.implicits._
+    // Reference output shape: (u123,critical,2016-11-07 10:22:01)
+    // (IOTSparkStreaming.scala:107,138-140).
+    val raw = Seq(mkLine("2016-11-07 10:22:01", "u123", 250.0, 45, "HYP_2", "9"))
+      .toDF("value")
+    val got = warningAlerts(parseFitbit(raw),
+      criticalCats = graft.functions.HealthFunctions.CriticalBpCats)
+      .select(renderTuple(col("user_id"), col("warning"), col("ts_str")))
+      .head().getString(0)
+    assert(got == "(u123,critical,2016-11-07 10:22:01)")
+  }
+
+  test("upsert sink via streaming: latest location per user across batches") {
+    val lines = Seq(
+      s"fitbit,2024-01-01 10:00:00,u1,10,20,70.0,36.6,30,NORMAL,1000",
+      s"fitbit,2024-01-01 10:00:01,u2,11,21,70.0,36.6,30,NORMAL,1001",
+      s"fitbit,2024-01-01 10:00:02,u1,12,22,70.0,36.6,30,NORMAL,1002",
+      s"fitbit,2024-01-01 10:00:03,u1,13,23,70.0,36.6,30,NORMAL,1003")
+    val sink = new UpsertSink(StreamHarness.tempDir("e2e-loc"),
+      Seq("user_id"), Seq("ver", "long", "lat"))
+    StreamHarness.drainChunked(spark, lines, 3) { raw =>
+      locations(parseFitbit(raw))
+        .writeStream
+        .option("checkpointLocation", StreamHarness.checkpointDir("e2e-loc"))
+        .foreachBatch { (b: DataFrame, id: Long) => sink.upsert(b, id) }
+        .start()
+    }
+    val got = sink.snapshot(spark).get.orderBy("user_id")
+      .collect().map(r => (r.getAs[String]("user_id"), r.getAs[String]("lat"),
+        r.getAs[String]("long"))).toSeq
+    assert(got == Seq(("u1", "13", "23"), ("u2", "11", "21")))
+  }
+
+  test("watermark append mode: windows finalize only after the watermark passes") {
+    val lines = Seq(
+      mkLine("2024-01-01 10:10:00", "u1", 70.0, 30, "NORMAL", "1"),
+      mkLine("2024-01-01 10:20:00", "u2", 70.0, 30, "NORMAL", "2"),
+      mkLine("2024-01-01 11:05:00", "u3", 70.0, 30, "NORMAL", "3"),
+      // sentinels push the watermark far past both real windows
+      mkLine("2024-01-01 23:00:00", "u4", 70.0, 30, "NORMAL", "4"),
+      mkLine("2024-01-01 23:30:00", "u5", 70.0, 30, "NORMAL", "5"))
+    val qn = "e2e_window_sink"
+    StreamHarness.drainChunked(spark, lines, 5) { raw =>
+      parseFitbit(raw)
+        .select(to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm:ss").as("et"))
+        .withWatermark("et", "1 second")
+        .groupBy(window(col("et"), "1 hour")).count()
+        .select(col("window.start").as("ws"), col("count").as("n"))
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", StreamHarness.checkpointDir("e2e-window"))
+        .outputMode("append").start()
+    }
+    val got = spark.table(qn)
+      .filter(col("ws") < lit("2024-01-01 12:00:00").cast("timestamp"))
+      .orderBy("ws")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+    assert(got == Seq(("2024-01-01 10:00:00.0", 2L), ("2024-01-01 11:00:00.0", 1L)))
+  }
+
+  test("malformed line inside a stream does not kill the batch (vs reference crash)") {
+    val lines = Seq(
+      mkLine("2024-01-01 10:00:00", "u1", 200.0, 30, "HYP_1", "100"),
+      "fitbit,garbage",
+      mkLine("2024-01-01 10:00:02", "u2", 200.0, 30, "HYP_1", "102"))
+    val qn = "e2e_malformed_sink"
+    StreamHarness.drainChunked(spark, lines, 1) { raw =>
+      warningAlerts(parseFitbit(raw))
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"))
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", StreamHarness.checkpointDir("e2e-bad"))
+        .outputMode("append").start()
+    }
+    val got = spark.table(qn).orderBy("user_id").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("u1", "u2"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** K1–K3 upsert-register semantics: last-write-wins by version, replay
+  * safety, batch-boundary independence (SURVEY.md §7.4.1). */
+class UpsertSinkSpec extends SparkSpec {
+
+  private def newSink(): UpsertSink =
+    new UpsertSink(Files.createTempDirectory("upsert-spec-").toString,
+      Seq("k"), Seq("ver"))
+
+  test("upsert keeps the max-version row per key across batches") {
+    import spark.implicits._
+    val sink = newSink()
+    sink.upsert(Seq(("u1", "a", 1L), ("u2", "b", 1L)).toDF("k", "v", "ver"), 0)
+    sink.upsert(Seq(("u1", "c", 2L), ("u3", "d", 1L)).toDF("k", "v", "ver"), 1)
+    val got = sink.snapshot(spark).get.orderBy("k")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("u1", "c", 2L), ("u2", "b", 1L), ("u3", "d", 1L)))
+  }
+
+  test("an older version arriving later does NOT overwrite (version, not arrival, wins)") {
+    import spark.implicits._
+    val sink = newSink()
+    sink.upsert(Seq(("u1", "new", 9L)).toDF("k", "v", "ver"), 0)
+    sink.upsert(Seq(("u1", "stale", 3L)).toDF("k", "v", "ver"), 1)
+    val got = sink.snapshot(spark).get.collect().map(_.getString(1)).toSeq
+    assert(got == Seq("new"))
+  }
+
+  test("replaying an applied batchId is a no-op (idempotent recovery)") {
+    import spark.implicits._
+    val sink = newSink()
+    sink.upsert(Seq(("u1", "a", 1L)).toDF("k", "v", "ver"), 0)
+    val before = sink.snapshot(spark).get.collect().toSeq
+    // Replay with DIFFERENT (bogus) content under the same id: marker wins.
+    sink.upsert(Seq(("u1", "bogus", 99L)).toDF("k", "v", "ver"), 0)
+    val after = sink.snapshot(spark).get.collect().toSeq
+    assert(before == after)
+    assert(sink.alreadyApplied(0))
+  }
+
+  test("result is independent of how rows are split into batches") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i => (s"u${i % 7}", s"v$i", i.toLong))
+    val one = newSink()
+    one.upsert(rows.toDF("k", "v", "ver"), 0)
+    val many = newSink()
+    rows.grouped(9).zipWithIndex.foreach { case (chunk, id) =>
+      many.upsert(chunk.toDF("k", "v", "ver"), id.toLong)
+    }
+    val a = one.snapshot(spark).get.orderBy("k").collect().toSeq
+    val b = many.snapshot(spark).get.orderBy("k").collect().toSeq
+    assert(a == b)
+  }
+
+  test("within-batch duplicates on the key dedupe to the max version") {
+    import spark.implicits._
+    val sink = newSink()
+    sink.upsert(Seq(("u1", "x", 1L), ("u1", "y", 5L), ("u1", "z", 3L))
+      .toDF("k", "v", "ver"), 0)
+    assert(sink.snapshot(spark).get.collect().map(_.getString(1)).toSeq == Seq("y"))
+  }
+}
