@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{GraftQuery, RelationalQueries, SimilarityQueries, StreamingQueries, TextQueries}
+import graft.queries.{GraftQuery, MultimodalQueries, RelationalQueries, SimilarityQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
   /** Full registry; grows as operators land (SURVEY.md §2 checklist). */
   def registry: Seq[GraftQuery] =
     RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
-      StreamingQueries.all
+      StreamingQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

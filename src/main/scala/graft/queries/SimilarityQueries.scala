@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
+import graft.functions.PortableHash
 
 /** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
   *
@@ -65,5 +66,88 @@ object SimilarityQueries {
         FROM scored)
       WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
-  val all: Seq[GraftQuery] = Seq(e01CosineKnn)
+  /** Number of random hyperplanes for e02's signed-projection LSH: 2^8 =
+    * 256 buckets. */
+  val Planes: Int = 8
+
+  /** Integer hyperplane coefficient for (plane p, 1-based dim i), drawn from
+    * the portable hash family: ((A(p)·i + B(p)) mod P) mod 2001 − 1000 ∈
+    * [−1000, 1000]. Integer-exact in both engines. */
+  private def coef(p: Int, i1: org.apache.spark.sql.Column) =
+    (((lit(PortableHash.A(p)) * i1 + lit(PortableHash.B(p))) % lit(PortableHash.P))
+      % lit(2001L) - lit(1000L)).cast("double")
+
+  private def coefSql(p: Int): String =
+    s"CAST((((${PortableHash.A(p)} * i + ${PortableHash.B(p)}) % ${PortableHash.P}) % 2001) - 1000 AS DOUBLE)"
+
+  /** e02 — bucketed approximate nearest neighbors: random-hyperplane sign
+    * LSH → bucket equi-join → exact cosine re-rank inside the bucket. The
+    * scale path e01's brute-force scan lacks: the join shuffles on a
+    * 256-way bucket key instead of crossing corpus × queries, so candidate
+    * work scales with bucket occupancy (corpus/2^Planes), not corpus size.
+    * The oracle mirrors the LSH pipeline itself, so results stay
+    * value-exact (recall loss vs exact KNN is a property of the algorithm,
+    * reproduced identically in DuckDB). No crossJoin anywhere in the plan. */
+  val e02AnnLsh: GraftQuery = GraftQuery(
+    "e02_ann_lsh",
+    "random-hyperplane LSH bucketed ANN with exact cosine re-rank (no crossJoin)",
+    (s, dir) => {
+      val prepared = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("ve"))
+        .withColumn("nrm",
+          sqrt(aggregate(transform(col("ve"), x => x * x), lit(0.0), foldAdd)))
+        .withColumn("bucket",
+          (0 until Planes).map { p =>
+            val dot = aggregate(
+              transform(col("ve"), (x, i) => x * coef(p, i + lit(1))),
+              lit(0.0), foldAdd)
+            when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
+          }.reduce(_ + _))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = prepared.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("ve").as("qv"),
+          col("nrm").as("qnrm"), col("bucket"))
+      val scored = prepared.join(q, Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot",
+          aggregate(zip_with(col("qv"), col("ve"), (x, y) => x * y), lit(0.0), foldAdd))
+        .withColumn("cosine", col("dot") / (col("qnrm") * col("nrm")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id"), col("rnk"), col("cosine"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some {
+      val bucketSql = (0 until Planes).map { p =>
+        s"CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(generate_series(1, len(ve)), i -> ve[i] * ${coefSql(p)})), " +
+          s"(a, b) -> a + b) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, ve,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS nrm,
+          $bucketSql AS bucket
+        FROM v),
+      q AS (SELECT vec_id AS qid, ve AS qv, nrm AS qnrm, bucket FROM n WHERE vec_id < 8),
+      scored AS (
+        SELECT q.qid, n.vec_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(q.qv, n.ve), p -> p[1] * p[2])), (a, b) -> a + b)
+            / (q.qnrm * n.nrm) AS cosine
+        FROM q JOIN n USING (bucket) WHERE n.vec_id <> q.qid)
+      SELECT qid, vec_id, CAST(rnk AS INT) AS rnk, cosine FROM (
+        SELECT qid, vec_id, cosine,
+          row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored)
+      WHERE rnk <= 5 ORDER BY qid, rnk"""
+    })
+
+  val all: Seq[GraftQuery] = Seq(e01CosineKnn, e02AnnLsh)
 }
