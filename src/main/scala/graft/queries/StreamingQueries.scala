@@ -200,7 +200,9 @@ object StreamingQueries {
         s"fitbit,2100-01-01 0$i:00:00,0,0,0,1.0,1.0,20,click,4102444800000")
       StreamHarness.drainChunked(s, lines(s, dir) ++ sentinel, Chunks + 2) { raw =>
         parseFitbit(raw)
-          .select(to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm:ss").as("event_ts"))
+          .select(try_to_timestamp(col("ts_str"),
+            lit("yyyy-MM-dd HH:mm:ss")).as("event_ts"))
+          .filter(col("event_ts").isNotNull)
           .withWatermark("event_ts", "1 second")
           .groupBy(window(col("event_ts"), "1 hour"))
           .count()
@@ -233,7 +235,101 @@ object StreamingQueries {
       FROM events WHERE $WarningSql <> 'no-use'
       ORDER BY rendered"""))
 
+  /** s06 — K1 profile upsert with the P6 12-field typed parse (reference
+    * `IOTSparkStreaming.scala:51-69`): each customer emits a v1 profile line
+    * then a v2 update (new weight, bmi as the monotone version); the upsert
+    * register must surface exactly the v2 fields. Every synthesized field is
+    * integer-derived or an exact double op, so the oracle reads customer
+    * directly. */
+  val s06ProfileUpsert: GraftQuery = GraftQuery(
+    "s06_profile_upsert",
+    "streaming profile upsert: 12-field new-user parse + keyed register, update beats initial (K1/P6)",
+    (s, dir) => {
+      def line(ver: Int) = concat_ws(",",
+        lit("new-user-notification"),
+        (col("c_custkey") % 60 + 18).cast("string"),
+        when(col("c_custkey") % 2 === 0, lit("F")).otherwise(lit("M")),
+        col("c_mktsegment"),
+        (when(lit(ver) === 1, col("c_acctbal")).otherwise(col("c_acctbal") + 1))
+          .cast("string"),
+        (lit(1.5) + (col("c_custkey") % 50) / lit(100.0)).cast("string"),
+        lit(ver).cast("double").cast("string"),
+        (col("c_custkey") % 40).cast("double").cast("string"),
+        when(col("c_custkey") % 3 === 0, lit("HYP_1"))
+          .when(col("c_custkey") % 3 === 1, lit("NORMAL")).otherwise(lit("ELEV")),
+        (col("c_custkey") % 40 + 100).cast("double").cast("string"),
+        (col("c_custkey") % 30 + 60).cast("double").cast("string"),
+        concat(lit("u"), col("c_custkey")),
+        concat(lit("d"), col("c_custkey")))
+      val cust = Tables.load(s, dir, "customer").orderBy(col("c_custkey"))
+      val feed =
+        StreamHarness.collectLines(cust.select(line(1).as("line"))) ++
+          StreamHarness.collectLines(cust.select(line(2).as("line")))
+      val sink = new UpsertSink(StreamHarness.tempDir("s06-prof"),
+        Seq("user_id"), Seq("ver"))
+      StreamHarness.drainChunked(s, feed, Chunks) { raw =>
+        parseNewUser(raw)
+          .filter(col("_corrupt").isNull)
+          .withColumn("ver", col("bmi"))
+          .writeStream
+          .option("checkpointLocation", StreamHarness.checkpointDir("s06"))
+          .foreachBatch { (b: DataFrame, id: Long) => sink.upsert(b, id) }
+          .start()
+      }
+      sink.snapshot(s).get
+        .select(col("user_id"), col("device_id"), col("age"), col("gender"),
+          col("category"), col("weight"), col("height"), col("bmi"),
+          col("bfp"), col("bp_cat"), col("bp_sys"), col("bp_dia"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT 'u' || CAST(c_custkey AS VARCHAR) AS user_id,
+      'd' || CAST(c_custkey AS VARCHAR) AS device_id,
+      CAST(c_custkey % 60 + 18 AS INT) AS age,
+      CASE WHEN c_custkey % 2 = 0 THEN 'F' ELSE 'M' END AS gender,
+      c_mktsegment AS category,
+      c_acctbal + 1 AS weight,
+      CAST(1.5 AS DOUBLE) + (c_custkey % 50) / CAST(100.0 AS DOUBLE) AS height,
+      CAST(2.0 AS DOUBLE) AS bmi,
+      CAST(c_custkey % 40 AS DOUBLE) AS bfp,
+      CASE WHEN c_custkey % 3 = 0 THEN 'HYP_1'
+           WHEN c_custkey % 3 = 1 THEN 'NORMAL' ELSE 'ELEV' END AS bp_cat,
+      CAST(c_custkey % 40 + 100 AS DOUBLE) AS bp_sys,
+      CAST(c_custkey % 30 + 60 AS DOUBLE) AS bp_dia
+      FROM customer ORDER BY 'u' || CAST(c_custkey AS VARCHAR)"""))
+
+  /** s07 — K2 sales register: 3-field sales wire parse + keyed upsert. The
+    * wire format carries no version (the reference relies on arrival-order
+    * PK overwrite, `IOTSparkStreaming.scala:76`), so this register keeps the
+    * MAX count per date — deterministic under any batch split, documented
+    * deviation; the arrival-order semantic is proven relationally by q08. */
+  val s07SalesUpsert: GraftQuery = GraftQuery(
+    "s07_sales_upsert",
+    "streaming sales upsert: sales wire parse + max-count-per-date register (K2/P7)",
+    (s, dir) => {
+      val salesLine = concat_ws(",", lit("sales"),
+        date_format(col("ts"), "yyyy-MM-dd"),
+        graft.functions.HealthFunctions.roundHalfUp(col("value")).cast("string"))
+      val feed = StreamHarness.collectLines(
+        Tables.load(s, dir, "events").orderBy(col("event_id"))
+          .select(salesLine.as("line")))
+      val sink = new UpsertSink(StreamHarness.tempDir("s07-sales"),
+        Seq("date"), Seq("count"))
+      StreamHarness.drainChunked(s, feed, Chunks) { raw =>
+        parseSales(raw)
+          .filter(col("_corrupt").isNull).select(col("date"), col("count"))
+          .writeStream
+          .option("checkpointLocation", StreamHarness.checkpointDir("s07"))
+          .foreachBatch { (b: DataFrame, id: Long) => sink.upsert(b, id) }
+          .start()
+      }
+      sink.snapshot(s).get.orderBy(col("date"))
+    },
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS date,
+      MAX(CAST(FLOOR(value + CAST(0.5 AS DOUBLE)) AS INT)) AS count
+      FROM events GROUP BY 1 ORDER BY date"""))
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, s01WarningStream, s02LatestLocationSink,
-    s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender)
+    s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
+    s06ProfileUpsert, s07SalesUpsert)
 }

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import StreamPipelines._
+
+/** The engine's `main()` equivalent of the reference driver
+  * (`IOTSparkStreaming.scala:20-87`): ONE raw multiplexed stream fanned out
+  * to every pipeline, each with its own sink and checkpoint, started
+  * together. The reference builds exactly this shape — one direct stream,
+  * three tag filters, five sinks — with the mapData branch defined but
+  * commented out (`IOTSparkStreaming.scala:81`), reproduced here as a
+  * config flag (default off, SURVEY.md §2.9.4).
+  *
+  * Scale: the tag demux is a narrow filter, so every pipeline shares the
+  * single source scan per micro-batch; sinks are independent streaming
+  * queries (independent checkpoints — one slow sink does not stall the
+  * others, unlike the reference's single-context serial schedule).
+  */
+final class Orchestrator(
+    locationSink: UpsertSink,
+    profileSink: UpsertSink,
+    salesSink: UpsertSink,
+    historyPath: String,
+    checkpointRoot: String,
+    mapDataEnabled: Boolean = false,
+    alertThreshold: Double = 0.95) {
+
+  /** Start every pipeline on the raw-line stream; returns the running
+    * queries (callers drain with `processAllAvailable`/`stop`). */
+  def startAll(raw: DataFrame): Seq[StreamingQuery] = {
+    val fitbit = parseFitbit(raw)
+
+    val alerts = warningAlerts(fitbit)
+      .select(col("user_id"), col("warning"), col("machine_ts"))
+      .writeStream.format("memory").queryName("orchestrated_alerts")
+      .option("checkpointLocation", s"$checkpointRoot/alerts")
+      .outputMode("append").start()
+
+    val location = locations(fitbit)
+      .writeStream
+      .option("checkpointLocation", s"$checkpointRoot/location")
+      .foreachBatch { (b: DataFrame, id: Long) => locationSink.upsert(b, id) }
+      .start()
+
+    val history = StreamPipelines.history(fitbit)
+      .writeStream.format("parquet")
+      .option("path", historyPath)
+      .option("checkpointLocation", s"$checkpointRoot/history")
+      .partitionBy("dt").outputMode("append").start()
+
+    val profiles = parseNewUser(raw)
+      .filter(col("_corrupt").isNull).drop("_corrupt", "rtype")
+      .withColumn("ver", col("bmi")) // monotone per-user version in the feed
+      .writeStream
+      .option("checkpointLocation", s"$checkpointRoot/profiles")
+      .foreachBatch { (b: DataFrame, id: Long) => profileSink.upsert(b, id) }
+      .start()
+
+    val sales = parseSales(raw)
+      .filter(col("_corrupt").isNull).select(col("date"), col("count"))
+      .writeStream
+      .option("checkpointLocation", s"$checkpointRoot/sales")
+      .foreachBatch { (b: DataFrame, id: Long) => salesSink.upsert(b, id) }
+      .start()
+
+    val base = Seq(alerts, location, history, profiles, sales)
+    if (!mapDataEnabled) base
+    else base :+ mapData(fitbit)
+      .select(renderTuple(col("user_id"), col("lat"), col("long"),
+        col("pulse"), col("temp")).as("rendered"))
+      .writeStream.format("memory").queryName("orchestrated_mapdata")
+      .option("checkpointLocation", s"$checkpointRoot/mapdata")
+      .outputMode("append").start()
+  }
+}

@@ -44,22 +44,54 @@ object StreamPipelines {
   def renderTuple(cols: Column*): Column =
     concat(lit("("), concat_ws(",", cols: _*), lit(")"))
 
+  /** Corrupt-row policy for sink-bound projections: malformed lines are
+    * visible at the wire layer (`_corrupt`, exercised by c01) but are
+    * quarantined before any keyed register or append sink — a null-keyed
+    * upsert row is garbage, and the reference's alternative is a crashed
+    * batch (SURVEY.md §2.7). */
+  private def clean(parsed: DataFrame): DataFrame =
+    parsed.filter(col("_corrupt").isNull)
+
   /** Location projection (P4, reference `IOTSparkStreaming.scala:160-165`)
     * with a numeric version column for deterministic last-write-wins. */
   def locations(parsed: DataFrame): DataFrame =
-    parsed.select(col("user_id"), col("lat"), col("long"),
+    clean(parsed).select(col("user_id"), col("lat"), col("long"),
       col("machine_ts").cast("long").as("ver"))
 
   /** History projection (P5, reference `test.scala:216-227`): epoch millis
     * come from parsing the STRING event timestamp (seconds precision) —
-    * the reference's `SimpleDateFormat.parse(...).getTime`. */
+    * the reference's `SimpleDateFormat.parse(...).getTime`. `try_to_timestamp`
+    * because a malformed timestamp must null out, not kill the micro-batch
+    * (ANSI `to_timestamp` throws — the reference's crash mode, SURVEY §2.7). */
   def history(parsed: DataFrame): DataFrame =
-    parsed.select(
+    clean(parsed).select(
       col("user_id"),
       substring(col("ts_str"), 1, 10).as("dt"),
-      (unix_timestamp(to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm:ss")) * 1000)
-        .as("time_ms"),
+      (unix_timestamp(try_to_timestamp(col("ts_str"),
+        lit("yyyy-MM-dd HH:mm:ss"))) * 1000).as("time_ms"),
       col("lat"), col("long"), col("pulse"), col("temp"))
+
+  /** New-user profile parse (P6, reference `IOTSparkStreaming.scala:51-67`):
+    * demux + 12-field typed projection, corrupt rows dropped. */
+  def parseNewUser(raw: DataFrame): DataFrame =
+    raw.filter(Wire.tagOf(col("value")) === "new-user-notification")
+      .select(Wire.parseCsv(col("value"), Wire.NewUserSchema).as("r"))
+      .select(col("r.*"))
+
+  /** Sales parse (P7, reference `IOTSparkStreaming.scala:73-75`). */
+  def parseSales(raw: DataFrame): DataFrame =
+    raw.filter(Wire.tagOf(col("value")) === "sales")
+      .select(Wire.parseCsv(col("value"), Wire.SalesSchema).as("r"))
+      .select(col("r.*"))
+
+  /** mapData projection (P3, reference `IOTSparkStreaming.scala:92-100`):
+    * `(user_id, lat, long, pulse:Int, temp)` for the map topic. The
+    * reference defines this pipeline but comments out its start
+    * (`IOTSparkStreaming.scala:81`), so the orchestrator gates it behind a
+    * flag, default OFF (SURVEY.md §2.9.4). */
+  def mapData(parsed: DataFrame): DataFrame =
+    clean(parsed).select(col("user_id"), col("lat"), col("long"),
+      HealthFunctions.roundHalfUp(col("pulse")).as("pulse"), col("temp"))
 
   // ---- DuckDB oracle fragments computing the same values straight from the
   // ---- events table (the renderer in Wire is integer-derived or
