@@ -1,0 +1,93 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expressions for the sketch hot path.
+  *
+  * The declarative builders in [[graft.functions.DedupFunctions]] are
+  * higher-order array functions, which Spark evaluates interpreted (no
+  * whole-stage codegen participation) — fine for correctness, but the
+  * per-document sketch work dominates dedup cost at scale. These
+  * expressions generate a single call into [[HashOps]]'s tight loops, so
+  * the surrounding projection stays inside whole-stage codegen and each row
+  * costs one JVM call instead of an interpreted expression-tree walk.
+  *
+  * Registered per session as `graft_token_hashes` / `graft_shingle_hashes`
+  * / `graft_minhash_sig` by [[graft.sources.Tables.prepare]] (runtime
+  * registration rather than `SparkSessionExtensions` because the driver
+  * builds its own SparkSession; a production deploy would list an extension
+  * installing the same builders in `spark.sql.extensions`).
+  */
+object HashExpressions {
+
+  case class StringHash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.stringHash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.expr.HashOps.stringHash($c)")
+    override protected def withNewChildInternal(newChild: Expression): StringHash =
+      copy(child = newChild)
+  }
+
+  case class TokenHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.tokenHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.expr.HashOps.tokenHashes($c)")
+    override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+      copy(child = newChild)
+  }
+
+  case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.shingleHashes(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.expr.HashOps.shingleHashes($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+      copy(child = newChild)
+  }
+
+  case class MinhashSig(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.minhashSignature(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.expr.HashOps.minhashSignature($c)")
+    override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+      copy(child = newChild)
+  }
+
+  case class Simhash(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.simhash(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.expr.HashOps.simhash($c)")
+    override protected def withNewChildInternal(newChild: Expression): Simhash =
+      copy(child = newChild)
+  }
+
+  /** Register the native functions in a session's function registry. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_token_hashes",
+      args => TokenHashes(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes",
+      args => ShingleHashes(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      args => MinhashSig(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      args => Simhash(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_string_hash",
+      args => StringHash(args.head), "built-in")
+  }
+}

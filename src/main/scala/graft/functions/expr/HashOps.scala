@@ -1,0 +1,121 @@
+package graft.functions.expr
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.PortableHash
+
+/** Tight-loop runtime for the native hash expressions — one JVM call per
+  * row instead of an interpreted higher-order-function tree. Semantics are
+  * EXACTLY the declarative builders in [[graft.functions.DedupFunctions]]
+  * (and therefore the DuckDB oracles): code-point folding matches
+  * `split(s,"")`+`ascii` (Java regex splits between code points, so
+  * surrogate pairs stay whole), tokenization matches
+  * `filter(split(s," "), length>0)`, distinct keeps first occurrence like
+  * `array_distinct`/`list_distinct`, and an empty input yields the same
+  * null signature entries as `array_min` over an empty array.
+  */
+object HashOps {
+  private val P = PortableHash.P
+  private val K = PortableHash.K
+  private val A = PortableHash.A.toArray
+  private val B = PortableHash.B.toArray
+
+  /** Rolling code-point hash of the whole string (spaces included) —
+    * [[graft.functions.PortableHash.stringHash]]'s tight-loop twin. */
+  def stringHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      h = (h * 31 + cp) % P
+    }
+    h
+  }
+
+  /** Per-token rolling code-point hash; empty tokens dropped. */
+  def tokenHashes(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val out = mutable.ArrayBuffer.empty[Long]
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      if (cp == ' ') {
+        if (inTok) { out += h; h = 0L; inTok = false }
+      } else {
+        inTok = true
+        h = (h * 31 + cp) % P
+      }
+    }
+    if (inTok) out += h
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Distinct k-window folds over a token-hash array (first occurrence
+    * kept). */
+  def shingleHashes(th: ArrayData, k: Int): ArrayData = {
+    val n = th.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val seen = mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i <= n - k) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        h = (h * 31 + th.getLong(i + j)) % P
+        j += 1
+      }
+      seen += h
+      i += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+
+  /** 30-bit SimHash: bit b set iff ≥ half the token hashes have bit b set
+    * (matching the declarative builder bit-for-bit). */
+  def simhash(hashes: ArrayData): Long = {
+    val n = hashes.numElements()
+    var out = 0L
+    var b = 0
+    while (b < 30) {
+      var cnt = 0
+      var j = 0
+      while (j < n) {
+        if (((hashes.getLong(j) >> b) & 1L) == 1L) cnt += 1
+        j += 1
+      }
+      if (2 * cnt >= n) out += (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** K-minima MinHash signature; all-null entries iff the input is empty
+    * (matching `array_min` over an empty transform). */
+  def minhashSignature(hashes: ArrayData): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.fill[Any](K)(null))
+    val sig = new Array[Any](K)
+    var i = 0
+    while (i < K) {
+      val a = A(i); val b = B(i)
+      var min = Long.MaxValue
+      var j = 0
+      while (j < n) {
+        val v = (a * hashes.getLong(j) + b) % P
+        if (v < min) min = v
+        j += 1
+      }
+      sig(i) = min
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}

@@ -24,35 +24,23 @@ object TextQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
 
-  /** Staged, materialized sketch pipeline shared by d07/d08/d09.
-    *
-    * WHY the persists: higher-order array functions run interpreted (no
-    * whole-stage codegen, hence no common-subexpression elimination), and an
-    * inlined subtree like `tokenHashes(text)` gets RE-EVALUATED once per
-    * lambda invocation of every HOF that references it — the r1 d07 ran the
-    * per-char hash fold O(shingles × K) times per document. Materializing
-    * each stage to a cached column makes every downstream lambda read an
-    * attribute instead of recomputing the subtree, so the end-to-end cost is
-    * the sum of the stages: O(chars) token hashing + O(tokens·k) shingle
-    * folds + O(shingles·K) minhash — each evaluated exactly once per doc.
-    * The `repartition` spreads the (single-file) documents scan across the
-    * cluster; at 100 TB the same sketch table would be a materialized
-    * intermediate too.
+  /** The per-document sketch, computed by the native codegen expressions
+    * (`graft_token_hashes` → `graft_shingle_hashes` → `graft_minhash_sig`,
+    * [[graft.functions.expr.HashExpressions]]): one whole-stage-codegen
+    * projection per document instead of an interpreted higher-order-function
+    * tree (whose inlined subtrees get re-evaluated once per lambda call —
+    * the r1 d07 disaster). Persisted because the LSH pipeline reads the
+    * signature on three join paths; the `repartition` spreads the
+    * (single-file) documents scan across the cluster. At 100 TB the sketch
+    * would be a materialized table for the same reason.
     */
-  private def tokenHashTable(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private def signatureTable(s: org.apache.spark.sql.SparkSession, dir: String) =
     docs(s, dir)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), tokenHashes(col("text")).as("th"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-  private def shingleHashTable(s: org.apache.spark.sql.SparkSession, dir: String) =
-    tokenHashTable(s, dir)
-      .select(col("doc_id"), hashedShingles(col("th"), 3).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-  private def signatureTable(s: org.apache.spark.sql.SparkSession, dir: String) =
-    shingleHashTable(s, dir)
-      .select(col("doc_id"), minhashSignature(col("hs")).as("sig"))
+      .select(col("doc_id"),
+        call_function("graft_minhash_sig",
+          call_function("graft_shingle_hashes",
+            call_function("graft_token_hashes", col("text")), lit(3))).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact deduplication: hash-groupBy on content digest, keep min doc_id.
@@ -178,7 +166,8 @@ object TextQueries {
     "portable rolling-hash fingerprint per document",
     (s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), stringHash(col("text")).as("fp"))
+        .select(col("doc_id"),
+          call_function("graft_string_hash", col("text")).as("fp"))
         .orderBy(col("doc_id")),
     Some(s"""SELECT doc_id, ${stringHashSql("text")} AS fp
       FROM documents ORDER BY doc_id"""))
@@ -242,8 +231,10 @@ object TextQueries {
     "d08_simhash",
     "30-bit SimHash fingerprint over token hashes",
     (s, dir) =>
-      tokenHashTable(s, dir)
-        .select(col("doc_id"), simhash(col("th")).as("simhash"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          call_function("graft_simhash",
+            call_function("graft_token_hashes", col("text"))).as("simhash"))
         .orderBy(col("doc_id")),
     Some(s"""SELECT doc_id, ${simhashSql(tokenHashesSql("text"))} AS simhash
       FROM documents ORDER BY doc_id"""))

@@ -39,6 +39,7 @@ object Tables {
       spark.conf.set("spark.sql.session.timeZone", "UTC")
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.expr.HashExpressions.register(spark)
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {

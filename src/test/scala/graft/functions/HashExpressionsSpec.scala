@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.DedupFunctions._
+import graft.functions.PortableHash._
+
+/** The native codegen expressions must be bit-identical to the declarative
+  * higher-order-function builders (which the DuckDB oracles mirror) — on
+  * random text, edge cases, and unicode. */
+class HashExpressionsSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.functions.expr.HashExpressions.register(spark)
+  }
+
+  private def texts: Seq[String] = {
+    val rnd = new scala.util.Random(31)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    Seq.fill(60)(Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size)))
+      .mkString(" ")) ++
+      Seq("", " ", "  a  b ", "one", "one two", "héllo wörld déjà vu",
+        "tab\tinside stays one-token")
+  }
+
+  test("graft_token_hashes == declarative tokenHashes") {
+    import spark.implicits._
+    val df = texts.toDF("text")
+    val cmp = df.select(
+      call_function("graft_token_hashes", col("text")).as("fast"),
+      tokenHashes(col("text")).as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("graft_shingle_hashes == declarative hashedShingles") {
+    import spark.implicits._
+    val df = texts.toDF("text")
+      .select(tokenHashes(col("text")).as("th"))
+    val cmp = df.select(
+      call_function("graft_shingle_hashes", col("th"), lit(3)).as("fast"),
+      hashedShingles(col("th"), 3).as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("graft_minhash_sig == declarative minhashSignature (incl. empty -> nulls)") {
+    import spark.implicits._
+    val df = texts.toDF("text")
+      .select(hashedShingles(tokenHashes(col("text")), 3).as("hs"))
+    val cmp = df.select(
+      call_function("graft_minhash_sig", col("hs")).as("fast"),
+      minhashSignature(col("hs")).as("slow"))
+    // null-safe compare: signatures with null entries compare via to_json
+    assert(cmp.filter(to_json(col("fast")) =!= to_json(col("slow"))).count() == 0)
+  }
+
+  test("graft_simhash == declarative simhash") {
+    import spark.implicits._
+    val df = texts.filter(_.trim.nonEmpty).toDF("text")
+      .select(tokenHashes(col("text")).as("th"))
+    val cmp = df.select(
+      call_function("graft_simhash", col("th")).as("fast"),
+      simhash(col("th")).as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("graft_string_hash == declarative stringHash") {
+    import spark.implicits._
+    val df = texts.toDF("text")
+    val cmp = df.select(
+      call_function("graft_string_hash", col("text")).as("fast"),
+      stringHash(col("text")).as("slow"))
+    assert(cmp.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("native expressions run inside whole-stage codegen") {
+    // A local relation would be constant-folded at plan time, so assert on a
+    // real parquet scan (the shape every registered query uses).
+    val plan = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(call_function("graft_token_hashes", col("text")).as("th"))
+      .queryExecution.executedPlan.toString
+    // The `*(n)` prefix marks a WholeStageCodegen stage in the tree string.
+    assert(plan.linesIterator.exists(l =>
+      l.trim.matches("""\*\(\d+\) Project \[tokenhashes.*""")), plan)
+  }
+}
