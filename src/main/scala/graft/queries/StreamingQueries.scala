@@ -196,9 +196,12 @@ object StreamingQueries {
     "event-time tumbling 1h window counts with watermark, append mode (streaming agg)",
     (s, dir) => {
       val qn = "s05_sink_" + UUID.randomUUID().toString.replace("-", "")
+      // 3 chunks (2 real + sentinels): every stateful batch pays a
+      // state-store commit plus a no-data batch when the watermark moves,
+      // so batch count — not data volume — dominates this query's cost.
       val sentinel = (1 to 2).map(i =>
         s"fitbit,2100-01-01 0$i:00:00,0,0,0,1.0,1.0,20,click,4102444800000")
-      StreamHarness.drainChunked(s, lines(s, dir) ++ sentinel, Chunks + 2) { raw =>
+      StreamHarness.drainChunked(s, lines(s, dir) ++ sentinel, 3) { raw =>
         parseFitbit(raw)
           .select(try_to_timestamp(col("ts_str"),
             lit("yyyy-MM-dd HH:mm:ss")).as("event_ts"))
@@ -219,15 +222,24 @@ object StreamingQueries {
 
   /** k05 — K5's exact tuple rendering (reference
     * `IOTSparkStreaming.scala:107,138-140`): alert rows rendered as Scala
-    * tuple strings `(user,warning,yyyy-MM-dd HH:mm:ss)`, byte-for-byte. */
+    * tuple strings `(user,warning,yyyy-MM-dd HH:mm:ss)`, byte-for-byte.
+    * Built straight from the events table — the CSV round trip is c01/s01's
+    * surface; repeating it here would just evaluate `from_csv` once per
+    * referenced field in the collapsed projection. */
   val k05TupleRender: GraftQuery = GraftQuery(
     "k05_tuple_render",
     "K5 Kafka-producer payload: exact Scala-tuple string rendering of alerts",
     (s, dir) => {
-      val raw = Tables.load(s, dir, "events").select(Wire.fitbitLine.as("value"))
-      warningAlerts(parseFitbit(raw))
-        .select(renderTuple(col("user_id"), col("warning"), col("ts_str"))
-          .as("rendered"))
+      val age = col("user_id") % 60 + 18
+      val warn = graft.functions.HealthFunctions.warning(
+        graft.functions.HealthFunctions.roundHalfUp(col("value")), age,
+        col("event_type"), criticalCats = EventCriticalCats)
+      Tables.load(s, dir, "events")
+        .select(renderTuple(col("user_id").cast("string"), warn,
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("rendered"),
+          warn.as("w"))
+        .filter(col("w") =!= "no-use")
+        .select(col("rendered"))
         .orderBy(col("rendered"))
     },
     Some(s"""SELECT '(' || CAST(user_id AS VARCHAR) || ',' || $WarningSql || ',' ||
