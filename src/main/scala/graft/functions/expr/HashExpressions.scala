@@ -1,8 +1,8 @@
 package graft.functions.expr
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the sketch hot path.
   *
@@ -75,6 +75,18 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  case class DotFold(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.dotFold(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.expr.HashOps.dotFold($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotFold =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Register the native functions in a session's function registry. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -89,5 +101,7 @@ object HashExpressions {
       args => Simhash(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_string_hash",
       args => StringHash(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      args => DotFold(args.head, args(1)), "built-in")
   }
 }

@@ -78,6 +78,22 @@ object HashOps {
     new GenericArrayData(seen.toArray)
   }
 
+  /** Dot product as an index-order accumulation — identical floating-point
+    * order to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (a left fold), so
+    * results stay bit-equal to the declarative builder and the DuckDB
+    * `list_reduce` oracle. Lengths are taken from the shorter array,
+    * matching `zip_with` null-padding semantics on equal-length inputs. */
+  def dotFold(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
   /** 30-bit SimHash: bit b set iff ≥ half the token hashes have bit b set
     * (matching the declarative builder bit-for-bit). */
   def simhash(hashes: ArrayData): Long = {

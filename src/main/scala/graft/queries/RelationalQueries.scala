@@ -357,10 +357,63 @@ object RelationalQueries {
     Some("""SELECT event_type, CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
       COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Hierarchical aggregate (ROLLUP): subtotals + grand total. Spark sorts
+    * NULLs first on ASC; the oracle says NULLS FIRST explicitly because
+    * DuckDB defaults to NULLS LAST. */
+  val q19RollupAgg: GraftQuery = GraftQuery(
+    "q19_rollup_agg",
+    "ROLLUP aggregate with subtotal and grand-total rows",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .rollup(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("c_mktsegment").asc_nulls_first),
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS n, ${dsumSql("c_acctbal")} AS total_bal
+      FROM customer GROUP BY ROLLUP(c_mktsegment)
+      ORDER BY c_mktsegment NULLS FIRST"""))
+
+  /** Analytic lag/lead offsets per key. */
+  val q20LagLead: GraftQuery = GraftQuery(
+    "q20_lag_lead",
+    "per-key lag/lead window offsets with value delta",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id, value,
+      lag(value, 1) OVER w AS prev_value,
+      lead(value, 1) OVER w AS next_value,
+      value - lag(value, 1) OVER w AS delta
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      ORDER BY user_id, event_id"""))
+
+  /** SQL entry path: the exact same ANSI text runs through `spark.sql` and
+    * the DuckDB oracle — the engine's second query API besides DataFrames. */
+  private val Q21Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  val q21SqlInterface: GraftQuery = GraftQuery(
+    "q21_sql_interface",
+    "spark.sql entry point: identical ANSI text on both engines",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(Q21Sql)
+    },
+    Some(Q21Sql))
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02TagFilter, q03TypedProjection, q04HealthClassify,
     q05EnrichJoin, q06StarJoinAgg, q07LatestPerUser, q08SalesLastWrite,
     q09SalesAgg, q10UserHistory, q11AggPerUser, q12TopOrders,
     q13RevenueByNation, q14SemiJoin, q15AntiJoin, q16RunningWindow,
-    q17SetOps, q18JsonExtract)
+    q17SetOps, q18JsonExtract, q19RollupAgg, q20LagLead, q21SqlInterface)
 }

@@ -30,13 +30,12 @@ object SimilarityQueries {
       val v = Tables.load(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("ve"))
       val n = v.withColumn("nrm",
-        sqrt(aggregate(transform(col("ve"), x => x * x), lit(0.0), foldAdd)))
+        sqrt(call_function("graft_dot", col("ve"), col("ve"))))
       val q = broadcast(n.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("ve").as("qv"), col("nrm").as("qnrm")))
       val scored = n.crossJoin(q)
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("dot",
-          aggregate(zip_with(col("qv"), col("ve"), (x, y) => x * y), lit(0.0), foldAdd))
+        .withColumn("dot", call_function("graft_dot", col("qv"), col("ve")))
         .withColumn("cosine", col("dot") / (col("qnrm") * col("nrm")))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cosine").desc, col("vec_id"))
@@ -95,8 +94,7 @@ object SimilarityQueries {
       val prepared = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("ve"))
-        .withColumn("nrm",
-          sqrt(aggregate(transform(col("ve"), x => x * x), lit(0.0), foldAdd)))
+        .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
         .withColumn("bucket",
           (0 until Planes).map { p =>
             val dot = aggregate(
@@ -110,8 +108,7 @@ object SimilarityQueries {
           col("nrm").as("qnrm"), col("bucket"))
       val scored = prepared.join(q, Seq("bucket"))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("dot",
-          aggregate(zip_with(col("qv"), col("ve"), (x, y) => x * y), lit(0.0), foldAdd))
+        .withColumn("dot", call_function("graft_dot", col("qv"), col("ve")))
         .withColumn("cosine", col("dot") / (col("qnrm") * col("nrm")))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cosine").desc, col("vec_id"))
@@ -149,5 +146,66 @@ object SimilarityQueries {
       WHERE rnk <= 5 ORDER BY qid, rnk"""
     })
 
-  val all: Seq[GraftQuery] = Seq(e01CosineKnn, e02AnnLsh)
+  /** d10 — embedding-cosine near-duplicate pairs (the dedup-mode sibling of
+    * e02): coarser LSH (4 planes → 16 buckets, higher recall at a denser
+    * candidate set), bucket equi-join on vec_id < vec_id, exact cosine
+    * verification at ≥ 0.35. Same no-crossJoin shape as e02: candidate work
+    * is Σ bucket² rather than corpus². */
+  val d10EmbeddingNeardup: GraftQuery = GraftQuery(
+    "d10_embedding_neardup",
+    "embedding-cosine near-dup pairs: 4-plane LSH buckets + exact cosine >= 0.35",
+    (s, dir) => {
+      val planes = 4
+      val prepared = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("ve"))
+        .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
+        .withColumn("bucket",
+          (0 until planes).map { p =>
+            val dot = aggregate(
+              transform(col("ve"), (x, i) => x * coef(p, i + lit(1))),
+              lit(0.0), foldAdd)
+            when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
+          }.reduce(_ + _))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val b = prepared.select(col("bucket"), col("vec_id").as("vid_b"),
+        col("ve").as("ve_b"), col("nrm").as("nrm_b"))
+      prepared.join(b, Seq("bucket"))
+        .filter(col("vec_id") < col("vid_b"))
+        .withColumn("cosine",
+          call_function("graft_dot", col("ve"), col("ve_b"))
+            / (col("nrm") * col("nrm_b")))
+        .filter(col("cosine") >= 0.35)
+        .select(col("vec_id").as("vec_a"), col("vid_b").as("vec_b"), col("cosine"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some {
+      val planes = 4
+      val bucketSql = (0 until planes).map { p =>
+        s"CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(generate_series(1, len(ve)), i -> ve[i] * ${coefSql(p)})), " +
+          s"(a, b) -> a + b) >= 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, ve,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS nrm,
+          $bucketSql AS bucket
+        FROM v)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_zip(a.ve, b.ve), p -> p[1] * p[2])), (x, y) -> x + y)
+          / (a.nrm * b.nrm) AS cosine
+      FROM n a JOIN n b USING (bucket)
+      WHERE a.vec_id < b.vec_id
+        AND list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_zip(a.ve, b.ve), p -> p[1] * p[2])), (x, y) -> x + y)
+          / (a.nrm * b.nrm) >= 0.35
+      ORDER BY vec_a, vec_b"""
+    })
+
+  val all: Seq[GraftQuery] = Seq(e01CosineKnn, e02AnnLsh, d10EmbeddingNeardup)
 }

@@ -340,8 +340,36 @@ object StreamingQueries {
       MAX(CAST(FLOOR(value + CAST(0.5 AS DOUBLE)) AS INT)) AS count
       FROM events GROUP BY 1 ORDER BY date"""))
 
+  /** s08 — streaming deduplication (`dropDuplicates` stateful operator, the
+    * streaming sibling of d01): every 50th event is fed twice; the dedup
+    * state must emit each logical record exactly once. */
+  val s08StreamDedup: GraftQuery = GraftQuery(
+    "s08_stream_dedup",
+    "stateful streaming dropDuplicates over an at-least-once feed",
+    (s, dir) => {
+      val feed = StreamHarness.collectLines(
+        Tables.load(s, dir, "events").orderBy(col("event_id"))
+          .select(explode(when(col("event_id") % 50 === 0,
+            array(Wire.fitbitLine, Wire.fitbitLine))
+            .otherwise(array(Wire.fitbitLine))).as("line")))
+      val qn = "s08_sink_" + UUID.randomUUID().toString.replace("-", "")
+      StreamHarness.drainChunked(s, feed, Chunks) { raw =>
+        parseFitbit(raw)
+          .select(col("user_id"), col("machine_ts"), col("long"))
+          .dropDuplicates("user_id", "machine_ts", "long")
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s08"))
+          .outputMode("append").start()
+      }
+      s.table(qn).orderBy(col("user_id"), col("machine_ts"), col("long"))
+    },
+    Some(s"""SELECT CAST(user_id AS VARCHAR) AS user_id,
+      CAST(epoch_ms(ts) AS VARCHAR) AS machine_ts, $LongSql AS long
+      FROM events
+      ORDER BY CAST(user_id AS VARCHAR), CAST(epoch_ms(ts) AS VARCHAR), $LongSql"""))
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, s01WarningStream, s02LatestLocationSink,
     s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
-    s06ProfileUpsert, s07SalesUpsert)
+    s06ProfileUpsert, s07SalesUpsert, s08StreamDedup)
 }
