@@ -297,7 +297,42 @@ object TextQueries {
       WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
     })
 
+  /** d11 — the distributed MinHash MERGE: a group's signature is the
+    * elementwise min of its members' signatures — the associative property
+    * that lets sketches combine map-side across partitions (the reason
+    * MinHash works at 100 TB: partial-aggregate per partition, merge at the
+    * reducer, never materialize the shingle sets). Groups are synthetic
+    * shards (doc_id % 8); output is the folded group signature so the
+    * oracle compares scalars. Docs with no shingles (null signatures) are
+    * excluded on both engines. */
+  val d11MinhashUnion: GraftQuery = GraftQuery(
+    "d11_minhash_union",
+    "mergeable MinHash: per-shard signature = elementwise min, partial-agg friendly",
+    (s, dir) => {
+      val sig = signatureTable(s, dir)
+        .filter(element_at(col("sig"), 1).isNotNull)
+      sig.groupBy((col("doc_id") % 8).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          foldHash(array((0 until K).map(i =>
+            min(element_at(col("sig"), i + 1))): _*)).as("sig_hash"))
+        .orderBy(col("shard"))
+    },
+    Some {
+      val mins = (1 to K).map(i => s"min(sig[$i])").mkString("[", ", ", "]")
+      s"""WITH th AS (
+        SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents),
+      hs AS (
+        SELECT doc_id, ${hashedShinglesSql("th", 3)} AS hs FROM th),
+      sig AS (
+        SELECT doc_id, ${minhashSignatureSql("hs")} AS sig FROM hs)
+      SELECT doc_id % 8 AS shard, COUNT(*) AS n_docs,
+        ${foldHashSql(mins)} AS sig_hash
+      FROM sig WHERE sig[1] IS NOT NULL
+      GROUP BY doc_id % 8 ORDER BY shard"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
-    d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard)
+    d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
+    d11MinhashUnion)
 }

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Plan-shape evidence for the 100 TB design claims: bucketed co-located
+  * joins avoid the shuffle entirely, and partition/filter pushdown reaches
+  * the parquet scan. These are the properties the DataFrame code relies on
+  * Catalyst to deliver — asserted here so a regression in plan shape fails
+  * the suite, not just the benchmark. */
+class ScalePlanSpec extends SparkSpec {
+
+  test("bucketed tables join with zero shuffle (co-located join)") {
+    import spark.implicits._
+    val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    left.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bkt_left")
+    right.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bkt_right")
+    // Tiny tables would be broadcast (which also skips the shuffle but
+    // proves nothing about bucketing) — force the sort-merge path the way a
+    // two-large-tables join would take it at scale.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("partition pruning: a dt filter reads only matching partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prune-").toString
+    (1 to 300).map(i => (i, s"2024-01-${"%02d".format(i % 3 + 1)}"))
+      .toDF("id", "dt")
+      .write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("dt") === "2024-01-02")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(dt"), scan)
+    assert(q.count() == 100)
+  }
+
+  test("predicate pushdown reaches the parquet reader on the events table") {
+    val q = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .filter(col("event_type") === "click").select("event_id")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"), scan)
+  }
+
+  test("approximate distinct (HLL sketch) lands within 5% of exact") {
+    import spark.implicits._
+    val df = (1 to 20000).map(i => i % 7919).toDF("v")
+    val approx = df.agg(approx_count_distinct(col("v")).as("a"))
+      .head().getLong(0)
+    assert(math.abs(approx - 7919.0) / 7919.0 < 0.05, approx)
+  }
+}
