@@ -368,8 +368,43 @@ object StreamingQueries {
       FROM events
       ORDER BY CAST(user_id AS VARCHAR), CAST(epoch_ms(ts) AS VARCHAR), $LongSql"""))
 
+  /** s09 — arbitrary custom state via `mapGroupsWithState` (SURVEY.md §2.7's
+    * "custom state" path): a per-user alert counter carried in `GroupState`
+    * across micro-batches, emitted in update mode. The counter is monotone,
+    * so `max` per user recovers the batch-independent total — which the
+    * oracle computes relationally. */
+  val s09StatefulCounter: GraftQuery = GraftQuery(
+    "s09_stateful_counter",
+    "mapGroupsWithState per-user alert counter across micro-batches (custom state)",
+    (s, dir) => {
+      import s.implicits._
+      val qn = "s09_sink_" + UUID.randomUUID().toString.replace("-", "")
+      StreamHarness.drainChunked(s, lines(s, dir), Chunks) { raw =>
+        warningAlerts(parseFitbit(raw))
+          .select(col("user_id")).as[String]
+          .groupByKey(identity)
+          .mapGroupsWithState[Long, (String, Long)](
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+            (user, rows, state) =>
+              val n = state.getOption.getOrElse(0L) + rows.size
+              state.update(n)
+              (user, n)
+          }
+          .toDF("user_id", "n_alerts")
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s09"))
+          .outputMode("update").start()
+      }
+      s.table(qn).groupBy(col("user_id"))
+        .agg(max(col("n_alerts")).as("n_alerts"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS n_alerts
+      FROM events WHERE $WarningSql <> 'no-use'
+      GROUP BY user_id ORDER BY CAST(user_id AS VARCHAR)"""))
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, s01WarningStream, s02LatestLocationSink,
     s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
-    s06ProfileUpsert, s07SalesUpsert, s08StreamDedup)
+    s06ProfileUpsert, s07SalesUpsert, s08StreamDedup, s09StatefulCounter)
 }

@@ -61,6 +61,7 @@ final class UpsertSink(path: String, keyCols: Seq[String], orderCols: Seq[String
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn")
+    val prevVersion = currentVersion
     val version = s"v$batchId"
     next.write.mode("overwrite").parquet(root.resolve(version).toString)
     val tmp = root.resolve(s"_latest.tmp.$batchId")
@@ -68,5 +69,33 @@ final class UpsertSink(path: String, keyCols: Seq[String], orderCols: Seq[String
     Files.move(tmp, latestPtr, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
     Files.writeString(root.resolve(s"_batch_$batchId"), "")
+    // GC superseded snapshots (keep the previous one as a recovery fallback;
+    // older ones are unreachable once the pointer moved past them).
+    versionsOnDisk.filterNot(v => v == version || prevVersion.contains(v))
+      .foreach(deleteRecursively)
+  }
+
+  private def versionsOnDisk: Seq[String] = {
+    val s = Files.list(root)
+    try s.iterator().asScala()
+      .map(_.getFileName.toString).filter(_.startsWith("v")).toSeq
+    finally s.close()
+  }
+
+  private implicit class IterAdapter[T](it: java.util.Iterator[T]) {
+    def asScala(): Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+
+  private def deleteRecursively(name: String): Unit = {
+    val dir = root.resolve(name)
+    if (Files.exists(dir)) {
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala().foreach(Files.delete)
+      finally s.close()
+    }
   }
 }

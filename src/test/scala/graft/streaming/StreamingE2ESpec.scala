@@ -97,6 +97,37 @@ class StreamingE2ESpec extends SparkSpec {
     assert(got == Seq(("2024-01-01 10:00:00.0", 2L), ("2024-01-01 11:00:00.0", 1L)))
   }
 
+  test("stream-stream inner join pairs alerts with location updates across batches") {
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    implicit val enc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    val alertsIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val locsIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val alerts = warningAlerts(parseFitbit(alertsIn.toDF()),
+      criticalCats = graft.functions.HealthFunctions.CriticalBpCats)
+      .select(col("user_id"), col("warning"))
+    val locs = locations(parseFitbit(locsIn.toDF()))
+      .select(col("user_id").as("loc_user"), col("lat"))
+    val qn = "e2e_ss_join"
+    val q = alerts.join(locs, alerts("user_id") === locs("loc_user"))
+      .select("user_id", "warning", "lat")
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", StreamHarness.checkpointDir("e2e-ssj"))
+      .outputMode("append").start()
+    try {
+      // alert for u1 arrives before u1's location; u2 alert never matches
+      alertsIn.addData(mkLine("2024-01-01 10:00:00", "u1", 250.0, 30, "HYP_1", "1"))
+      q.processAllAvailable()
+      locsIn.addData(mkLine("2024-01-01 10:00:01", "u1", 70.0, 30, "NORMAL", "2"))
+      alertsIn.addData(mkLine("2024-01-01 10:00:02", "u2", 250.0, 30, "HYP_1", "3"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(qn)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq(("u1", "critical", "1")))
+  }
+
   test("malformed line inside a stream does not kill the batch (vs reference crash)") {
     val lines = Seq(
       mkLine("2024-01-01 10:00:00", "u1", 200.0, 30, "HYP_1", "100"),

@@ -59,6 +59,18 @@ class UpsertSinkSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("superseded snapshot versions are garbage-collected (keep current + previous)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert-gc-")
+    val sink = new UpsertSink(dir.toString, Seq("k"), Seq("ver"))
+    (0 to 4).foreach { i =>
+      sink.upsert(Seq((s"u$i", "x", i.toLong)).toDF("k", "v", "ver"), i.toLong)
+    }
+    val versions = dir.toFile.listFiles().map(_.getName).filter(_.startsWith("v")).sorted
+    assert(versions.toSeq == Seq("v3", "v4"), versions.mkString(","))
+    assert(sink.snapshot(spark).get.count() == 5)
+  }
+
   test("within-batch duplicates on the key dedupe to the max version") {
     import spark.implicits._
     val sink = newSink()
