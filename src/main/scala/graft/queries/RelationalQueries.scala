@@ -410,10 +410,62 @@ object RelationalQueries {
     },
     Some(Q21Sql))
 
+  /** Sliding (overlapping) time windows: each event lands in size/step
+    * windows; the oracle materializes the same two shifted hour buckets. */
+  val q22SlidingWindow: GraftQuery = GraftQuery(
+    "q22_sliding_window",
+    "sliding 2h window (1h step) event counts",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .count()
+        .select(col("window.start").as("ws"), col("window.end").as("we"),
+          col("count").as("n"))
+        .orderBy(col("ws")),
+    Some("""SELECT ws, ws + INTERVAL 2 HOUR AS we, COUNT(*) AS n FROM (
+      SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+      FROM events)
+      GROUP BY ws ORDER BY ws"""))
+
+  /** Session windows (gaps-and-islands): events of a user belong to one
+    * session while consecutive gaps stay under 1 hour. Spark's
+    * `session_window` start is the first event, end is last event + gap;
+    * the oracle rebuilds the same islands with lag + running sum. */
+  val q23SessionWindow: GraftQuery = GraftQuery(
+    "q23_session_window",
+    "per-user session windows with 1h inactivity gap",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start_us")),
+    Some("""WITH marked AS (
+        SELECT user_id, ts,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+            > INTERVAL 1 HOUR OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+            IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      islands AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id,
+        epoch_us(MIN(ts)) AS session_start_us,
+        epoch_us(MAX(ts) + INTERVAL 1 HOUR) AS session_end_us,
+        COUNT(*) AS n_events
+      FROM islands GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02TagFilter, q03TypedProjection, q04HealthClassify,
     q05EnrichJoin, q06StarJoinAgg, q07LatestPerUser, q08SalesLastWrite,
     q09SalesAgg, q10UserHistory, q11AggPerUser, q12TopOrders,
     q13RevenueByNation, q14SemiJoin, q15AntiJoin, q16RunningWindow,
-    q17SetOps, q18JsonExtract, q19RollupAgg, q20LagLead, q21SqlInterface)
+    q17SetOps, q18JsonExtract, q19RollupAgg, q20LagLead, q21SqlInterface,
+    q22SlidingWindow, q23SessionWindow)
 }
