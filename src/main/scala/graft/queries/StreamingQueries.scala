@@ -24,7 +24,12 @@ import graft.streaming.StreamPipelines._
   */
 object StreamingQueries {
 
-  private val Chunks = 4
+  /** Micro-batches per streaming query: 2 keeps every cross-batch behavior
+    * under test (state carry-over, upsert last-write-wins across batches)
+    * while halving the fixed per-batch cost — incremental planning + state
+    * store commit dominate these queries, not data volume (see README
+    * "Benchmark shape"). The test suite drives deeper batch counts. */
+  private val Chunks = 2
 
   private def lines(s: SparkSession, dir: String): Seq[String] =
     StreamHarness.collectLines(Wire.eventsAsFitbitLines(s, dir))

@@ -1,0 +1,29 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Registry-wide physical-plan audit: no accidental cartesian products or
+  * nested-loop joins anywhere in the batch query surface. e01 is the single
+  * allowed exception (an intentional broadcast corpus × 8-query cross join,
+  * superseded by e02's bucketed plan at scale). Streaming-harness queries
+  * execute streams on construction, so they are audited by their own e2e
+  * specs instead.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("no CartesianProduct or BroadcastNestedLoopJoin in any batch plan") {
+    val allowedCross = Set("e01_cosine_knn")
+    val batchQueries = graft.SparkEntry.registry
+      .filterNot(q => q.name.startsWith("s0") || q.name.startsWith("k0"))
+    assert(batchQueries.size >= 35)
+    val offenders = batchQueries.flatMap { q =>
+      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+      val bad = !allowedCross(q.name) &&
+        (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+      if (bad) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"plans with cartesian/nested-loop joins: $offenders")
+  }
+}
