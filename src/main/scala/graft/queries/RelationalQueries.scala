@@ -461,11 +461,37 @@ object RelationalQueries {
       FROM islands GROUP BY user_id, sid
       ORDER BY user_id, session_start_us"""))
 
+  /** Skew-salted join: 80% of events collapse onto one hot key, joined to a
+    * small dimension through [[graft.operators.SaltedJoin]]. Salting is
+    * invisible to semantics, so the oracle is the plain relational join. */
+  val q24SaltedJoin: GraftQuery = GraftQuery(
+    "q24_salted_join",
+    "skew-resistant salted equi-join (hot key scattered over 8 sub-keys)",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(when(col("user_id") % 10 < 8, lit(0L))
+          .otherwise(col("user_id") % 17).as("k"),
+          col("event_id"), col("value"))
+      val dim = t(s, dir, "nation")
+        .groupBy((col("n_nationkey") % 17).cast("long").as("k"))
+        .agg(min_by(col("n_name"), col("n_nationkey")).as("n_name"))
+      graft.operators.SaltedJoin(e, dim, "k", salt = 8)
+        .groupBy(col("k"), col("n_name"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("k"))
+    },
+    Some(s"""SELECT k, n_name, COUNT(*) AS n, ${dsumSql("value")} AS total_value
+      FROM (SELECT CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id % 17 END AS k,
+              event_id, value FROM events) e
+      JOIN (SELECT DISTINCT ON (n_nationkey % 17) n_nationkey % 17 AS k, n_name
+            FROM nation ORDER BY n_nationkey % 17, n_nationkey) d USING (k)
+      GROUP BY k, n_name ORDER BY k"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02TagFilter, q03TypedProjection, q04HealthClassify,
     q05EnrichJoin, q06StarJoinAgg, q07LatestPerUser, q08SalesLastWrite,
     q09SalesAgg, q10UserHistory, q11AggPerUser, q12TopOrders,
     q13RevenueByNation, q14SemiJoin, q15AntiJoin, q16RunningWindow,
     q17SetOps, q18JsonExtract, q19RollupAgg, q20LagLead, q21SqlInterface,
-    q22SlidingWindow, q23SessionWindow)
+    q22SlidingWindow, q23SessionWindow, q24SaltedJoin)
 }
