@@ -487,11 +487,40 @@ object RelationalQueries {
             FROM nation ORDER BY n_nationkey % 17, n_nationkey) d USING (k)
       GROUP BY k, n_name ORDER BY k"""))
 
+  /** As-of join via [[graft.operators.AsOfJoin]]: each click event picks up
+    * the same user's most recent purchase at or before it. Oracled against
+    * DuckDB's native ASOF LEFT JOIN. Event timestamps are unique per user
+    * in this data, so tie handling never engages (Spark side still breaks
+    * ties deterministically by event_id). */
+  val q25AsofJoin: GraftQuery = GraftQuery(
+    "q25_asof_join",
+    "as-of join: click events enriched with the latest prior purchase per user",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.operators.AsOfJoin(clicks, purchases, "user_id", "t_us",
+        rightCols = Seq("p_event_id", "p_value"), tiebreak = "p_event_id")
+        .select(col("user_id"), col("event_id"), col("t_us"),
+          col("p_event_id"), col("p_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT c.user_id, c.event_id, epoch_us(c.ts) AS t_us,
+        p.event_id AS p_event_id, p.value AS p_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+      ORDER BY c.user_id, c.event_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02TagFilter, q03TypedProjection, q04HealthClassify,
     q05EnrichJoin, q06StarJoinAgg, q07LatestPerUser, q08SalesLastWrite,
     q09SalesAgg, q10UserHistory, q11AggPerUser, q12TopOrders,
     q13RevenueByNation, q14SemiJoin, q15AntiJoin, q16RunningWindow,
     q17SetOps, q18JsonExtract, q19RollupAgg, q20LagLead, q21SqlInterface,
-    q22SlidingWindow, q23SessionWindow, q24SaltedJoin)
+    q22SlidingWindow, q23SessionWindow, q24SaltedJoin, q25AsofJoin)
 }

@@ -331,8 +331,29 @@ object TextQueries {
       GROUP BY doc_id % 8 ORDER BY shard"""
     })
 
+  /** d12 — BPE-ish tokenization: letter runs, digit runs, and punctuation
+    * runs as separate tokens (the pre-tokenizer split BPE vocabularies are
+    * trained over). The regex avoids lookahead and \s so the Java and RE2
+    * dialects agree character-for-character. */
+  val d12BpeTokens: GraftQuery = GraftQuery(
+    "d12_bpe_tokens",
+    "BPE-style pre-tokenizer counts: letter/digit/punctuation runs",
+    (s, dir) => {
+      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]+"
+      docs(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpeish"),
+        size(filter(regexp_extract_all(col("text"), lit(pat), lit(0)),
+          t => t.rlike("^[0-9]+$"))).as("n_digit_runs"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+')) AS INT) AS n_bpeish,
+      CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+'),
+        t -> regexp_matches(t, '^[0-9]+$'))) AS INT) AS n_digit_runs
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
-    d11MinhashUnion)
+    d11MinhashUnion, d12BpeTokens)
 }
