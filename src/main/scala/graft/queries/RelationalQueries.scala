@@ -516,11 +516,37 @@ object RelationalQueries {
         ON c.user_id = p.user_id AND p.ts <= c.ts
       ORDER BY c.user_id, c.event_id"""))
 
+  /** Range join via [[graft.operators.RangeJoin]]: shipment intervals
+    * (shipdate + up-to-45-day span) probed with distinct month starts.
+    * The oracle is the plain theta join — bucketing must be invisible. */
+  val q26RangeJoin: GraftQuery = GraftQuery(
+    "q26_range_join",
+    "bucketed point-in-interval range join (month buckets + exact filter)",
+    (s, dir) => {
+      val iv = t(s, dir, "lineitem").select(
+        to_date(col("l_shipdate")).as("sd"),
+        date_add(to_date(col("l_shipdate")), (col("l_orderkey") % 45).cast("int")).as("ed"))
+      val probes = iv.select(trunc(col("sd"), "month").as("d")).distinct()
+      graft.operators.RangeJoin.pointInInterval(probes, "d", iv, "sd", "ed")
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_open_intervals"))
+        .orderBy(col("d"))
+    },
+    Some("""WITH iv AS (
+        SELECT CAST(l_shipdate AS DATE) AS sd,
+          CAST(l_shipdate AS DATE) + CAST(l_orderkey % 45 AS INT) AS ed
+        FROM lineitem),
+      p AS (SELECT DISTINCT date_trunc('month', sd) AS d FROM iv)
+      SELECT d, COUNT(*) AS n_open_intervals
+      FROM p JOIN iv ON iv.sd <= p.d AND p.d <= iv.ed
+      GROUP BY d ORDER BY d"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02TagFilter, q03TypedProjection, q04HealthClassify,
     q05EnrichJoin, q06StarJoinAgg, q07LatestPerUser, q08SalesLastWrite,
     q09SalesAgg, q10UserHistory, q11AggPerUser, q12TopOrders,
     q13RevenueByNation, q14SemiJoin, q15AntiJoin, q16RunningWindow,
     q17SetOps, q18JsonExtract, q19RollupAgg, q20LagLead, q21SqlInterface,
-    q22SlidingWindow, q23SessionWindow, q24SaltedJoin, q25AsofJoin)
+    q22SlidingWindow, q23SessionWindow, q24SaltedJoin, q25AsofJoin,
+    q26RangeJoin)
 }
