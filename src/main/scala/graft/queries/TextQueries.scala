@@ -352,8 +352,26 @@ object TextQueries {
         t -> regexp_matches(t, '^[0-9]+$'))) AS INT) AS n_digit_runs
       FROM documents ORDER BY doc_id"""))
 
+  /** d13 — d11's semantics through the typed custom `Aggregator`
+    * ([[graft.functions.MinhashAggregator]]): single-pass elementwise-min
+    * union with map-side partial aggregation. Shares d11's oracle — two
+    * independent implementations must produce the identical sketch. */
+  val d13MinhashUdaf: GraftQuery = GraftQuery(
+    "d13_minhash_udaf",
+    "mergeable MinHash via a typed Aggregator UDAF (partial-agg single pass)",
+    (s, dir) => {
+      val sig = signatureTable(s, dir)
+        .filter(element_at(col("sig"), 1).isNotNull)
+      sig.groupBy((col("doc_id") % 8).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          foldHash(graft.functions.MinhashAggregator.minhashUnion(col("sig")))
+            .as("sig_hash"))
+        .orderBy(col("shard"))
+    },
+    d11MinhashUnion.oracle)
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
-    d11MinhashUnion, d12BpeTokens)
+    d11MinhashUnion, d12BpeTokens, d13MinhashUdaf)
 }
