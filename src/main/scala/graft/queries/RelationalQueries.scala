@@ -541,6 +541,32 @@ object RelationalQueries {
       FROM p JOIN iv ON iv.sd <= p.d AND p.d <= iv.ed
       GROUP BY d ORDER BY d"""))
 
+  /** TPC-H Q5-shaped 6-way join through the SQL entry path — the planner's
+    * join-reorder/broadcast surface exercised end-to-end on one ANSI text
+    * shared verbatim with the oracle. */
+  private val Q27Sql =
+    """SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+        AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1997-01-01'
+      GROUP BY n_name ORDER BY n_name"""
+
+  val q27TpchQ5: GraftQuery = GraftQuery(
+    "q27_tpch_q5",
+    "TPC-H Q5: 6-way join + filtered rollup via spark.sql (shared ANSI text)",
+    (s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q27Sql)
+    },
+    Some(Q27Sql))
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02TagFilter, q03TypedProjection, q04HealthClassify,
     q05EnrichJoin, q06StarJoinAgg, q07LatestPerUser, q08SalesLastWrite,
@@ -548,5 +574,5 @@ object RelationalQueries {
     q13RevenueByNation, q14SemiJoin, q15AntiJoin, q16RunningWindow,
     q17SetOps, q18JsonExtract, q19RollupAgg, q20LagLead, q21SqlInterface,
     q22SlidingWindow, q23SessionWindow, q24SaltedJoin, q25AsofJoin,
-    q26RangeJoin)
+    q26RangeJoin, q27TpchQ5)
 }
