@@ -574,5 +574,22 @@ object RelationalQueries {
     q13RevenueByNation, q14SemiJoin, q15AntiJoin, q16RunningWindow,
     q17SetOps, q18JsonExtract, q19RollupAgg, q20LagLead, q21SqlInterface,
     q22SlidingWindow, q23SessionWindow, q24SaltedJoin, q25AsofJoin,
-    q26RangeJoin, q27TpchQ5)
+    q26RangeJoin, q27TpchQ5, q28DistinctAgg)
+
+  /** Multiple DISTINCT aggregates in one pass (Spark plans these through
+    * Expand — each distinct set gets its own duplicate-free stream). */
+  lazy val q28DistinctAgg: GraftQuery = GraftQuery(
+    "q28_distinct_agg",
+    "multiple COUNT(DISTINCT) aggregates per group (Expand-planned)",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(date_format(col("ts"), "yyyy-MM-dd")).as("n_days"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+      COUNT(*) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type"""))
 }

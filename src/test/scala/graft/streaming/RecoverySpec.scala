@@ -51,6 +51,29 @@ class RecoverySpec extends SparkSpec {
     assert(got == Seq(("u1", "11"), ("u2", "12")))
   }
 
+  test("file-stream source: raw lines from a directory drive the same pipeline") {
+    import java.nio.file.{Files, Paths}
+    val srcDir = StreamHarness.tempDir("filesrc")
+    Files.writeString(Paths.get(srcDir, "batch1.txt"),
+      "fitbit,2024-01-01 10:00:00,u1,1,2,250.0,36.6,30,HYP_1,1\n" +
+        "sales,2024-01-01,42\n")
+    Files.writeString(Paths.get(srcDir, "batch2.txt"),
+      "fitbit,2024-01-01 10:00:05,u2,3,4,250.0,36.6,30,HYP_2,2\n")
+    val qn = "file_src_sink"
+    val raw = spark.readStream.option("maxFilesPerTrigger", 1).text(srcDir)
+      .withColumnRenamed("value", "value")
+    val q = warningAlerts(parseFitbit(raw),
+      criticalCats = graft.functions.HealthFunctions.CriticalBpCats)
+      .select("user_id", "warning")
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", StreamHarness.checkpointDir("filesrc"))
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(qn).orderBy("user_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("u1", "critical"), ("u2", "critical")))
+  }
+
   test("processing-time trigger drains the pipeline (reference's 1s micro-batch model)") {
     val mem = memStream
     val qn = "trigger_sink"
