@@ -76,25 +76,20 @@ final class UpsertSink(path: String, keyCols: Seq[String], orderCols: Seq[String
   }
 
   private def versionsOnDisk: Seq[String] = {
+    import scala.jdk.CollectionConverters._
     val s = Files.list(root)
-    try s.iterator().asScala()
+    try s.iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("v")).toSeq
     finally s.close()
   }
 
-  private implicit class IterAdapter[T](it: java.util.Iterator[T]) {
-    def asScala(): Iterator[T] = new Iterator[T] {
-      def hasNext: Boolean = it.hasNext
-      def next(): T = it.next()
-    }
-  }
-
   private def deleteRecursively(name: String): Unit = {
+    import scala.jdk.CollectionConverters._
     val dir = root.resolve(name)
     if (Files.exists(dir)) {
       val s = Files.walk(dir)
       try s.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala().foreach(Files.delete)
+        .iterator().asScala.foreach(Files.delete)
       finally s.close()
     }
   }
