@@ -43,19 +43,8 @@ object StreamingQueries {
     "c01_multiplex_parse",
     "multiplexed CSV typed parse, PERMISSIVE corrupt-record policy (P2/P6/S1 parse layer)",
     (s, dir) => {
-      val corruptLine = concat_ws(",",
-        lit("fitbit"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
-        col("user_id").cast("string"),
-        (col("user_id") % 90).cast("string"),
-        (col("event_id") % 180).cast("string"),
-        lit("bad"),
-        col("value").cast("string"),
-        (col("user_id") % 60 + 18).cast("string"),
-        col("event_type"),
-        unix_millis(col("ts")).cast("string"))
       val raw = Tables.load(s, dir, "events")
-        .select(when(col("event_id") % 97 === 0, corruptLine)
+        .select(when(col("event_id") % 97 === 0, Wire.fitbitLineWith(lit("bad")))
           .otherwise(Wire.fitbitLine).as("value"))
       parseFitbit(raw)
         .select(col("user_id"), col("lat"), col("long"), col("pulse"),

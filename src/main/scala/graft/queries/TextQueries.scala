@@ -34,14 +34,23 @@ object TextQueries {
     * (single-file) documents scan across the cluster. At 100 TB the sketch
     * would be a materialized table for the same reason.
     */
+  private val signatureCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]()
+
   private def signatureTable(s: org.apache.spark.sql.SparkSession, dir: String) =
-    docs(s, dir)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        call_function("graft_minhash_sig",
-          call_function("graft_shingle_hashes",
-            call_function("graft_token_hashes", col("text")), lit(3))).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Memoized per (session, dir): four queries (d07/d09/d11/d13) read the
+    // sketch, and each call would otherwise register its OWN persisted copy
+    // that lives until session shutdown — one shared cache entry instead.
+    signatureCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      docs(sess, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          call_function("graft_minhash_sig",
+            call_function("graft_shingle_hashes",
+              call_function("graft_token_hashes", col("text")), lit(3))).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Exact deduplication: hash-groupBy on content digest, keep min doc_id.
     * At scale: one shuffle on a 128-bit digest, uniform distribution. */

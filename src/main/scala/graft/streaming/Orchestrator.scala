@@ -28,14 +28,21 @@ final class Orchestrator(
     mapDataEnabled: Boolean = false,
     alertThreshold: Double = 0.95) {
 
+  private val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+  /** Memory-sink table holding the alert stream's output (unique per
+    * orchestrator instance, so concurrent orchestrators never collide). */
+  val alertsTable: String = s"orchestrated_alerts_$runId"
+  /** Memory-sink table for the flag-gated mapData branch. */
+  val mapDataTable: String = s"orchestrated_mapdata_$runId"
+
   /** Start every pipeline on the raw-line stream; returns the running
     * queries (callers drain with `processAllAvailable`/`stop`). */
   def startAll(raw: DataFrame): Seq[StreamingQuery] = {
     val fitbit = parseFitbit(raw)
 
-    val alerts = warningAlerts(fitbit)
+    val alerts = warningAlerts(fitbit, threshold = alertThreshold)
       .select(col("user_id"), col("warning"), col("machine_ts"))
-      .writeStream.format("memory").queryName("orchestrated_alerts")
+      .writeStream.format("memory").queryName(alertsTable)
       .option("checkpointLocation", s"$checkpointRoot/alerts")
       .outputMode("append").start()
 
@@ -71,7 +78,7 @@ final class Orchestrator(
     else base :+ mapData(fitbit)
       .select(renderTuple(col("user_id"), col("lat"), col("long"),
         col("pulse"), col("temp")).as("rendered"))
-      .writeStream.format("memory").queryName("orchestrated_mapdata")
+      .writeStream.format("memory").queryName(mapDataTable)
       .option("checkpointLocation", s"$checkpointRoot/mapdata")
       .outputMode("append").start()
   }

@@ -29,14 +29,15 @@ object StreamPipelines {
     * round pulse half-up, classify against the piecewise max-pulse limit,
     * keep only actionable alerts. */
   def warningAlerts(parsed: DataFrame,
-                    criticalCats: Seq[String] = EventCriticalCats): DataFrame =
+                    criticalCats: Seq[String] = EventCriticalCats,
+                    threshold: Double = 0.95): DataFrame =
     parsed
       .select(col("user_id"), col("age"),
         HealthFunctions.roundHalfUp(col("pulse")).as("pulse"),
         col("bp_cat"), col("machine_ts"), col("ts_str"))
       .withColumn("warning",
         HealthFunctions.warning(col("pulse"), col("age"), col("bp_cat"),
-          criticalCats = criticalCats))
+          threshold = threshold, criticalCats = criticalCats))
       .filter(col("warning") =!= "no-use")
 
   /** K5's exact output rendering (reference `IOTSparkStreaming.scala:107,140`):

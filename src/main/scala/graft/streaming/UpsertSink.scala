@@ -50,6 +50,14 @@ final class UpsertSink(path: String, keyCols: Seq[String], orderCols: Seq[String
     * (snapshot ∪ batch), write snapshot v<batchId>, atomically swap. */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
     if (alreadyApplied(batchId)) return
+    if (currentVersion.contains(s"v$batchId")) {
+      // Crash landed between the pointer swap and the marker write: the
+      // batch's snapshot is already live. Re-merging would overwrite the
+      // very directory the merge plan reads (wedging recovery forever) —
+      // just complete the interrupted commit.
+      Files.writeString(root.resolve(s"_batch_$batchId"), "")
+      return
+    }
     val spark = batch.sparkSession
     val merged = snapshot(spark) match {
       case Some(prev) => prev.unionByName(batch)

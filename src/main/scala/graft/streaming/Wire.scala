@@ -82,14 +82,17 @@ object Wire {
     *
     * lat = user_id % 90, long = event_id % 180, pulse/temp = value,
     * age = user_id % 60 + 18 (the q04 convention), bp_cat = event_type,
-    * machine_ts = epoch millis. */
-  def fitbitLine: Column = concat_ws(",",
+    * machine_ts = epoch millis. The pulse field is overridable so corrupt-
+    * line fixtures (c01) stay in lockstep with this layout. */
+  def fitbitLine: Column = fitbitLineWith(col("value").cast("string"))
+
+  def fitbitLineWith(pulseField: Column): Column = concat_ws(",",
     lit("fitbit"),
     date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
     col("user_id").cast("string"),
     (col("user_id") % 90).cast("string"),
     (col("event_id") % 180).cast("string"),
-    col("value").cast("string"),
+    pulseField,
     col("value").cast("string"),
     (col("user_id") % 60 + 18).cast("string"),
     col("event_type"),

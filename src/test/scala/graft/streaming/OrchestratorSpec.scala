@@ -51,7 +51,7 @@ class OrchestratorSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
 
     // K5-analog alert sink: only the critical u1 row
-    val alerts = spark.table("orchestrated_alerts")
+    val alerts = spark.table(orch.alertsTable)
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(alerts == Seq(("u1", "critical")))
 
@@ -77,7 +77,7 @@ class OrchestratorSpec extends SparkSpec {
     assert(hist.count() == 3 && hist.filter(col("user_id").isNull).count() == 0)
 
     // flag-gated mapData branch rendered exact tuples, corrupt dropped
-    val mapd = spark.table("orchestrated_mapdata")
+    val mapd = spark.table(orch.mapDataTable)
       .collect().map(_.getString(0)).toSeq.sorted
     assert(mapd.head == "(u1,10,20,250,36.6)")
     assert(mapd.size == 3)

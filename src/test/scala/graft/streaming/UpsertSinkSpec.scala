@@ -45,6 +45,21 @@ class UpsertSinkSpec extends SparkSpec {
     assert(sink.alreadyApplied(0))
   }
 
+  test("crash between pointer swap and marker write recovers without rereading its own output") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert-wedge-")
+    val sink = new UpsertSink(dir.toString, Seq("k"), Seq("ver"))
+    sink.upsert(Seq(("u1", "a", 1L)).toDF("k", "v", "ver"), 0)
+    // Simulate the crash window: batch 0's snapshot is live but its marker
+    // never landed. A replay must NOT merge (it would overwrite the very
+    // directory it reads); it just completes the interrupted commit.
+    java.nio.file.Files.delete(dir.resolve("_batch_0"))
+    assert(!sink.alreadyApplied(0))
+    sink.upsert(Seq(("u1", "bogus-replay", 99L)).toDF("k", "v", "ver"), 0)
+    assert(sink.alreadyApplied(0))
+    assert(sink.snapshot(spark).get.collect().map(_.getString(1)).toSeq == Seq("a"))
+  }
+
   test("result is independent of how rows are split into batches") {
     import spark.implicits._
     val rows = (1 to 40).map(i => (s"u${i % 7}", s"v$i", i.toLong))
