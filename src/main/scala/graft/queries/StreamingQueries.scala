@@ -397,8 +397,56 @@ object StreamingQueries {
       FROM events WHERE $WarningSql <> 'no-use'
       GROUP BY user_id ORDER BY CAST(user_id AS VARCHAR)"""))
 
+  /** s10 — stream-stream inner join: the alert stream joined to the
+    * location stream of the same user within the preceding hour. Join state
+    * holds both sides across micro-batches (an alert can match a location
+    * from an earlier batch and vice versa); the final drained result is the
+    * full relational join, which the oracle computes directly. */
+  val s10StreamJoin: GraftQuery = GraftQuery(
+    "s10_stream_join",
+    "stream-stream inner join: alerts x locations of the same user within 1h lookback",
+    (s, dir) => {
+      val feed = lines(s, dir)
+      val qn = "s10_sink_" + UUID.randomUUID().toString.replace("-", "")
+      StreamHarness.drainChunked2(s, feed, feed, Chunks) { (rawA, rawB) =>
+        val alerts = warningAlerts(parseFitbit(rawA))
+          .select(col("user_id"), col("machine_ts").cast("long").as("a_ms"),
+            col("warning"))
+        val locs = locations(parseFitbit(rawB))
+          .select(col("user_id").as("l_user"), col("lat"), col("long"),
+            col("ver").as("l_ms"))
+        alerts.join(locs,
+          col("user_id") === col("l_user") &&
+            col("l_ms") <= col("a_ms") &&
+            col("l_ms") > col("a_ms") - lit(3600000L))
+          .select(col("user_id"), col("a_ms"), col("warning"),
+            col("l_ms"), col("lat"), col("long"))
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s10"))
+          .outputMode("append").start()
+      }
+      s.table(qn).orderBy(col("user_id"), col("a_ms"), col("l_ms"),
+        col("long"), col("lat"), col("warning"))
+    },
+    Some(s"""WITH al AS (
+        SELECT user_id, ts, $WarningSql AS warning FROM events
+        WHERE $WarningSql <> 'no-use')
+      SELECT CAST(al.user_id AS VARCHAR) AS user_id,
+        epoch_ms(al.ts) AS a_ms, al.warning,
+        epoch_ms(l.ts) AS l_ms,
+        CAST(l.user_id % 90 AS VARCHAR) AS lat,
+        CAST(l.event_id % 180 AS VARCHAR) AS long
+      FROM al JOIN events l
+        ON al.user_id = l.user_id
+        AND epoch_ms(l.ts) <= epoch_ms(al.ts)
+        AND epoch_ms(l.ts) > epoch_ms(al.ts) - 3600000
+      ORDER BY CAST(al.user_id AS VARCHAR), epoch_ms(al.ts), epoch_ms(l.ts),
+        CAST(l.event_id % 180 AS VARCHAR), CAST(l.user_id % 90 AS VARCHAR),
+        al.warning"""))
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, s01WarningStream, s02LatestLocationSink,
     s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
-    s06ProfileUpsert, s07SalesUpsert, s08StreamDedup, s09StatefulCounter)
+    s06ProfileUpsert, s07SalesUpsert, s08StreamDedup, s09StatefulCounter,
+    s10StreamJoin)
 }

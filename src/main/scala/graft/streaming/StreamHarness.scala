@@ -51,6 +51,31 @@ object StreamHarness {
     } finally q.stop()
   }
 
+  /** Two-source variant of [[drainChunked]] for stream-stream operators:
+    * both feeds advance in lockstep chunks (chunk boundaries = batch
+    * boundaries on both sides). */
+  def drainChunked2(spark: SparkSession, linesA: Seq[String], linesB: Seq[String],
+                    nChunks: Int)(
+      start: (DataFrame, DataFrame) => StreamingQuery): Unit = {
+    implicit val ctx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    implicit val enc: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    val memA = MemoryStream[String]
+    val memB = MemoryStream[String]
+    val q = start(memA.toDF(), memB.toDF())
+    try {
+      val szA = math.max(1, (linesA.length + nChunks - 1) / nChunks)
+      val szB = math.max(1, (linesB.length + nChunks - 1) / nChunks)
+      linesA.grouped(szA).zipAll(linesB.grouped(szB), Seq.empty, Seq.empty)
+        .foreach { case (a, b) =>
+          if (a.nonEmpty) memA.addData(a)
+          if (b.nonEmpty) memB.addData(b)
+          q.processAllAvailable()
+        }
+    } finally q.stop()
+  }
+
   /** Collect a single string column to an ordered line feed. */
   def collectLines(df: DataFrame, column: String = "line"): Seq[String] =
     df.select(column).collect().toSeq.map(_.getString(0))
