@@ -398,27 +398,34 @@ object StreamingQueries {
       GROUP BY user_id ORDER BY CAST(user_id AS VARCHAR)"""))
 
   /** s10 — stream-stream inner join: the alert stream joined to the
-    * location stream of the same user within the preceding hour. Join state
-    * holds both sides across micro-batches (an alert can match a location
-    * from an earlier batch and vice versa); the final drained result is the
-    * full relational join, which the oracle computes directly. */
+    * location stream of the same user within the preceding hour. Both sides
+    * carry event-time watermarks, and the time-range join condition lets
+    * Spark BOUND the join state: a location is evicted once the watermark
+    * passes its 1h match horizon, so state holds O(lookback window) rows
+    * instead of the whole stream — the only shape that survives an
+    * unbounded stream. (Inner-join rows emit on match; the watermark's 2h
+    * delay leaves margin over the 1h lookback so no match is evicted
+    * early.) The drained result is the full relational join. */
   val s10StreamJoin: GraftQuery = GraftQuery(
     "s10_stream_join",
-    "stream-stream inner join: alerts x locations of the same user within 1h lookback",
+    "watermark-bounded stream-stream inner join: alerts x locations within 1h lookback",
     (s, dir) => {
       val feed = lines(s, dir)
       val qn = "s10_sink_" + UUID.randomUUID().toString.replace("-", "")
       StreamHarness.drainChunked2(s, feed, feed, Chunks) { (rawA, rawB) =>
         val alerts = warningAlerts(parseFitbit(rawA))
           .select(col("user_id"), col("machine_ts").cast("long").as("a_ms"),
+            timestamp_millis(col("machine_ts").cast("long")).as("a_ts"),
             col("warning"))
+          .withWatermark("a_ts", "2 hours")
         val locs = locations(parseFitbit(rawB))
           .select(col("user_id").as("l_user"), col("lat"), col("long"),
-            col("ver").as("l_ms"))
+            col("ver").as("l_ms"), timestamp_millis(col("ver")).as("l_ts"))
+          .withWatermark("l_ts", "2 hours")
         alerts.join(locs,
           col("user_id") === col("l_user") &&
-            col("l_ms") <= col("a_ms") &&
-            col("l_ms") > col("a_ms") - lit(3600000L))
+            col("l_ts") <= col("a_ts") &&
+            col("l_ts") > col("a_ts") - expr("interval 1 hour"))
           .select(col("user_id"), col("a_ms"), col("warning"),
             col("l_ms"), col("lat"), col("long"))
           .writeStream.format("memory").queryName(qn)
