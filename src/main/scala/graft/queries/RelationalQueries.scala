@@ -567,18 +567,9 @@ object RelationalQueries {
     },
     Some(Q27Sql))
 
-  val all: Seq[GraftQuery] = Seq(
-    q01PricingSummary, q02TagFilter, q03TypedProjection, q04HealthClassify,
-    q05EnrichJoin, q06StarJoinAgg, q07LatestPerUser, q08SalesLastWrite,
-    q09SalesAgg, q10UserHistory, q11AggPerUser, q12TopOrders,
-    q13RevenueByNation, q14SemiJoin, q15AntiJoin, q16RunningWindow,
-    q17SetOps, q18JsonExtract, q19RollupAgg, q20LagLead, q21SqlInterface,
-    q22SlidingWindow, q23SessionWindow, q24SaltedJoin, q25AsofJoin,
-    q26RangeJoin, q27TpchQ5, q28DistinctAgg)
-
   /** Multiple DISTINCT aggregates in one pass (Spark plans these through
     * Expand — each distinct set gets its own duplicate-free stream). */
-  lazy val q28DistinctAgg: GraftQuery = GraftQuery(
+  val q28DistinctAgg: GraftQuery = GraftQuery(
     "q28_distinct_agg",
     "multiple COUNT(DISTINCT) aggregates per group (Expand-planned)",
     (s, dir) =>
@@ -592,4 +583,13 @@ object RelationalQueries {
       COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
       COUNT(*) AS n_events
       FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    q01PricingSummary, q02TagFilter, q03TypedProjection, q04HealthClassify,
+    q05EnrichJoin, q06StarJoinAgg, q07LatestPerUser, q08SalesLastWrite,
+    q09SalesAgg, q10UserHistory, q11AggPerUser, q12TopOrders,
+    q13RevenueByNation, q14SemiJoin, q15AntiJoin, q16RunningWindow,
+    q17SetOps, q18JsonExtract, q19RollupAgg, q20LagLead, q21SqlInterface,
+    q22SlidingWindow, q23SessionWindow, q24SaltedJoin, q25AsofJoin,
+    q26RangeJoin, q27TpchQ5, q28DistinctAgg)
 }

@@ -38,7 +38,10 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]()
 
-  private def signatureTable(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private def signatureTable(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    // Drop entries of stopped sessions so the memo can never pin a dead
+    // SparkSession (and its persisted blocks) for the JVM lifetime.
+    signatureCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     // Memoized per (session, dir): four queries (d07/d09/d11/d13) read the
     // sketch, and each call would otherwise register its OWN persisted copy
     // that lives until session shutdown — one shared cache entry instead.
@@ -51,6 +54,7 @@ object TextQueries {
               call_function("graft_token_hashes", col("text")), lit(3))).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   /** Exact deduplication: hash-groupBy on content digest, keep min doc_id.
     * At scale: one shuffle on a 128-bit digest, uniform distribution. */

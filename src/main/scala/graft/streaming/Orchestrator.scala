@@ -29,6 +29,9 @@ final class Orchestrator(
     alertThreshold: Double = 0.95) {
 
   private val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+  // Checkpoints must be unique per query TOO — two orchestrators sharing a
+  // checkpointRoot would otherwise corrupt each other's offset logs.
+  private val ckpt = s"$checkpointRoot/$runId"
   /** Memory-sink table holding the alert stream's output (unique per
     * orchestrator instance, so concurrent orchestrators never collide). */
   val alertsTable: String = s"orchestrated_alerts_$runId"
@@ -43,33 +46,33 @@ final class Orchestrator(
     val alerts = warningAlerts(fitbit, threshold = alertThreshold)
       .select(col("user_id"), col("warning"), col("machine_ts"))
       .writeStream.format("memory").queryName(alertsTable)
-      .option("checkpointLocation", s"$checkpointRoot/alerts")
+      .option("checkpointLocation", s"$ckpt/alerts")
       .outputMode("append").start()
 
     val location = locations(fitbit)
       .writeStream
-      .option("checkpointLocation", s"$checkpointRoot/location")
+      .option("checkpointLocation", s"$ckpt/location")
       .foreachBatch { (b: DataFrame, id: Long) => locationSink.upsert(b, id) }
       .start()
 
     val history = StreamPipelines.history(fitbit)
       .writeStream.format("parquet")
       .option("path", historyPath)
-      .option("checkpointLocation", s"$checkpointRoot/history")
+      .option("checkpointLocation", s"$ckpt/history")
       .partitionBy("dt").outputMode("append").start()
 
     val profiles = parseNewUser(raw)
       .filter(col("_corrupt").isNull).drop("_corrupt", "rtype")
       .withColumn("ver", col("bmi")) // monotone per-user version in the feed
       .writeStream
-      .option("checkpointLocation", s"$checkpointRoot/profiles")
+      .option("checkpointLocation", s"$ckpt/profiles")
       .foreachBatch { (b: DataFrame, id: Long) => profileSink.upsert(b, id) }
       .start()
 
     val sales = parseSales(raw)
       .filter(col("_corrupt").isNull).select(col("date"), col("count"))
       .writeStream
-      .option("checkpointLocation", s"$checkpointRoot/sales")
+      .option("checkpointLocation", s"$ckpt/sales")
       .foreachBatch { (b: DataFrame, id: Long) => salesSink.upsert(b, id) }
       .start()
 
@@ -79,7 +82,7 @@ final class Orchestrator(
       .select(renderTuple(col("user_id"), col("lat"), col("long"),
         col("pulse"), col("temp")).as("rendered"))
       .writeStream.format("memory").queryName(mapDataTable)
-      .option("checkpointLocation", s"$checkpointRoot/mapdata")
+      .option("checkpointLocation", s"$ckpt/mapdata")
       .outputMode("append").start()
   }
 }

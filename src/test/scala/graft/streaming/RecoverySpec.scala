@@ -61,7 +61,6 @@ class RecoverySpec extends SparkSpec {
       "fitbit,2024-01-01 10:00:05,u2,3,4,250.0,36.6,30,HYP_2,2\n")
     val qn = "file_src_sink"
     val raw = spark.readStream.option("maxFilesPerTrigger", 1).text(srcDir)
-      .withColumnRenamed("value", "value")
     val q = warningAlerts(parseFitbit(raw),
       criticalCats = graft.functions.HealthFunctions.CriticalBpCats)
       .select("user_id", "warning")
