@@ -584,6 +584,26 @@ object RelationalQueries {
       COUNT(*) AS n_events
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Pivot: long-to-wide reshape with an explicit value list (explicit so
+    * the schema is static and no extra distinct-collection job runs — the
+    * scale-correct form; implicit pivot scans for values first). */
+  val q29Pivot: GraftQuery = GraftQuery(
+    "q29_pivot",
+    "groupBy().pivot() long-to-wide reshape with explicit pivot values",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("cohort"))
+        .pivot("event_type", Seq("click", "view", "error", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("cohort")),
+    Some("""SELECT user_id % 10 AS cohort,
+      COUNT(*) FILTER (event_type = 'click') AS click,
+      COUNT(*) FILTER (event_type = 'view') AS view,
+      COUNT(*) FILTER (event_type = 'error') AS error,
+      COUNT(*) FILTER (event_type = 'purchase') AS purchase
+      FROM events GROUP BY user_id % 10 ORDER BY cohort"""))
+
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02TagFilter, q03TypedProjection, q04HealthClassify,
     q05EnrichJoin, q06StarJoinAgg, q07LatestPerUser, q08SalesLastWrite,
@@ -591,5 +611,5 @@ object RelationalQueries {
     q13RevenueByNation, q14SemiJoin, q15AntiJoin, q16RunningWindow,
     q17SetOps, q18JsonExtract, q19RollupAgg, q20LagLead, q21SqlInterface,
     q22SlidingWindow, q23SessionWindow, q24SaltedJoin, q25AsofJoin,
-    q26RangeJoin, q27TpchQ5, q28DistinctAgg)
+    q26RangeJoin, q27TpchQ5, q28DistinctAgg, q29Pivot)
 }
