@@ -14,9 +14,14 @@ import graft.queries.{GraftQuery, MultimodalQueries, RelationalQueries, Similari
 object SparkEntry {
 
   /** Full registry; grows as operators land (SURVEY.md §2 checklist). */
-  def registry: Seq[GraftQuery] =
-    RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
+  def registry: Seq[GraftQuery] = {
+    val qs = RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       StreamingQueries.all ++ MultimodalQueries.all
+    // A query val referenced in an `all` Seq before its definition is null
+    // at object init — fail loudly here instead of NPEing mid-dispatch.
+    require(!qs.contains(null), "registry contains null (forward reference in an `all` Seq)")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -604,6 +604,25 @@ object RelationalQueries {
       COUNT(*) FILTER (event_type = 'purchase') AS purchase
       FROM events GROUP BY user_id % 10 ORDER BY cohort"""))
 
+  /** Unpivot (melt): wide-to-long reshape via `stack` — the inverse of q29,
+    * generating (cohort, event_type, n) rows from the pivoted shape. Pure
+    * map-side row generation, no shuffle beyond the pivot's own. */
+  val q30Unpivot: GraftQuery = GraftQuery(
+    "q30_unpivot",
+    "wide-to-long melt of the pivoted cohort counts via stack()",
+    (s, dir) =>
+      q29Pivot.run(s, dir)
+        .select(col("cohort"), expr(
+          "stack(4, 'click', click, 'view', view, 'error', error, 'purchase', purchase) AS (event_type, n)"))
+        .orderBy(col("cohort"), col("event_type")),
+    Some("""SELECT user_id % 10 AS cohort, event_type, COUNT(*) AS n
+      FROM events
+      WHERE event_type IN ('click', 'view', 'error', 'purchase')
+      GROUP BY 1, 2 ORDER BY cohort, event_type"""))
+
+  // NOTE: `all` must stay the LAST definition in this object — a query val
+  // referenced here but defined further down is still null at object init
+  // (silent, then NPEs at dispatch). SparkEntry.registry asserts against it.
   val all: Seq[GraftQuery] = Seq(
     q01PricingSummary, q02TagFilter, q03TypedProjection, q04HealthClassify,
     q05EnrichJoin, q06StarJoinAgg, q07LatestPerUser, q08SalesLastWrite,
@@ -611,5 +630,5 @@ object RelationalQueries {
     q13RevenueByNation, q14SemiJoin, q15AntiJoin, q16RunningWindow,
     q17SetOps, q18JsonExtract, q19RollupAgg, q20LagLead, q21SqlInterface,
     q22SlidingWindow, q23SessionWindow, q24SaltedJoin, q25AsofJoin,
-    q26RangeJoin, q27TpchQ5, q28DistinctAgg, q29Pivot)
+    q26RangeJoin, q27TpchQ5, q28DistinctAgg, q29Pivot, q30Unpivot)
 }
