@@ -75,6 +75,21 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  case class PretokenCounts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_bpeish",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_digit_runs",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.pretokenCounts(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.expr.HashOps.pretokenCounts($c)")
+    override protected def withNewChildInternal(newChild: Expression): PretokenCounts =
+      copy(child = newChild)
+  }
+
   case class DotFold(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -103,5 +118,7 @@ object HashExpressions {
       args => StringHash(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",
       args => DotFold(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_pretoken_counts",
+      args => PretokenCounts(args.head), "built-in")
   }
 }

@@ -113,6 +113,38 @@ object HashOps {
     out
   }
 
+  /** BPE-style pre-tokenizer run counts in ONE linear scan — the native twin
+    * of `regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+')`
+    * (d12's oracle contract): a token is a maximal run of ASCII letters,
+    * ASCII digits, or "other" (anything else except the five separator
+    * chars). Returns (total runs, digit runs). Classification is ASCII-only,
+    * so iterating UTF-16 chars is safe: both halves of a surrogate pair
+    * classify as "other" and stay in one run, exactly like the code-point
+    * regex. */
+  def pretokenCounts(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    var n = 0
+    var nDigit = 0
+    var prev = 0 // 0 = separator, 1 = letter, 2 = digit, 3 = other
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      i += 1
+      val cls =
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) 1
+        else if (c >= '0' && c <= '9') 2
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') 0
+        else 3
+      if (cls != 0 && cls != prev) {
+        n += 1
+        if (cls == 2) nDigit += 1
+      }
+      prev = cls
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, nDigit))
+  }
+
   /** K-minima MinHash signature; all-null entries iff the input is empty
     * (matching `array_min` over an empty transform). */
   def minhashSignature(hashes: ArrayData): ArrayData = {

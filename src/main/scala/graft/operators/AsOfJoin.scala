@@ -32,8 +32,12 @@ object AsOfJoin {
     val taggedRight = right.select(
       Seq(col(key), col(time), lit(0).as("_side"), col(tiebreak).as("_tb")) ++
         rightCols.map(col) ++ leftCols.map(c => lit(null).as(c)): _*)
+    // The left side's tiebreak placeholder must carry the RIGHT side's
+    // tiebreak type: a hard-coded long would union-coerce a string tiebreak
+    // to string and make numeric ties compare lexicographically ("9" > "10").
+    val tiebreakType = right.schema(tiebreak).dataType
     val taggedLeft = left.select(
-      Seq(col(key), col(time), lit(1).as("_side"), lit(null).cast("long").as("_tb")) ++
+      Seq(col(key), col(time), lit(1).as("_side"), lit(null).cast(tiebreakType).as("_tb")) ++
         rightCols.map(c => lit(null).as(c)) ++ leftCols.map(col): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("_side"), col("_tb"))

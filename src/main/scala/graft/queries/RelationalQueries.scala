@@ -615,10 +615,19 @@ object RelationalQueries {
         .select(col("cohort"), expr(
           "stack(4, 'click', click, 'view', view, 'error', error, 'purchase', purchase) AS (event_type, n)"))
         .orderBy(col("cohort"), col("event_type")),
-    Some("""SELECT user_id % 10 AS cohort, event_type, COUNT(*) AS n
-      FROM events
-      WHERE event_type IN ('click', 'view', 'error', 'purchase')
-      GROUP BY 1, 2 ORDER BY cohort, event_type"""))
+    // The oracle generates the full cohort x event_type cross product with
+    // COALESCE(n, 0): the Spark side (pivot + na.fill(0) + stack) emits a
+    // zero row for every absent combination, so both engines must share the
+    // same zero-row contract even on sparser data (ADVICE r2).
+    Some("""WITH c AS (SELECT DISTINCT user_id % 10 AS cohort FROM events),
+      e AS (SELECT unnest(['click', 'view', 'error', 'purchase']) AS event_type),
+      g AS (SELECT user_id % 10 AS cohort, event_type, COUNT(*) AS n
+            FROM events
+            WHERE event_type IN ('click', 'view', 'error', 'purchase')
+            GROUP BY 1, 2)
+      SELECT c.cohort, e.event_type, CAST(COALESCE(g.n, 0) AS BIGINT) AS n
+      FROM c CROSS JOIN e LEFT JOIN g USING (cohort, event_type)
+      ORDER BY cohort, event_type"""))
 
   // NOTE: `all` must stay the LAST definition in this object — a query val
   // referenced here but defined further down is still null at object init

@@ -28,7 +28,15 @@ object StreamingQueries {
     * under test (state carry-over, upsert last-write-wins across batches)
     * while halving the fixed per-batch cost — incremental planning + state
     * store commit dominate these queries, not data volume (see README
-    * "Benchmark shape"). The test suite drives deeper batch counts. */
+    * "Benchmark shape"). The test suite drives deeper batch counts.
+    *
+    * Feed-ordering precondition (load-bearing for s10's oracle claim): the
+    * feed is chunked in event_id order and event times are near-monotone in
+    * event_id, so no chunk carries an event time more than the watermark
+    * delay (2 h) behind the maximum already seen — state eviction therefore
+    * cannot drop a joinable row, and the drained stream result equals the
+    * full relational join. A shuffled feed would need the watermark sized
+    * from the actual per-chunk ts span instead. */
   private val Chunks = 2
 
   private def lines(s: SparkSession, dir: String): Seq[String] =
@@ -59,7 +67,7 @@ object StreamingQueries {
       (event_id % 97 = 0) AS is_corrupt
       FROM events
       ORDER BY CAST(user_id AS VARCHAR), CAST(epoch_ms(ts) AS VARCHAR), $LongSql,
-        CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END"""))
+        CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END NULLS FIRST"""))
 
   /** s01 — the reference's flagship pipeline as a REAL StreamingQuery
     * (SURVEY.md §7.2.2): MemoryStream of multiplexed CSV → tag demux →

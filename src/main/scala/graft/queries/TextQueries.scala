@@ -346,19 +346,22 @@ object TextQueries {
 
   /** d12 — BPE-ish tokenization: letter runs, digit runs, and punctuation
     * runs as separate tokens (the pre-tokenizer split BPE vocabularies are
-    * trained over). The regex avoids lookahead and \s so the Java and RE2
-    * dialects agree character-for-character. */
+    * trained over). Counted by the native `graft_pretoken_counts` codegen
+    * expression — one linear char-walk per document instead of two
+    * `regexp_extract_all` passes plus an interpreted `filter`+`rlike` HOF
+    * (the r2 bench's slowest batch query for exactly that reason). The
+    * oracle keeps the regex formulation, so the run-classification contract
+    * is checked cross-engine AND cross-implementation. */
   val d12BpeTokens: GraftQuery = GraftQuery(
     "d12_bpe_tokens",
     "BPE-style pre-tokenizer counts: letter/digit/punctuation runs",
-    (s, dir) => {
-      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]+"
-      docs(s, dir).select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpeish"),
-        size(filter(regexp_extract_all(col("text"), lit(pat), lit(0)),
-          t => t.rlike("^[0-9]+$"))).as("n_digit_runs"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          call_function("graft_pretoken_counts", col("text")).as("pt"))
+        .select(col("doc_id"), col("pt.n_bpeish").as("n_bpeish"),
+          col("pt.n_digit_runs").as("n_digit_runs"))
+        .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+')) AS INT) AS n_bpeish,
       CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]+'),

@@ -74,6 +74,25 @@ class HashExpressionsSpec extends SparkSpec {
     assert(cmp.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("graft_pretoken_counts == regexp_extract_all run counting") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val alphabet = "abZ09 ._-!\t\n\r\fé€"
+    val fuzz = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val edges = Seq("", " ", "ab12!!cd", "123", "a1b2c3", "!!!", "",
+      "héllo wörld 42", "ab", "𝕊urrogate 𝄞pair42", "tab\ttab2")
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]+"
+    val df = (fuzz ++ edges).toDF("text")
+    val cmp = df.select(
+      call_function("graft_pretoken_counts", col("text")).as("pt"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("slow_n"),
+      size(filter(regexp_extract_all(col("text"), lit(pat), lit(0)),
+        t => t.rlike("^[0-9]+$"))).as("slow_d"))
+    assert(cmp.filter(col("pt.n_bpeish") =!= col("slow_n") ||
+      col("pt.n_digit_runs") =!= col("slow_d")).count() == 0)
+  }
+
   test("native expressions run inside whole-stage codegen") {
     // A local relation would be constant-folded at plan time, so assert on a
     // real parquet scan (the shape every registered query uses).

@@ -35,4 +35,18 @@ class AsOfJoinSpec extends SparkSpec {
         r.getDouble(r.fieldIndex("pv")))).toSeq
     assert(got == Seq((9L, 2.0)))
   }
+
+  test("a non-long tiebreak column keeps its own type's ordering") {
+    import spark.implicits._
+    val clicks = Seq(("u1", 10L, "c1")).toDF("k", "t", "cid")
+    val purchases = Seq(("u1", 10L, "b", 1.0), ("u1", 10L, "a", 2.0))
+      .toDF("k", "t", "pid", "pv")
+    // String tiebreak: max is lexicographic "b"; before the typed-null fix
+    // this would have thrown (or coerced) on the union's long/string clash.
+    val got = AsOfJoin(clicks, purchases, "k", "t",
+      rightCols = Seq("pid", "pv"), tiebreak = "pid")
+      .collect().map(r => (r.getString(r.fieldIndex("pid")),
+        r.getDouble(r.fieldIndex("pv")))).toSeq
+    assert(got == Seq(("b", 1.0)))
+  }
 }
