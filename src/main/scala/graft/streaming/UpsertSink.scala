@@ -11,76 +11,127 @@ import org.apache.spark.sql.functions._
   * K2 `sales`, K3 `latest_location`; reference
   * `IOTSparkStreaming.scala:68-69,76,166`), designed for `foreachBatch`.
   *
-  * No ACID MERGE is available in this env (no Delta), so each batch writes a
-  * fresh snapshot version and atomically repoints a `_latest` marker
-  * (SURVEY.md §7.4.1 "snapshot swap"):
+  * No ACID MERGE is available in this env (no Delta), so the register is a
+  * HASH-BUCKETED snapshot plus an atomically-swapped manifest (the
+  * Iceberg-manifest shape, SURVEY.md §7.4.1):
   *
+  *  - The key space is hashed into `nBuckets` fixed buckets. Each micro-batch
+  *    merges and rewrites ONLY the buckets its keys touch; untouched buckets'
+  *    files are never read or rewritten — their manifest entries keep
+  *    pointing at the version directory that last wrote them. Per-batch cost
+  *    is therefore O(keys in touched buckets + batch), not O(total keys):
+  *    the difference between a register that survives 100× key growth and
+  *    one that rewrites the world every second.
+  *  - `_latest` holds the bucket → version-directory manifest; a batch
+  *    writes its buckets under a fresh `v<batchId>` directory and swaps the
+  *    manifest atomically, so readers always see a complete, consistent
+  *    snapshot.
   *  - **Last-write-wins by version, not by arrival**: the caller names a set
   *    of ordering columns; the surviving row per key is the max by that
-  *    ordering across the existing snapshot and the incoming batch. This
-  *    makes the result independent of micro-batch boundaries AND of replay —
+  *    ordering across the bucket's snapshot and the incoming batch. The
+  *    result is independent of micro-batch boundaries AND of replay —
   *    reprocessing a batch after checkpoint recovery converges to the same
   *    snapshot (the reference is only at-least-once, SURVEY.md §2.7; this is
   *    effectively exactly-once).
   *  - **Batch markers** (`_batch_<id>` files) short-circuit replayed batches
   *    so recovery does no duplicate work.
   *
-  * Scale: the merge is one window shuffle over (snapshot ∪ batch) keyed by
-  * the upsert key — the snapshot holds one row per key, so the shuffle is
-  * O(keys + batch), the minimal cost of any keyed register. On a real
-  * cluster the same code runs with the snapshot bucketed by key.
+  * Scale: the merge shuffles (touched buckets ∪ batch) once on the upsert
+  * key; the touched-bucket set itself is metadata (≤ nBuckets ints). On a
+  * real cluster `nBuckets` is sized so one bucket's keys fit an executor
+  * comfortably (e.g. total keys / ~10M).
   */
-final class UpsertSink(path: String, keyCols: Seq[String], orderCols: Seq[String]) {
+final class UpsertSink(path: String, keyCols: Seq[String], orderCols: Seq[String],
+                       nBuckets: Int = 16) {
+  require(nBuckets > 0)
   private val root = Paths.get(path)
   Files.createDirectories(root)
 
+  /** Partition-column name for the bucket id; never collides with data
+    * columns (and must not start with `_`/`.` — Spark's file listing hides
+    * such directory names). */
+  private val BucketCol = "graft_bucket"
+
   private def latestPtr = root.resolve("_latest")
 
-  private def currentVersion: Option[String] =
-    if (Files.exists(latestPtr)) Some(Files.readString(latestPtr).trim) else None
+  /** bucket → version-dir name (e.g. 3 → "v7"); empty before first batch. */
+  private def currentManifest: Map[Int, String] =
+    if (!Files.exists(latestPtr)) Map.empty
+    else Files.readString(latestPtr).linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(b, v) = l.split("\t")
+      b.toInt -> v
+    }.toMap
 
   def alreadyApplied(batchId: Long): Boolean =
     Files.exists(root.resolve(s"_batch_$batchId"))
 
-  /** Read the current snapshot, or None before the first batch. */
-  def snapshot(spark: SparkSession): Option[DataFrame] =
-    currentVersion.map(v => spark.read.parquet(root.resolve(v).toString))
+  private def bucketOf = pmod(hash(keyCols.map(col): _*), lit(nBuckets))
 
-  /** Merge one micro-batch: dedupe to max-by-ordering per key across
-    * (snapshot ∪ batch), write snapshot v<batchId>, atomically swap. */
+  private def bucketPath(version: String, bucket: Int) =
+    root.resolve(version).resolve(s"$BucketCol=$bucket")
+
+  /** Read the current snapshot (union of every bucket's current files), or
+    * None before the first batch. */
+  def snapshot(spark: SparkSession): Option[DataFrame] = {
+    val man = currentManifest
+    if (man.isEmpty) None
+    else Some(spark.read.parquet(
+      man.toSeq.map { case (b, v) => bucketPath(v, b).toString }: _*))
+  }
+
+  /** Merge one micro-batch: for each bucket the batch touches, dedupe to
+    * max-by-ordering per key across (bucket snapshot ∪ batch rows), write
+    * the bucket under `v<batchId>`, then atomically swap the manifest.
+    * Buckets the batch does not touch are left byte-untouched on disk. */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
     if (alreadyApplied(batchId)) return
-    if (currentVersion.contains(s"v$batchId")) {
-      // Crash landed between the pointer swap and the marker write: the
-      // batch's snapshot is already live. Re-merging would overwrite the
-      // very directory the merge plan reads (wedging recovery forever) —
+    val man = currentManifest
+    val version = s"v$batchId"
+    if (man.values.exists(_ == version)) {
+      // Crash landed between the manifest swap and the marker write: the
+      // batch's buckets are already live. Re-merging would overwrite the
+      // very directories the merge plan reads (wedging recovery forever) —
       // just complete the interrupted commit.
       Files.writeString(root.resolve(s"_batch_$batchId"), "")
       return
     }
     val spark = batch.sparkSession
-    val merged = snapshot(spark) match {
-      case Some(prev) => prev.unionByName(batch)
-      case None => batch
+    // Touched-bucket discovery is metadata, not data: ≤ nBuckets ints.
+    val touched = batch.select(bucketOf.as(BucketCol))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (touched.nonEmpty) {
+      val prevPaths = touched.toSeq.sorted
+        .flatMap(b => man.get(b).map(v => bucketPath(v, b).toString))
+      val merged = prevPaths match {
+        case Seq() => batch
+        case ps => spark.read.parquet(ps: _*).unionByName(batch)
+      }
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(orderCols.map(c => col(c).desc): _*)
+      merged
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn")
+        .withColumn(BucketCol, bucketOf)
+        .write.mode("overwrite").partitionBy(BucketCol)
+        .parquet(root.resolve(version).toString)
+      val nextMan = man ++ touched.map(_ -> version)
+      val tmp = root.resolve(s"_latest.tmp.$batchId")
+      Files.writeString(tmp,
+        nextMan.toSeq.sorted.map { case (b, v) => s"$b\t$v" }.mkString("\n"))
+      Files.move(tmp, latestPtr, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      // GC (safe: the manifest swap above is already durable). Two levels:
+      // superseded bucket dirs inside still-live versions, then whole
+      // version dirs no bucket references anymore.
+      val live = nextMan.values.toSet
+      touched.foreach { b =>
+        man.get(b).filter(v => v != version && live(v))
+          .foreach(v => deleteRecursively(root.relativize(bucketPath(v, b)).toString))
+      }
+      versionsOnDisk.filterNot(live).foreach(deleteRecursively)
     }
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(orderCols.map(c => col(c).desc): _*)
-    val next = merged
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
-    val prevVersion = currentVersion
-    val version = s"v$batchId"
-    next.write.mode("overwrite").parquet(root.resolve(version).toString)
-    val tmp = root.resolve(s"_latest.tmp.$batchId")
-    Files.writeString(tmp, version)
-    Files.move(tmp, latestPtr, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
     Files.writeString(root.resolve(s"_batch_$batchId"), "")
-    // GC superseded snapshots (keep the previous one as a recovery fallback;
-    // older ones are unreachable once the pointer moved past them).
-    versionsOnDisk.filterNot(v => v == version || prevVersion.contains(v))
-      .foreach(deleteRecursively)
   }
 
   private def versionsOnDisk: Seq[String] = {

@@ -74,16 +74,50 @@ class UpsertSinkSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("superseded snapshot versions are garbage-collected (keep current + previous)") {
+  test("version dirs no bucket references anymore are garbage-collected") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("upsert-gc-")
-    val sink = new UpsertSink(dir.toString, Seq("k"), Seq("ver"))
+    // ONE bucket: every batch rewrites it, so each new version fully
+    // supersedes the previous one and the old dir must be deleted.
+    val sink = new UpsertSink(dir.toString, Seq("k"), Seq("ver"), nBuckets = 1)
     (0 to 4).foreach { i =>
       sink.upsert(Seq((s"u$i", "x", i.toLong)).toDF("k", "v", "ver"), i.toLong)
     }
     val versions = dir.toFile.listFiles().map(_.getName).filter(_.startsWith("v")).sorted
-    assert(versions.toSeq == Seq("v3", "v4"), versions.mkString(","))
+    assert(versions.toSeq == Seq("v4"), versions.mkString(","))
     assert(sink.snapshot(spark).get.count() == 5)
+  }
+
+  test("a batch rewrites ONLY the buckets its keys touch (untouched files byte-identical)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsert-prune-")
+    val sink = new UpsertSink(dir.toString, Seq("k"), Seq("ver"), nBuckets = 8)
+    // Batch 0 spreads 64 keys over (almost surely) all 8 buckets.
+    sink.upsert((1 to 64).map(i => (s"u$i", "a", 1L)).toDF("k", "v", "ver"), 0)
+    // Record every data file under v0 with size + mtime.
+    def filesUnder(v: String): Map[String, (Long, java.nio.file.attribute.FileTime)] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir.resolve(v))
+      try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (dir.relativize(p).toString,
+          (java.nio.file.Files.size(p), java.nio.file.Files.getLastModifiedTime(p))))
+        .toMap
+      finally s.close()
+    }
+    val before = filesUnder("v0")
+    // Batch 1 touches a single key, hence a single bucket.
+    sink.upsert(Seq(("u1", "b", 2L)).toDF("k", "v", "ver"), 1)
+    val after = filesUnder("v0")
+    // u1's bucket moved to v1; every v0 bucket dir that survived must be
+    // byte-identical (same files, sizes, mtimes) — never rewritten.
+    assert(after.nonEmpty)
+    after.foreach { case (p, meta) => assert(before(p) == meta, p) }
+    assert(before.size > after.size) // exactly the touched bucket left v0
+    // And the merged snapshot is still last-write-wins correct.
+    val got = sink.snapshot(spark).get.filter($"k" === "u1")
+      .collect().map(_.getString(1)).toSeq
+    assert(got == Seq("b"))
+    assert(sink.snapshot(spark).get.count() == 64)
   }
 
   test("within-batch duplicates on the key dedupe to the max version") {
