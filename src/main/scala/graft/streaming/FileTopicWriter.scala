@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+
+import org.apache.spark.sql.{ForeachWriter, Row}
+
+/** K5's producer lifecycle (reference `setupKafkaProducer` + the
+  * per-partition open/send/close loop, `IOTSparkStreaming.scala:102-114,
+  * 169-177`) as a Spark `ForeachWriter`: the engine opens one "producer" per
+  * partition per epoch, `process` sends each rendered payload line, `close`
+  * flushes and releases it. A production Kafka drop-in implements exactly
+  * this contract (`open` → create producer, `process` → `producer.send`,
+  * `close` → `producer.close`); this implementation targets a file "topic"
+  * in the zero-egress env.
+  *
+  * Exactly-once per (partition, epoch) on top of Spark's at-least-once
+  * redelivery: each open claims `part-<epoch>-<partition>`; if the part
+  * already exists (a replayed epoch), `open` returns false and Spark skips
+  * the partition. Rows stream to a dot-prefixed temp file that is atomically
+  * renamed on successful close, so readers (and `spark.read.text`, which
+  * ignores dot-files) never observe a half-written part.
+  *
+  * The writer is serialized to executors (one instance per partition task);
+  * only the topic directory travels — all stream state is per-open.
+  */
+final class FileTopicWriter(dir: String) extends ForeachWriter[Row] {
+  @transient private var out: java.io.BufferedWriter = _
+  @transient private var tmp: Path = _
+  @transient private var dst: Path = _
+
+  override def open(partitionId: Long, epochId: Long): Boolean = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    dst = d.resolve(s"part-$epochId-$partitionId")
+    if (Files.exists(dst)) false // replayed epoch: already committed, skip
+    else {
+      tmp = d.resolve(s".part-$epochId-$partitionId.tmp")
+      out = Files.newBufferedWriter(tmp, StandardOpenOption.CREATE,
+        StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
+      true
+    }
+  }
+
+  override def process(value: Row): Unit = {
+    out.write(value.getString(0))
+    out.write('\n')
+  }
+
+  override def close(errorOrNull: Throwable): Unit =
+    if (out != null) {
+      out.close()
+      out = null
+      if (errorOrNull == null)
+        Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+      else Files.deleteIfExists(tmp) // failed task: retry reopens cleanly
+    }
+}

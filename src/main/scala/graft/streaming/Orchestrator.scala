@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -20,9 +20,9 @@ import StreamPipelines._
   * others, unlike the reference's single-context serial schedule).
   */
 final class Orchestrator(
-    locationSink: UpsertSink,
-    profileSink: UpsertSink,
-    salesSink: UpsertSink,
+    locationSink: TableSink,
+    profileSink: TableSink,
+    salesSink: TableSink,
     historyPath: String,
     checkpointRoot: String,
     mapDataEnabled: Boolean = false,
@@ -37,6 +37,12 @@ final class Orchestrator(
   val alertsTable: String = s"orchestrated_alerts_$runId"
   /** Memory-sink table for the flag-gated mapData branch. */
   val mapDataTable: String = s"orchestrated_mapdata_$runId"
+
+  /** Start every pipeline on a [[StreamSource]] — the config-selected
+    * broker seam the reference builds its driver around
+    * (`IOTSparkStreaming.scala:33-44`). */
+  def startAll(spark: SparkSession, source: StreamSource): Seq[StreamingQuery] =
+    startAll(source.open(spark))
 
   /** Start every pipeline on the raw-line stream; returns the running
     * queries (callers drain with `processAllAvailable`/`stop`). */

@@ -85,6 +85,12 @@ object StreamPipelines {
       .select(Wire.parseCsv(col("value"), Wire.SalesSchema).as("r"))
       .select(col("r.*"))
 
+  /** Offset-carrying sales parse ([[Wire.SalesSchemaV2]], s13). */
+  def parseSalesV2(raw: DataFrame): DataFrame =
+    raw.filter(Wire.tagOf(col("value")) === "sales")
+      .select(Wire.parseCsv(col("value"), Wire.SalesSchemaV2).as("r"))
+      .select(col("r.*"))
+
   /** mapData projection (P3, reference `IOTSparkStreaming.scala:92-100`):
     * `(user_id, lat, long, pulse:Int, temp)` for the map topic. The
     * reference defines this pipeline but comments out its start

@@ -1,45 +1,54 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StringType
 
 /** The raw-stream source seam (SURVEY.md §7.1): the reference selects its
   * Kafka broker from config (`IOTSparkStreaming.scala:33-40,43-44`); this
   * engine selects a [[StreamSource]] implementation. Everything downstream —
   * demux, typed parse, classifiers, sinks — consumes only the single
-  * `value` string column this trait promises, so a production Kafka adapter
+  * `value` string column [[open]] promises, so a production Kafka adapter
   * is one more implementation (`spark.readStream.format("kafka")...select(
   * col("value").cast("string"))`) with zero pipeline changes.
   *
-  * Bundled implementations:
-  *  - [[FileStreamSource]] — the production-shaped default in this
-  *    zero-egress env: a watched directory of line files, read by Spark's
-  *    file stream source (exactly-once via the checkpointed file log).
-  *    Data reaches the directory distributed ([[FileFeed]]); nothing ever
-  *    funnels through the driver.
-  *  - [[MemoryStreamSource]] — in-process feed for unit tests needing
-  *    precise per-batch control.
+  * Both sides of the seam are distributed: [[append]] takes a DataFrame of
+  * lines and ships it through a cluster-side write (see [[FileFeed]]), never
+  * through the driver. The registered streaming queries
+  * ([[graft.queries.StreamingQueries]]) all run on [[FileStreamSource]];
+  * the test tree adds a `MemoryStream`-backed implementation for specs that
+  * need precise in-process batch control.
   */
 trait StreamSource {
   /** Open the raw-line streaming DataFrame (single string column `value`). */
   def open(spark: SparkSession): DataFrame
+
+  /** Publish one chunk of raw lines (single string column) to the stream.
+    * Lines appended between two `processAllAvailable` calls form one
+    * micro-batch — the harness's stand-in for broker arrival batching. */
+  def append(chunk: DataFrame): Unit
 }
 
-/** Watched-directory source: Spark's file stream over text files. */
+/** Watched-directory source: Spark's file stream over text files — the
+  * production-shaped default in this zero-egress env. Reads are exactly-once
+  * via the file source's checkpointed file log; writes land distributed
+  * through [[FileFeed]], so no line ever funnels through the driver. */
 final class FileStreamSource(val dir: String) extends StreamSource {
+  Files.createDirectories(Paths.get(dir))
   override def open(spark: SparkSession): DataFrame = spark.readStream.text(dir)
+  override def append(chunk: DataFrame): Unit = FileFeed.append(chunk, dir)
 }
 
-/** In-process source for tests: wraps a `MemoryStream[String]`, exposing
-  * explicit batch control via [[append]]. */
-final class MemoryStreamSource(spark: SparkSession) extends StreamSource {
-  private implicit val ctx: org.apache.spark.sql.classic.SQLContext =
-    spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
-  private implicit val enc: org.apache.spark.sql.Encoder[String] =
-    org.apache.spark.sql.Encoders.STRING
-  private val mem =
-    org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
-
-  override def open(spark: SparkSession): DataFrame = mem.toDF()
-
-  def append(lines: Seq[String]): Unit = mem.addData(lines)
+/** Distributed feed writer for [[FileStreamSource]]: renders a one-column
+  * DataFrame of lines as text part-files directly from the executors
+  * (`df.write.text`), the role Kafka producers play in production. The file
+  * stream source picks up the new part-files on its next trigger. */
+object FileFeed {
+  def append(lines: DataFrame, dir: String): Unit = {
+    val fields = lines.schema.fields
+    require(fields.length == 1 && fields(0).dataType == StringType,
+      s"FileFeed expects a single string column, got ${lines.schema.simpleString}")
+    lines.toDF("value").write.mode("append").text(dir)
+  }
 }

@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The keyed-register sink seam (SURVEY.md §7.1): what the reference's
   * Cassandra PK-overwrite tables do (`IOTSparkStreaming.scala:68-69,76,166`),
-  * abstracted to the two operations every adapter must provide. The engine's
-  * pipelines and `Orchestrator` are written against this trait; the bundled
-  * implementation is the bucketed parquet [[UpsertSink]], and a production
-  * Cassandra/JDBC/Delta adapter drops in by implementing the same contract:
+  * abstracted to the two operations every adapter must provide. The
+  * [[Orchestrator]] and the registered streaming queries are typed against
+  * this trait; the bundled implementation is the bucketed parquet
+  * [[UpsertSink]], and a production Cassandra/JDBC/Delta adapter drops in by
+  * implementing the same contract:
   *
   *  - `upsert` MUST be idempotent per `batchId` (foreachBatch redelivers
   *    batches on recovery — at-least-once in, exactly-once effect out);

@@ -42,10 +42,25 @@ import org.apache.spark.sql.functions._
   * comfortably (e.g. total keys / ~10M).
   */
 final class UpsertSink(path: String, keyCols: Seq[String], orderCols: Seq[String],
-                       nBuckets: Int = 16) {
+                       nBuckets: Int = 16) extends TableSink {
   require(nBuckets > 0)
   private val root = Paths.get(path)
   Files.createDirectories(root)
+
+  // nBuckets governs where persisted rows live: reopening an existing
+  // register (the checkpoint-recovery path) with a different bucket count
+  // would point bucketOf at the wrong buckets and leave stale duplicates of
+  // a key alive in others — so the count is persisted on first open and
+  // enforced on every reopen.
+  locally {
+    val metaPath = root.resolve("_meta")
+    if (Files.exists(metaPath)) {
+      val persisted = Files.readString(metaPath).trim.stripPrefix("nBuckets=").toInt
+      require(persisted == nBuckets,
+        s"register at $path was created with nBuckets=$persisted; reopening with " +
+          s"nBuckets=$nBuckets would mis-bucket keys")
+    } else Files.writeString(metaPath, s"nBuckets=$nBuckets\n")
+  }
 
   /** Partition-column name for the bucket id; never collides with data
     * columns (and must not start with `_`/`.` — Spark's file listing hides
@@ -72,7 +87,7 @@ final class UpsertSink(path: String, keyCols: Seq[String], orderCols: Seq[String
 
   /** Read the current snapshot (union of every bucket's current files), or
     * None before the first batch. */
-  def snapshot(spark: SparkSession): Option[DataFrame] = {
+  override def snapshot(spark: SparkSession): Option[DataFrame] = {
     val man = currentManifest
     if (man.isEmpty) None
     else Some(spark.read.parquet(
@@ -83,7 +98,7 @@ final class UpsertSink(path: String, keyCols: Seq[String], orderCols: Seq[String
     * max-by-ordering per key across (bucket snapshot ∪ batch rows), write
     * the bucket under `v<batchId>`, then atomically swap the manifest.
     * Buckets the batch does not touch are left byte-untouched on disk. */
-  def upsert(batch: DataFrame, batchId: Long): Unit = {
+  override def upsert(batch: DataFrame, batchId: Long): Unit = {
     if (alreadyApplied(batchId)) return
     val man = currentManifest
     val version = s"v$batchId"
@@ -121,17 +136,36 @@ final class UpsertSink(path: String, keyCols: Seq[String], orderCols: Seq[String
         nextMan.toSeq.sorted.map { case (b, v) => s"$b\t$v" }.mkString("\n"))
       Files.move(tmp, latestPtr, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
-      // GC (safe: the manifest swap above is already durable). Two levels:
-      // superseded bucket dirs inside still-live versions, then whole
-      // version dirs no bucket references anymore.
+      // GC (safe: the manifest swap above is already durable). Full sweep,
+      // not just this batch's delta: any bucket dir the NEW manifest does
+      // not reference is dead — including ones orphaned by a past crash
+      // between a manifest swap and its GC (ADVICE r3) — and so is any
+      // whole version dir no bucket references anymore.
       val live = nextMan.values.toSet
-      touched.foreach { b =>
-        man.get(b).filter(v => v != version && live(v))
-          .foreach(v => deleteRecursively(root.relativize(bucketPath(v, b)).toString))
+      versionsOnDisk.foreach { v =>
+        if (!live(v)) deleteRecursively(v)
+        else bucketDirsIn(v).foreach { b =>
+          if (!nextMan.get(b).contains(v))
+            deleteRecursively(s"$v/$BucketCol=$b")
+        }
       }
-      versionsOnDisk.filterNot(live).foreach(deleteRecursively)
     }
     Files.writeString(root.resolve(s"_batch_$batchId"), "")
+  }
+
+  /** Bucket ids that have a directory under `version` (metadata listing,
+    * ≤ nBuckets entries). */
+  private def bucketDirsIn(version: String): Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    val dir = root.resolve(version)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(s"$BucketCol="))
+        .map(_.substring(BucketCol.length + 1).toInt).toSeq
+      finally s.close()
+    }
   }
 
   private def versionsOnDisk: Seq[String] = {

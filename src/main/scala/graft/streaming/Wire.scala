@@ -1,10 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-
-import graft.sources.Tables
 
 /** The reference's CSV wire formats (SURVEY.md §1.3) as explicit Spark
   * schemas, plus a deterministic renderer that turns the driver `events`
@@ -61,6 +59,20 @@ object Wire {
     StructField("count", IntegerType),
     StructField("_corrupt", StringType)))
 
+  /** `sales` layout carrying the transport offset as a 4th field (s13): the
+    * reference's register semantics are "last Kafka record wins", an order
+    * only the broker's record offset makes explicit. Threading that offset
+    * onto the wire gives the upsert register a monotone version column, so
+    * it reproduces last-write-wins exactly and independently of batch
+    * boundaries (the base 3-field wire can only support the deterministic
+    * MAX-per-date register, s07). */
+  val SalesSchemaV2: StructType = StructType(Seq(
+    StructField("rtype", StringType),
+    StructField("date", StringType),
+    StructField("count", IntegerType),
+    StructField("seq", LongType),
+    StructField("_corrupt", StringType)))
+
   private val CsvOpts = Map(
     "mode" -> "PERMISSIVE",
     "columnNameOfCorruptRecord" -> "_corrupt")
@@ -98,11 +110,4 @@ object Wire {
     col("event_type"),
     unix_millis(col("ts")).cast("string"))
 
-  /** `events` rendered as ordered multiplexed raw lines (single `line`
-    * column, ordered by event_id — the deterministic stand-in for Kafka
-    * arrival order). */
-  def eventsAsFitbitLines(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "events")
-      .orderBy(col("event_id"))
-      .select(col("event_id"), fitbitLine.as("line"))
 }
