@@ -2,11 +2,11 @@ package graft.queries
 
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.streaming.{StreamHarness, StreamPipelines, UpsertSink, Wire}
+import graft.streaming.{FileStreamSource, StreamHarness, StreamPipelines, UpsertSink, Wire}
 import graft.streaming.StreamPipelines._
 
 /** The streaming vertical (SURVEY.md §2.1 S1, §2.5 K1–K5, §2.7): real
@@ -17,10 +17,13 @@ import graft.streaming.StreamPipelines._
   *
   * The feed is the `events` table rendered as the reference's multiplexed
   * CSV wire lines ([[Wire.fitbitLine]]), chunked into micro-batches in
-  * event order — the deterministic stand-in for Kafka arrival order
-  * (reference `IOTSparkStreaming.scala:43-46`). Collecting the feed to the
-  * driver is source-harness plumbing (the broker's role), not dataflow: all
-  * transforms run distributed inside micro-batches.
+  * event-id range order — the deterministic stand-in for Kafka arrival order
+  * (reference `IOTSparkStreaming.scala:43-46`). The feed is fully
+  * distributed: chunks are DataFrames published executor-side through
+  * [[FileStreamSource]]/[[graft.streaming.FileFeed]] (`df.write.text`), so
+  * no line ever funnels through the driver — the broker's role is played by
+  * a watched directory, and a production Kafka adapter is one more
+  * [[graft.streaming.StreamSource]] implementation.
   */
 object StreamingQueries {
 
@@ -39,8 +42,20 @@ object StreamingQueries {
     * from the actual per-chunk ts span instead. */
   private val Chunks = 2
 
-  private def lines(s: SparkSession, dir: String): Seq[String] =
-    StreamHarness.collectLines(Wire.eventsAsFitbitLines(s, dir))
+  /** The events feed as [[Chunks]] chunk DataFrames in ascending event_id
+    * ranges ([[StreamHarness.rangeChunks]]) — rendered with `render` (default
+    * [[Wire.fitbitLine]]) to the single `value` column [[FileStreamSource]]
+    * publishes. Range chunking preserves the feed-ordering precondition
+    * above without any driver-side collect. */
+  private def feedChunks(s: SparkSession, dir: String,
+                         render: Column = Wire.fitbitLine): Seq[DataFrame] =
+    StreamHarness.rangeChunks(Tables.load(s, dir, "events"), "event_id", Chunks)
+      .map(_.select(render.as("value")))
+
+  /** Fresh watched-directory source per query run (temp dir is
+    * shutdown-hook cleaned like every harness dir). */
+  private def fileSource(tag: String): FileStreamSource =
+    new FileStreamSource(StreamHarness.tempDir(s"$tag-feed"))
 
   /** c01 — the CSV wire-parse layer itself (P2/P3/P6 typed parse + the
     * malformed-line policy the reference lacks, SURVEY.md §2.7): every 97th
@@ -79,7 +94,7 @@ object StreamingQueries {
     "streaming warning classifier: MemoryStream -> demux -> from_csv -> classify -> memory sink (S1/P1/P2/P8-P11)",
     (s, dir) => {
       val qn = "s01_sink_" + UUID.randomUUID().toString.replace("-", "")
-      StreamHarness.drainChunked(s, lines(s, dir), Chunks) { raw =>
+      StreamHarness.drain(s, fileSource("s01"), feedChunks(s, dir)) { raw =>
         warningAlerts(parseFitbit(raw))
           .select(col("user_id"), col("age"), col("pulse"), col("warning"),
             col("machine_ts"))
@@ -107,7 +122,7 @@ object StreamingQueries {
     (s, dir) => {
       val sink = new UpsertSink(StreamHarness.tempDir("s02-loc"),
         Seq("user_id"), Seq("ver", "long", "lat"))
-      StreamHarness.drainChunked(s, lines(s, dir), Chunks) { raw =>
+      StreamHarness.drain(s, fileSource("s02"), feedChunks(s, dir)) { raw =>
         locations(parseFitbit(raw))
           .writeStream
           .option("checkpointLocation", StreamHarness.checkpointDir("s02"))
@@ -134,7 +149,7 @@ object StreamingQueries {
     "stream-static broadcast join, dimension re-read per micro-batch (J1 streaming)",
     (s, dir) => {
       val out = StreamHarness.tempDir("s03-out")
-      StreamHarness.drainChunked(s, lines(s, dir), Chunks) { raw =>
+      StreamHarness.drain(s, fileSource("s03"), feedChunks(s, dir)) { raw =>
         warningAlerts(parseFitbit(raw))
           .writeStream
           .option("checkpointLocation", StreamHarness.checkpointDir("s03"))
@@ -167,7 +182,7 @@ object StreamingQueries {
     "streaming append sink: date-partitioned parquet, string-ts parse to epoch millis (K4/P5)",
     (s, dir) => {
       val out = StreamHarness.tempDir("s04-out")
-      StreamHarness.drainChunked(s, lines(s, dir), Chunks) { raw =>
+      StreamHarness.drain(s, fileSource("s04"), feedChunks(s, dir)) { raw =>
         history(parseFitbit(raw))
           .writeStream.format("parquet")
           .option("path", out)
@@ -197,13 +212,15 @@ object StreamingQueries {
     "s05_window_counts",
     "event-time tumbling 1h window counts with watermark, append mode (streaming agg)",
     (s, dir) => {
+      import s.implicits._
       val qn = "s05_sink_" + UUID.randomUUID().toString.replace("-", "")
-      // 3 chunks (2 real + sentinels): every stateful batch pays a
+      // 3 chunks (2 real + a sentinel chunk): every stateful batch pays a
       // state-store commit plus a no-data batch when the watermark moves,
       // so batch count — not data volume — dominates this query's cost.
       val sentinel = (1 to 2).map(i =>
         s"fitbit,2100-01-01 0$i:00:00,0,0,0,1.0,1.0,20,click,4102444800000")
-      StreamHarness.drainChunked(s, lines(s, dir) ++ sentinel, 3) { raw =>
+        .toDF("value")
+      StreamHarness.drain(s, fileSource("s05"), feedChunks(s, dir) :+ sentinel) { raw =>
         parseFitbit(raw)
           .select(try_to_timestamp(col("ts_str"),
             lit("yyyy-MM-dd HH:mm:ss")).as("event_ts"))
@@ -275,13 +292,15 @@ object StreamingQueries {
         (col("c_custkey") % 30 + 60).cast("double").cast("string"),
         concat(lit("u"), col("c_custkey")),
         concat(lit("d"), col("c_custkey")))
-      val cust = Tables.load(s, dir, "customer").orderBy(col("c_custkey"))
-      val feed =
-        StreamHarness.collectLines(cust.select(line(1).as("line"))) ++
-          StreamHarness.collectLines(cust.select(line(2).as("line")))
+      // chunk 1 = every v1 profile line, chunk 2 = every v2 update: the
+      // upsert register resolves by the monotone ver column (bmi), so
+      // within-chunk arrival order is immaterial — no orderBy, no collect.
+      val cust = Tables.load(s, dir, "customer")
+      val chunks = Seq(cust.select(line(1).as("value")),
+        cust.select(line(2).as("value")))
       val sink = new UpsertSink(StreamHarness.tempDir("s06-prof"),
         Seq("user_id"), Seq("ver"))
-      StreamHarness.drainChunked(s, feed, Chunks) { raw =>
+      StreamHarness.drain(s, fileSource("s06"), chunks) { raw =>
         parseNewUser(raw)
           .filter(col("_corrupt").isNull)
           .withColumn("ver", col("bmi"))
@@ -323,12 +342,9 @@ object StreamingQueries {
       val salesLine = concat_ws(",", lit("sales"),
         date_format(col("ts"), "yyyy-MM-dd"),
         graft.functions.HealthFunctions.roundHalfUp(col("value")).cast("string"))
-      val feed = StreamHarness.collectLines(
-        Tables.load(s, dir, "events").orderBy(col("event_id"))
-          .select(salesLine.as("line")))
       val sink = new UpsertSink(StreamHarness.tempDir("s07-sales"),
         Seq("date"), Seq("count"))
-      StreamHarness.drainChunked(s, feed, Chunks) { raw =>
+      StreamHarness.drain(s, fileSource("s07"), feedChunks(s, dir, salesLine)) { raw =>
         parseSales(raw)
           .filter(col("_corrupt").isNull).select(col("date"), col("count"))
           .writeStream
@@ -349,13 +365,11 @@ object StreamingQueries {
     "s08_stream_dedup",
     "stateful streaming dropDuplicates over an at-least-once feed",
     (s, dir) => {
-      val feed = StreamHarness.collectLines(
-        Tables.load(s, dir, "events").orderBy(col("event_id"))
-          .select(explode(when(col("event_id") % 50 === 0,
-            array(Wire.fitbitLine, Wire.fitbitLine))
-            .otherwise(array(Wire.fitbitLine))).as("line")))
+      val dup = explode(when(col("event_id") % 50 === 0,
+        array(Wire.fitbitLine, Wire.fitbitLine))
+        .otherwise(array(Wire.fitbitLine)))
       val qn = "s08_sink_" + UUID.randomUUID().toString.replace("-", "")
-      StreamHarness.drainChunked(s, feed, Chunks) { raw =>
+      StreamHarness.drain(s, fileSource("s08"), feedChunks(s, dir, dup)) { raw =>
         parseFitbit(raw)
           .select(col("user_id"), col("machine_ts"), col("long"))
           .dropDuplicates("user_id", "machine_ts", "long")
@@ -381,7 +395,7 @@ object StreamingQueries {
     (s, dir) => {
       import s.implicits._
       val qn = "s09_sink_" + UUID.randomUUID().toString.replace("-", "")
-      StreamHarness.drainChunked(s, lines(s, dir), Chunks) { raw =>
+      StreamHarness.drain(s, fileSource("s09"), feedChunks(s, dir)) { raw =>
         warningAlerts(parseFitbit(raw))
           .select(col("user_id")).as[String]
           .groupByKey(identity)
@@ -418,9 +432,10 @@ object StreamingQueries {
     "s10_stream_join",
     "watermark-bounded stream-stream inner join: alerts x locations within 1h lookback",
     (s, dir) => {
-      val feed = lines(s, dir)
       val qn = "s10_sink_" + UUID.randomUUID().toString.replace("-", "")
-      StreamHarness.drainChunked2(s, feed, feed, Chunks) { (rawA, rawB) =>
+      StreamHarness.drain2(s,
+        fileSource("s10a"), feedChunks(s, dir),
+        fileSource("s10b"), feedChunks(s, dir)) { (rawA, rawB) =>
         val alerts = warningAlerts(parseFitbit(rawA))
           .select(col("user_id"), col("machine_ts").cast("long").as("a_ms"),
             timestamp_millis(col("machine_ts").cast("long")).as("a_ts"),

@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max, min}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Drives a real `StreamingQuery` to completion over a [[StreamSource]] —
@@ -44,6 +45,25 @@ object StreamHarness {
   def checkpointDir(tag: String): String = tracked(s"graft-ckpt-$tag-")
 
   def tempDir(tag: String): String = tracked(s"graft-$tag-")
+
+  /** Split `df` into `n` chunk DataFrames by contiguous ranges of `idCol`
+    * ascending — chunk k covers ids in `[lo + k*span/n, lo + (k+1)*span/n)`.
+    * The only driver contact is a two-value min/max aggregate (bounds, not
+    * data): the rows themselves stay distributed end-to-end, unlike the
+    * r3 harness's collected feed. Because the ranges ascend, a feed whose
+    * event times are near-monotone in `idCol` keeps the watermark-safety
+    * precondition documented at [[graft.queries.StreamingQueries]]. */
+  def rangeChunks(df: DataFrame, idCol: String, n: Int): Seq[DataFrame] = {
+    val mm = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    if (mm.isNullAt(0)) Seq(df)
+    else {
+      val lo = mm.getLong(0); val span = mm.getLong(1) - lo + 1
+      (0 until n).map { k =>
+        df.filter(col(idCol) >= lo + span * k / n &&
+          col(idCol) < lo + span * (k + 1) / n)
+      }
+    }
+  }
 
   /** Feed `chunks` through `source` one micro-batch at a time (chunk
     * boundaries = batch boundaries), draining after each chunk, then stop.

@@ -104,7 +104,7 @@ class OrchestratorSpec extends SparkSpec {
 
   test("K6 console/debug sink runs against the stream (reference cassTest.scala:32)") {
     val lines = Seq("fitbit,2024-01-01 10:00:00,u1,1,2,70.0,36.6,30,NORMAL,1")
-    StreamHarness.drainChunked(spark, lines, 1) { raw =>
+    TestFeeds.drainLines(spark, lines, 1) { raw =>
       parseFitbit(raw).select("user_id", "pulse")
         .writeStream.format("console")
         .option("checkpointLocation", StreamHarness.checkpointDir("console"))

@@ -24,7 +24,7 @@ class StreamingE2ESpec extends SparkSpec {
       mkLine("2024-01-01 10:00:02", "u3", 185.0, 30, "NORMAL", "102"), // simple (185 >= 180.5)
       mkLine("2024-01-01 10:00:03", "u4", 180.0, 30, "NORMAL", "103")) // no-use (180 < 180.5)
     val qn = "e2e_warn_sink"
-    StreamHarness.drainChunked(spark, lines, 2) { raw =>
+    TestFeeds.drainLines(spark, lines, 2) { raw =>
       warningAlerts(parseFitbit(raw),
         criticalCats = graft.functions.HealthFunctions.CriticalBpCats)
         .select(col("user_id"), col("warning"), col("machine_ts"))
@@ -58,7 +58,7 @@ class StreamingE2ESpec extends SparkSpec {
       s"fitbit,2024-01-01 10:00:03,u1,13,23,70.0,36.6,30,NORMAL,1003")
     val sink = new UpsertSink(StreamHarness.tempDir("e2e-loc"),
       Seq("user_id"), Seq("ver", "long", "lat"))
-    StreamHarness.drainChunked(spark, lines, 3) { raw =>
+    TestFeeds.drainLines(spark, lines, 3) { raw =>
       locations(parseFitbit(raw))
         .writeStream
         .option("checkpointLocation", StreamHarness.checkpointDir("e2e-loc"))
@@ -80,7 +80,7 @@ class StreamingE2ESpec extends SparkSpec {
       mkLine("2024-01-01 23:00:00", "u4", 70.0, 30, "NORMAL", "4"),
       mkLine("2024-01-01 23:30:00", "u5", 70.0, 30, "NORMAL", "5"))
     val qn = "e2e_window_sink"
-    StreamHarness.drainChunked(spark, lines, 5) { raw =>
+    TestFeeds.drainLines(spark, lines, 5) { raw =>
       parseFitbit(raw)
         .select(to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm:ss").as("et"))
         .withWatermark("et", "1 second")
@@ -134,7 +134,7 @@ class StreamingE2ESpec extends SparkSpec {
       "fitbit,garbage",
       mkLine("2024-01-01 10:00:02", "u2", 200.0, 30, "HYP_1", "102"))
     val qn = "e2e_malformed_sink"
-    StreamHarness.drainChunked(spark, lines, 1) { raw =>
+    TestFeeds.drainLines(spark, lines, 1) { raw =>
       warningAlerts(parseFitbit(raw))
         .filter(col("user_id").isNotNull)
         .select(col("user_id"))
