@@ -85,13 +85,13 @@ object StreamingQueries {
         CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END NULLS FIRST"""))
 
   /** s01 — the reference's flagship pipeline as a REAL StreamingQuery
-    * (SURVEY.md §7.2.2): MemoryStream of multiplexed CSV → tag demux →
+    * (SURVEY.md §7.2.2): watched-dir file stream of multiplexed CSV → tag demux →
     * `from_csv` → classifier → memory sink, drained over $Chunks
     * micro-batches with a checkpoint (reference
     * `IOTSparkStreaming.scala:43-48,117-141`). */
   val s01WarningStream: GraftQuery = GraftQuery(
     "s01_warning_stream",
-    "streaming warning classifier: MemoryStream -> demux -> from_csv -> classify -> memory sink (S1/P1/P2/P8-P11)",
+    "streaming warning classifier: file stream -> demux -> from_csv -> classify -> memory sink (S1/P1/P2/P8-P11)",
     (s, dir) => {
       val qn = "s01_sink_" + UUID.randomUUID().toString.replace("-", "")
       StreamHarness.drain(s, fileSource("s01"), feedChunks(s, dir)) { raw =>
