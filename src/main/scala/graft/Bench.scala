@@ -5,12 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every registered query on
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line.
   *
-  * Measurement honesty (VERDICT r1 item 4):
+  * Measurement honesty (VERDICT r1 item 4, r5 item 4):
   *  - the action is a `noop`-format write, which fully evaluates every
   *    projection and sort in the plan — `.count()` would let Catalyst prune
   *    the expensive expressions and drop final sorts;
   *  - one warmup query runs first (untimed) so the first measured query does
   *    not absorb JVM/codegen warmup;
+  *  - each query runs `SPARK_GRAFT_REPS` times (default 3) and reports the
+  *    MEDIAN — single-shot timings on a shared machine were up to 12× noise
+  *    (r3); the median is robust to one GC pause or page-cache miss;
+  *  - a second, smaller scale factor (`SPARK_GRAFT_SCALE_DIR`, default
+  *    sf0.01, one rep) is timed in the same JVM and reported under
+  *    `"scaling"`, so the round artifact carries MEASURED scale slopes:
+  *    data-bound queries should scale ~linearly with the 10× size ratio,
+  *    streaming queries ~flat (their cost is per-batch overhead, not rows);
   *  - failures are reported per-query in an `"err"` map instead of being
   *    swallowed into a fast-looking elapsed time.
   */
@@ -18,6 +26,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,11 +36,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): (Double, Option[String]) = {
+    def runOnce(name: String, dir: String): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
         try {
-          SparkEntry.queries(name)(spark, sfDir)
+          SparkEntry.queries(name)(spark, dir)
             .write.format("noop").mode("overwrite").save()
           None
         } catch {
@@ -41,10 +51,26 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, err)
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    runOnce(names.head) // warmup: JVM + codegen + parquet footer caches
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
 
-    val results = names.map(n => n -> runOnce(n))
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    runOnce(names.head, sfDir) // warmup: JVM + codegen + parquet footer caches
+
+    val results = names.map { n =>
+      val runs = (1 to reps).map(_ => runOnce(n, sfDir))
+      n -> (median(runs.map(_._1)), runs.flatMap(_._2).headOption)
+    }
+    // Scale slope: one rep per query at the secondary SF (skipped when it
+    // is missing or identical to the primary).
+    val scaling =
+      if (scaleDir == sfDir || !java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(scaleDir))) Seq.empty[(String, Double)]
+      else names.map(n => n -> runOnce(n, scaleDir)._1)
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -54,8 +80,15 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
+    val scal =
+      if (scaling.isEmpty) ""
+      else {
+        val sq = scaling.map { case (k, sec) => s"${jstr(k)}:$sec" }
+          .mkString("{", ",", "}")
+        s""","scaling":{"sf":${jstr(scaleDir)},"queries":$sq}"""
+      }
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$errs,"reps":$reps,"sf":"$sfDir"$scal}""")
     spark.stop()
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.streaming.{FileStreamSource, StreamHarness, StreamPipelines, UpsertSink, Wire}
+import graft.streaming.{FileStreamSource, FileTopicWriter, StreamHarness, StreamPipelines, UpsertSink, Wire}
 import graft.streaming.StreamPipelines._
 
 /** The streaming vertical (SURVEY.md §2.1 S1, §2.5 K1–K5, §2.7): real
@@ -207,7 +207,12 @@ object StreamingQueries {
     * streaming-semantics surface, SURVEY.md §7.2.7): hourly counts in
     * APPEND mode, so only watermark-finalized windows are emitted. Two
     * far-future sentinel lines advance the watermark past every real
-    * window (watermark for batch N comes from data seen before N). */
+    * window (watermark for batch N comes from data seen before N).
+    *
+    * The 2-hour watermark delay makes the append-mode result robust to
+    * cross-chunk event-time skew up to 2h (ADVICE r5: a 1s delay relied on
+    * the feed's near-monotone ts order at chunk granularity); the sentinel
+    * sits decades ahead, so every real window still finalizes. */
   val s05WindowCounts: GraftQuery = GraftQuery(
     "s05_window_counts",
     "event-time tumbling 1h window counts with watermark, append mode (streaming agg)",
@@ -225,7 +230,7 @@ object StreamingQueries {
           .select(try_to_timestamp(col("ts_str"),
             lit("yyyy-MM-dd HH:mm:ss")).as("event_ts"))
           .filter(col("event_ts").isNotNull)
-          .withWatermark("event_ts", "1 second")
+          .withWatermark("event_ts", "2 hours")
           .groupBy(window(col("event_ts"), "1 hour"))
           .count()
           .select(col("window.start").as("ws"), col("count").as("n"))
@@ -474,9 +479,95 @@ object StreamingQueries {
         CAST(l.event_id % 180 AS VARCHAR), CAST(l.user_id % 90 AS VARCHAR),
         al.warning"""))
 
+  /** s11 — K5's full producer LIFECYCLE (reference `setupKafkaProducer` +
+    * per-partition open/send/close, `IOTSparkStreaming.scala:102-114,
+    * 169-177`): the alert stream, rendered with k05's exact tuple payload,
+    * drained through `foreach(new FileTopicWriter)` — one producer open per
+    * (partition, epoch), `process` = send, atomic-rename commit on close —
+    * then the topic directory is read back as the consumer would see it.
+    * Replayed epochs are skipped by the writer (exactly-once on top of
+    * Spark's at-least-once redelivery); k05 proves the payload bytes, s11
+    * proves the transport. */
+  val s11TopicSink: GraftQuery = GraftQuery(
+    "s11_topic_sink",
+    "K5 producer lifecycle: per-partition open/send/close ForeachWriter into a file topic, read back as consumed (K5)",
+    (s, dir) => {
+      val topic = StreamHarness.tempDir("s11-topic")
+      StreamHarness.drain(s, fileSource("s11"), feedChunks(s, dir)) { raw =>
+        warningAlerts(parseFitbit(raw))
+          .select(renderTuple(col("user_id"), col("warning"),
+            col("ts_str")).as("payload"))
+          .writeStream
+          .option("checkpointLocation", StreamHarness.checkpointDir("s11"))
+          .foreach(new FileTopicWriter(topic))
+          .outputMode("append").start()
+      }
+      s.read.text(topic).select(col("value").as("rendered"))
+        .orderBy(col("rendered"))
+    },
+    Some(s"""SELECT '(' || CAST(user_id AS VARCHAR) || ',' || $WarningSql || ',' ||
+        $TsStrSql || ')' AS rendered
+      FROM events WHERE $WarningSql <> 'no-use'
+      ORDER BY rendered"""))
+
+  /** s12 — P3 mapData projection as its own oracle-checked row (reference
+    * `IOTSparkStreaming.scala:92-100`; the branch the reference defines but
+    * comments out at `:81`, flag-gated in [[graft.streaming.Orchestrator]]):
+    * fitbit wire parse → `(user_id, lat, long, round(pulse), temp)`. Batch
+    * dataflow over the rendered feed, exactly like c01's parse-layer row. */
+  val s12MapData: GraftQuery = GraftQuery(
+    "s12_mapdata",
+    "mapData projection: fitbit parse -> (user, lat, long, half-up pulse, temp) (P3)",
+    (s, dir) => {
+      val raw = Tables.load(s, dir, "events").select(Wire.fitbitLine.as("value"))
+      mapData(parseFitbit(raw))
+        .orderBy(col("user_id"), col("long"), col("pulse"), col("temp"))
+    },
+    Some(s"""SELECT CAST(user_id AS VARCHAR) AS user_id, $LatSql AS lat,
+      $LongSql AS long, $PulseSql AS pulse, value AS temp
+      FROM events
+      ORDER BY CAST(user_id AS VARCHAR), $LongSql, $PulseSql, value"""))
+
+  /** s13 — K2's EXACT last-write-wins register ([[Wire.SalesSchemaV2]]): the
+    * wire carries the transport offset (`seq` — here event_id, monotone in
+    * arrival order exactly like a Kafka record offset), and the upsert
+    * register resolves each date to the max-seq row. This reproduces the
+    * reference's broker-arrival-order PK overwrite
+    * (`IOTSparkStreaming.scala:76`) deterministically and independently of
+    * micro-batch boundaries — the semantic the 3-field wire (s07) cannot
+    * express and approximates with MAX(count). */
+  val s13SalesLwwExact: GraftQuery = GraftQuery(
+    "s13_sales_lww_exact",
+    "exact sales last-write-wins: seq-versioned wire (SalesSchemaV2) + upsert register ordered by offset (K2 exact)",
+    (s, dir) => {
+      val salesLineV2 = concat_ws(",", lit("sales"),
+        date_format(col("ts"), "yyyy-MM-dd"),
+        graft.functions.HealthFunctions.roundHalfUp(col("value")).cast("string"),
+        col("event_id").cast("string"))
+      val sink = new UpsertSink(StreamHarness.tempDir("s13-sales"),
+        Seq("date"), Seq("seq"))
+      StreamHarness.drain(s, fileSource("s13"), feedChunks(s, dir, salesLineV2)) { raw =>
+        parseSalesV2(raw)
+          .filter(col("_corrupt").isNull)
+          .select(col("date"), col("count"), col("seq"))
+          .writeStream
+          .option("checkpointLocation", StreamHarness.checkpointDir("s13"))
+          .foreachBatch { (b: DataFrame, id: Long) => sink.upsert(b, id) }
+          .start()
+      }
+      sink.snapshot(s).get.orderBy(col("date"))
+    },
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS date,
+      CAST(FLOOR(value + CAST(0.5 AS DOUBLE)) AS INT) AS count,
+      event_id AS seq
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY strftime(ts, '%Y-%m-%d')
+        ORDER BY event_id DESC) = 1
+      ORDER BY date"""))
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, s01WarningStream, s02LatestLocationSink,
     s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
     s06ProfileUpsert, s07SalesUpsert, s08StreamDedup, s09StatefulCounter,
-    s10StreamJoin)
+    s10StreamJoin, s11TopicSink, s12MapData, s13SalesLwwExact)
 }

@@ -18,7 +18,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object StreamHarness {
 
   /** Every temp/checkpoint dir handed out is deleted on JVM exit, so
-    * repeated Verify/Bench runs leave `/tmp` bounded (ADVICE r2). */
+    * repeated Verify/Bench runs leave `/tmp` bounded (ADVICE r2).
+    *
+    * Safety invariant (ADVICE r5): the hook may delete a checkpoint dir out
+    * from under a RUNNING query, which would wedge it — but every harness
+    * entry point ([[drain]]/[[drain2]] and the spec helpers) stops its query
+    * in a `finally` before returning, so by the time the JVM reaches
+    * shutdown hooks no streaming query handed one of these dirs is still
+    * active. Callers that start long-lived queries outside the harness must
+    * manage their own checkpoint dirs. */
   private val createdDirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     createdDirs.forEach { dir =>
@@ -52,17 +60,49 @@ object StreamHarness {
     * data): the rows themselves stay distributed end-to-end, unlike the
     * r3 harness's collected feed. Because the ranges ascend, a feed whose
     * event times are near-monotone in `idCol` keeps the watermark-safety
-    * precondition documented at [[graft.queries.StreamingQueries]]. */
+    * precondition documented at [[graft.queries.StreamingQueries]].
+    *
+    * Totality (ADVICE r5): chunk bounds are computed in BigInt, so an id
+    * span near `Long.MaxValue` cannot wrap negative and drop rows; rows with
+    * a NULL `idCol` ride in the LAST chunk (range predicates would silently
+    * drop them); and a DataFrame with no non-null ids still yields `n`
+    * chunks (n−1 empty + the original), so callers' micro-batch counts —
+    * s05's sentinel accounting, the bench's per-batch cost model — hold in
+    * the degenerate case too. Every input row lands in exactly one chunk. */
   def rangeChunks(df: DataFrame, idCol: String, n: Int): Seq[DataFrame] = {
     val mm = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
-    if (mm.isNullAt(0)) Seq(df)
+    if (mm.isNullAt(0)) Seq.fill(n - 1)(df.limit(0)) :+ df
     else {
-      val lo = mm.getLong(0); val span = mm.getLong(1) - lo + 1
+      val lo = BigInt(mm.getLong(0)); val span = BigInt(mm.getLong(1)) - lo + 1
       (0 until n).map { k =>
-        df.filter(col(idCol) >= lo + span * k / n &&
-          col(idCol) < lo + span * (k + 1) / n)
+        val lb = (lo + span * k / n).toLong
+        if (k == n - 1) df.filter(col(idCol) >= lb || col(idCol).isNull)
+        else df.filter(col(idCol) >= lb &&
+          col(idCol) < (lo + span * (k + 1) / n).toLong)
       }
     }
+  }
+
+  /** Shuffle-partition count for harness-driven streaming queries. A
+    * stateful operator creates one state store per shuffle partition per
+    * batch, and each store pays a checkpoint commit every trigger — so the
+    * partition count should track STATE SIZE, not CPU count (VERDICT r5:
+    * `local[32]`'s default 32 stores × per-batch commits dominated
+    * s08/s09/s10 at a few thousand keys). The count is baked into the
+    * checkpoint at query start; the harness hands out a fresh checkpoint per
+    * run, so overriding per-drain is safe. On a real cluster this is sized
+    * as total state / comfortable-store-size, independent of executor count. */
+  val StreamShufflePartitions: Int = 4
+
+  /** Run `body` with [[StreamShufflePartitions]] as the session's shuffle
+    * partition count, restoring the caller's setting afterwards (batch
+    * queries outside the drain keep their cluster-sized parallelism). */
+  private def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, StreamShufflePartitions.toString)
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   /** Feed `chunks` through `source` one micro-batch at a time (chunk
@@ -70,7 +110,7 @@ object StreamHarness {
     * `start` receives the raw-line streaming DataFrame (single `value`
     * column) and must start the query. */
   def drain(spark: SparkSession, source: StreamSource, chunks: Seq[DataFrame])(
-      start: DataFrame => StreamingQuery): Unit = {
+      start: DataFrame => StreamingQuery): Unit = withStreamShuffle(spark) {
     val q = start(source.open(spark))
     try chunks.foreach { chunk =>
       source.append(chunk)
@@ -84,13 +124,14 @@ object StreamHarness {
   def drain2(spark: SparkSession,
              sourceA: StreamSource, chunksA: Seq[DataFrame],
              sourceB: StreamSource, chunksB: Seq[DataFrame])(
-      start: (DataFrame, DataFrame) => StreamingQuery): Unit = {
-    val q = start(sourceA.open(spark), sourceB.open(spark))
-    try chunksA.map(Option(_)).zipAll(chunksB.map(Option(_)), None, None)
-      .foreach { case (a, b) =>
-        a.foreach(sourceA.append)
-        b.foreach(sourceB.append)
-        q.processAllAvailable()
-      } finally q.stop()
-  }
+      start: (DataFrame, DataFrame) => StreamingQuery): Unit =
+    withStreamShuffle(spark) {
+      val q = start(sourceA.open(spark), sourceB.open(spark))
+      try chunksA.map(Option(_)).zipAll(chunksB.map(Option(_)), None, None)
+        .foreach { case (a, b) =>
+          a.foreach(sourceA.append)
+          b.foreach(sourceB.append)
+          q.processAllAvailable()
+        } finally q.stop()
+    }
 }

@@ -9,7 +9,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * filesystem in the loop. `append` collects the chunk to the driver, which
   * is exactly why this implementation lives in the TEST tree only — crafted
   * spec fixtures are a handful of literal lines; the shipped queries run on
-  * [[FileStreamSource]]'s distributed feed. */
+  * [[FileStreamSource]]'s distributed feed.
+  *
+  * Version pin (ADVICE r5): `MemoryStream`'s package
+  * (`execution.streaming.runtime`) and the `classic.SQLContext` cast are
+  * Spark-INTERNAL APIs, correct as of the Spark 4.1.x jars this repo builds
+  * against; a Spark upgrade that moves either will fail compilation HERE,
+  * in test-only code — nothing in `src/main` touches these APIs. */
 final class MemoryStreamSource(spark: SparkSession) extends StreamSource {
   private implicit val ctx: org.apache.spark.sql.classic.SQLContext =
     spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
