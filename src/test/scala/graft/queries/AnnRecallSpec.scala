@@ -1,0 +1,31 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Recall floor for the approximate path (VERDICT r3/r5 carry): e02's IVF
+  * ANN must find most of what e01's exact scan finds, or the "scale path"
+  * is a speed-up to a wrong answer. Measured 0.925 at sf0.01 with
+  * (NList=16, NProbe=4); the floor is 0.6 so codebook-parameter tweaks
+  * don't flap the suite. */
+class AnnRecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def top5(q: GraftQuery): Map[Long, Set[Long]] =
+    q.run(spark, dir)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (qid, rows) =>
+        qid -> rows.map(_.getLong(1)).toSet
+      }
+
+  test("e02 IVF ANN mean recall@5 vs exact e01 is >= 0.6") {
+    val exact = top5(SimilarityQueries.e01CosineKnn)
+    val ann = top5(SimilarityQueries.e02AnnIvf)
+    assert(exact.nonEmpty)
+    val recalls = exact.map { case (qid, tops) =>
+      qid -> tops.intersect(ann.getOrElse(qid, Set.empty)).size.toDouble / tops.size
+    }
+    val mean = recalls.values.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@5 $mean < 0.6 (per-query: $recalls)")
+  }
+}
