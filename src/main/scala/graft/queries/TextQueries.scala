@@ -387,8 +387,88 @@ object TextQueries {
     },
     d11MinhashUnion.oracle)
 
+  /** d14 — corpus reporting rollup: per-(source, lang) document counts,
+    * char/token totals, average tokens — the summary every ingestion run
+    * emits. Scale: map-side partial aggregation then ONE shuffle on the
+    * (source, lang) key; cardinality is #sources × #langs, so the reduce
+    * side is metadata-sized regardless of corpus size. */
+  val d14CorpusStats: GraftQuery = GraftQuery(
+    "d14_corpus_stats",
+    "per-(source, lang) corpus rollup: docs, chars, tokens, avg tokens/doc",
+    (s, dir) => {
+      val nTok = size(split(col("text"), "[ \\t\\n\\r\\f]+"))
+      docs(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(nTok.cast("long")).as("total_tokens"),
+          (sum(nTok.cast("long")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_tokens"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""SELECT source, lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(len(string_split_regex(text, '[ \t\n\r\f]+'))) AS BIGINT) AS total_tokens,
+      CAST(SUM(len(string_split_regex(text, '[ \t\n\r\f]+'))) AS DOUBLE) /
+        CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+      FROM documents GROUP BY source, lang ORDER BY source, lang"""))
+
+  /** d15 — repetition-ratio quality signal: type-token ratio (distinct
+    * tokens / tokens), the standard cheap detector for the degenerate
+    * repeated-text documents that poison training corpora. Pure map-side
+    * expression work. */
+  val d15Repetition: GraftQuery = GraftQuery(
+    "d15_repetition",
+    "type-token ratio repetition detector (distinct/total tokens)",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val ttr = size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double")
+      docs(s, dir)
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"), ttr.as("ttr"),
+          (ttr < 0.5).cast("int").as("is_repetitive"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+      CAST(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        CAST(len(string_split(text, ' ')) AS DOUBLE) < 0.5 AS INT) AS is_repetitive
+      FROM documents ORDER BY doc_id"""))
+
+  /** d16 — deterministic hash-mod sampling (keep ~10%): the reproducible
+    * subsampling primitive (seeded by the portable hash family, so the SAME
+    * docs are kept on any engine, any run, any partitioning — unlike
+    * `df.sample`, whose output depends on partition layout). `doc_id` is
+    * reduced mod P before multiplying so every intermediate fits int64 in
+    * both engines. Map-side filter; at scale this is a scan predicate. */
+  val d16Sample: GraftQuery = GraftQuery(
+    "d16_sample",
+    "deterministic portable-hash 10% document sample",
+    (s, dir) => {
+      import graft.functions.PortableHash.{A, B, P}
+      val bucket = ((lit(A(0)) * (col("doc_id") % lit(P)) + lit(B(0)))
+        % lit(P)) % lit(100L)
+      docs(s, dir)
+        .filter(bucket < 10)
+        .select(col("doc_id"), col("source"), bucket.as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.functions.PortableHash.{A, B, P}
+      s"""SELECT doc_id, source,
+        ((${A(0)} * (doc_id % $P) + ${B(0)}) % $P) % 100 AS bucket
+        FROM documents
+        WHERE ((${A(0)} * (doc_id % $P) + ${B(0)}) % $P) % 100 < 10
+        ORDER BY doc_id"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
-    d11MinhashUnion, d12BpeTokens, d13MinhashUdaf)
+    d11MinhashUnion, d12BpeTokens, d13MinhashUdaf, d14CorpusStats,
+    d15Repetition, d16Sample)
 }
