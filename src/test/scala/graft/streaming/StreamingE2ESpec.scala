@@ -71,6 +71,39 @@ class StreamingE2ESpec extends SparkSpec {
     assert(got == Seq(("u1", "13", "23"), ("u2", "11", "21")))
   }
 
+  test("K5 producer lifecycle via streaming: one committed part per (partition, epoch), no temps") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val lines = Seq(
+      mkLine("2024-01-01 10:00:00", "u1", 250.0, 30, "HYP_1", "100"), // critical
+      mkLine("2024-01-01 10:00:01", "u2", 50.0, 30, "NORMAL", "101"), // filtered
+      mkLine("2024-01-01 10:00:02", "u3", 250.0, 30, "HYP_2", "102")) // critical
+    val topic = StreamHarness.tempDir("e2e-topic")
+    TestFeeds.drainLines(spark, lines, 2) { raw =>
+      warningAlerts(parseFitbit(raw),
+        criticalCats = graft.functions.HealthFunctions.CriticalBpCats)
+        .select(renderTuple(col("user_id"), col("warning"), col("ts_str"))
+          .as("payload"))
+        .writeStream
+        .option("checkpointLocation", StreamHarness.checkpointDir("e2e-topic"))
+        .foreach(new FileTopicWriter(topic))
+        .outputMode("append").start()
+    }
+    val files = {
+      val s = Files.list(Paths.get(topic))
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+    // Only committed parts are visible (no .tmp leftovers), at most one per
+    // (epoch, partition) by construction of the name.
+    assert(files.nonEmpty && files.forall(_.startsWith("part-")), files.toString)
+    assert(files.distinct == files)
+    val got = spark.read.text(topic).orderBy("value")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("(u1,critical,2024-01-01 10:00:00)",
+      "(u3,critical,2024-01-01 10:00:02)"))
+  }
+
   test("watermark append mode: windows finalize only after the watermark passes") {
     val lines = Seq(
       mkLine("2024-01-01 10:10:00", "u1", 70.0, 30, "NORMAL", "1"),
