@@ -52,6 +52,25 @@ class ScalePlanSpec extends SparkSpec {
     assert(scan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"), scan)
   }
 
+  test("e02 IVF probe join broadcasts the probe side (no shuffle of the corpus)") {
+    val plan = SimilarityQueries.e02AnnIvf
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("d14 rollup aggregates map-side before its single shuffle (partial agg)") {
+    val qe = TextQueries.d14CorpusStats
+      .run(spark, "/root/testdata/sf0.001").queryExecution
+    val plan = qe.executedPlan.toString
+    // Two HashAggregate levels around one exchange = partial + final merge.
+    assert(plan.contains("HashAggregate"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("approximate distinct (HLL sketch) lands within 5% of exact") {
     import spark.implicits._
     val df = (1 to 20000).map(i => i % 7919).toDF("v")
