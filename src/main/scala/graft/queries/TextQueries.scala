@@ -466,9 +466,52 @@ object TextQueries {
         ORDER BY doc_id"""
     })
 
+  /** Tokens per training chunk for d17. */
+  private val ChunkTokens = 64
+
+  /** d17 — document chunking for sequence packing: each document split into
+    * fixed-`ChunkTokens` windows, one output row per (doc, chunk) — the step
+    * that turns a cleaned corpus into trainer-shaped sequences. All work is
+    * per-document map-side expression evaluation (`sequence` + `slice` +
+    * `posexplode`); output size is Σ ceil(tokens/chunk), so the operator
+    * streams through a 100 TB corpus without any shuffle at all. */
+  val d17ChunkPack: GraftQuery = GraftQuery(
+    "d17_chunk_pack",
+    s"fixed-$ChunkTokens-token document chunking (one row per chunk, map-side)",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val n = size(toks)
+      val nChunks = floor((n + lit(ChunkTokens - 1)) / lit(ChunkTokens)).cast("long")
+      docs(s, dir)
+        .select(col("doc_id"), toks.as("toks"), n.as("n"),
+          explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          array_join(slice(col("toks"),
+            (col("chunk_id") * ChunkTokens + 1).cast("int"),
+            lit(ChunkTokens)), " ").as("chunk_text"),
+          least(lit(ChunkTokens.toLong),
+            col("n").cast("long") - col("chunk_id") * ChunkTokens)
+            .as("n_chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+    Some(s"""WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+          len(string_split(text, ' ')) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, toks, n,
+          unnest(generate_series(0,
+            CAST(ceil(CAST(n AS DOUBLE) / $ChunkTokens) AS BIGINT) - 1)) AS chunk_id
+        FROM t)
+      SELECT doc_id, chunk_id,
+        array_to_string(toks[chunk_id * $ChunkTokens + 1 :
+          least((chunk_id + 1) * $ChunkTokens, n)], ' ') AS chunk_text,
+        least($ChunkTokens, n - chunk_id * $ChunkTokens) AS n_chunk_tokens
+      FROM c ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
     d11MinhashUnion, d12BpeTokens, d13MinhashUdaf, d14CorpusStats,
-    d15Repetition, d16Sample)
+    d15Repetition, d16Sample, d17ChunkPack)
 }

@@ -15,8 +15,11 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any batch plan") {
     val allowedCross = Set("e01_cosine_knn")
+    // s\d\d queries drive real streaming drains on construction — their
+    // returned DataFrame is a sort over a sink, so "auditing" them just
+    // re-runs the stream; their plans are covered by the streaming specs.
     val batchQueries = graft.SparkEntry.registry
-      .filterNot(q => q.name.startsWith("s0") || q.name.startsWith("k0"))
+      .filterNot(q => q.name.matches("s\\d\\d_.*") || q.name.startsWith("k0"))
     assert(batchQueries.size >= 35)
     val offenders = batchQueries.flatMap { q =>
       val plan = q.run(spark, dir).queryExecution.executedPlan.toString
