@@ -69,6 +69,24 @@ class WireSpec extends SparkSpec {
     assert(r.getAs[String]("_corrupt") == null)
   }
 
+  test("seq-versioned sales line parses via SalesSchemaV2 (s13 wire)") {
+    import spark.implicits._
+    val rows = Seq(
+      "sales,2024-03-05,42,1007",       // versioned record
+      "sales,2024-03-05,not-a-number,3") // corrupt count must flag, not crash
+      .toDF("value")
+      .select(Wire.parseCsv(col("value"), Wire.SalesSchemaV2).as("r"))
+      .select(col("r.*")).collect()
+    val ok = rows(0)
+    assert(ok.getAs[String]("date") == "2024-03-05")
+    assert(ok.getAs[Int]("count") == 42)
+    assert(ok.getAs[Long]("seq") == 1007L)
+    assert(ok.getAs[String]("_corrupt") == null)
+    val bad = rows(1)
+    assert(bad.isNullAt(bad.fieldIndex("count")))
+    assert(bad.getAs[String]("_corrupt") != null)
+  }
+
   test("fitbitLine rendering round-trips through the parser") {
     import spark.implicits._
     val events = Seq((7L, java.sql.Timestamp.valueOf("2024-03-05 10:22:01.123"),
