@@ -249,5 +249,62 @@ object SimilarityQueries {
       ORDER BY vec_a, vec_b"""
     })
 
-  val all: Seq[GraftQuery] = Seq(e01CosineKnn, e02AnnIvf, d10EmbeddingNeardup)
+  /** e03 — symmetric int8 quantization of the embedding column (the vector
+    * compression step ANN indexes ship at scale: 4× smaller than float32,
+    * scan-friendly): per-vector scale = 127/max|x|, codes = half-up rounded
+    * x·scale, plus the reconstruction mean-absolute-error as the quality
+    * readout. Entirely map-side expression work — at 100 TB this is a
+    * projection on the scan, no shuffle. Codes are folded to a portable
+    * hash (shifted to [1, 255] so the fold never sees a negative) because
+    * the oracle compare is scalar-columnar; the fold is the same
+    * [[PortableHash.foldHash]] contract d11/d13 use. */
+  val e03Int8Quantize: GraftQuery = GraftQuery(
+    "e03_int8_quantize",
+    "symmetric int8 embedding quantization: scale, code hash, reconstruction MAE (map-side)",
+    (s, dir) => {
+      val ve = transform(col("embedding"), x => x.cast("double"))
+      val amax = array_max(transform(col("ve"), x => abs(x)))
+      val scale = when(amax > 0.0, lit(127.0) / amax).otherwise(lit(0.0))
+      val codes = transform(col("ve"),
+        x => floor(x * col("scale") + lit(0.5)).cast("long"))
+      val dequant = (c: org.apache.spark.sql.Column) =>
+        when(col("scale") > 0.0, c.cast("double") / col("scale"))
+          .otherwise(lit(0.0))
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), ve.as("ve"))
+        .withColumn("scale", scale)
+        .withColumn("codes", codes)
+        .select(col("vec_id"), col("scale"),
+          PortableHash.foldHash(transform(col("codes"), c => c + lit(128L)))
+            .as("code_hash"),
+          (aggregate(
+            zip_with(col("ve"), col("codes"), (x, c) => abs(x - dequant(c))),
+            lit(0.0), foldAdd) / size(col("ve"))).as("mae"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, ve,
+          CASE WHEN list_max(list_transform(ve, x -> abs(x))) > 0
+               THEN CAST(127.0 AS DOUBLE) / list_max(list_transform(ve, x -> abs(x)))
+               ELSE CAST(0.0 AS DOUBLE) END AS scale
+        FROM v),
+      c AS (
+        SELECT vec_id, ve, scale,
+          list_transform(ve, x ->
+            CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS codes
+        FROM q)
+      SELECT vec_id, scale,
+        ${PortableHash.foldHashSql("list_transform(codes, c -> c + 128)")} AS code_hash,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list_zip(ve, codes), p -> abs(p[1] -
+            CASE WHEN scale > 0 THEN CAST(p[2] AS DOUBLE) / scale
+                 ELSE CAST(0.0 AS DOUBLE) END))), (a, b) -> a + b)
+          / len(ve) AS mae
+      FROM c ORDER BY vec_id"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, d10EmbeddingNeardup)
 }
