@@ -142,35 +142,51 @@ object TextQueries {
     "es" -> Seq("el", "los", "que", "y"),
     "de" -> Seq("der", "und", "die", "das"))
 
+  /** Per-language marker counts over `col("text")` (d05's building block,
+    * shared with the d18 pipeline). */
+  private def langMarkerCounts: Seq[org.apache.spark.sql.Column] = {
+    val toks = split(col("text"), " ")
+    LangMarkers.map { case (_, ws) => size(filter(toks, t => t.isin(ws: _*))) }
+  }
+
+  /** Deterministic language-guess argmax over [[langMarkerCounts]]. */
+  private def langGuess: org.apache.spark.sql.Column = {
+    val Seq(en, fr, es, de) = langMarkerCounts
+    when(fr > en && fr >= es && fr >= de, lit("fr"))
+      .when(es > en && es > fr && es >= de, lit("es"))
+      .when(de > en && de > fr && de > es, lit("de"))
+      .when(en > 0, lit("en"))
+      .otherwise(lit("und"))
+  }
+
+  private def langCntSql(ws: Seq[String]) =
+    s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS INT)"
+
+  /** d05's guess CASE over the same marker-count fragments (shared with the
+    * d18 pipeline oracle). */
+  private def langGuessSql: String = {
+    val Seq(en, fr, es, de) = LangMarkers.map(m => langCntSql(m._2))
+    s"""CASE WHEN $fr > $en AND $fr >= $es AND $fr >= $de THEN 'fr'
+             WHEN $es > $en AND $es > $fr AND $es >= $de THEN 'es'
+             WHEN $de > $en AND $de > $fr AND $de > $es THEN 'de'
+             WHEN $en > 0 THEN 'en' ELSE 'und' END"""
+  }
+
   /** Language-ID by stopword-marker argmax with deterministic precedence. */
   val d05LangId: GraftQuery = GraftQuery(
     "d05_langid",
     "marker-token language identification (deterministic argmax)",
     (s, dir) => {
-      val toks = split(col("text"), " ")
-      val cnts = LangMarkers.map { case (lg, ws) =>
-        lg -> size(filter(toks, t => t.isin(ws: _*)))
-      }
-      val Seq(en, fr, es, de) = cnts.map(_._2)
-      val guess = when(fr > en && fr >= es && fr >= de, lit("fr"))
-        .when(es > en && es > fr && es >= de, lit("es"))
-        .when(de > en && de > fr && de > es, lit("de"))
-        .when(en > 0, lit("en"))
-        .otherwise(lit("und"))
+      val Seq(en, fr, es, de) = langMarkerCounts
       docs(s, dir)
         .select(col("doc_id"), en.as("c_en"), fr.as("c_fr"), es.as("c_es"),
-          de.as("c_de"), guess.as("lang_guess"))
+          de.as("c_de"), langGuess.as("lang_guess"))
         .orderBy(col("doc_id"))
     },
     Some {
-      def cnt(ws: Seq[String]) =
-        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS INT)"
-      val Seq(en, fr, es, de) = LangMarkers.map(m => cnt(m._2))
+      val Seq(en, fr, es, de) = LangMarkers.map(m => langCntSql(m._2))
       s"""SELECT doc_id, $en AS c_en, $fr AS c_fr, $es AS c_es, $de AS c_de,
-        CASE WHEN $fr > $en AND $fr >= $es AND $fr >= $de THEN 'fr'
-             WHEN $es > $en AND $es > $fr AND $es >= $de THEN 'es'
-             WHEN $de > $en AND $de > $fr AND $de > $es THEN 'de'
-             WHEN $en > 0 THEN 'en' ELSE 'und' END AS lang_guess
+        $langGuessSql AS lang_guess
         FROM documents ORDER BY doc_id"""
     })
 
@@ -509,9 +525,69 @@ object TextQueries {
         least($ChunkTokens, n - chunk_id * $ChunkTokens) AS n_chunk_tokens
       FROM c ORDER BY doc_id, chunk_id"""))
 
+  /** d18 — the END-TO-END corpus pipeline as ONE query: quality filter
+    * (d04's predicate) → language filter (d05's guess = 'en') → exact
+    * dedup (d01's keep-lowest-doc_id, via a window on the content digest) →
+    * fixed-window chunking (d17) → per-source rollup. This is the DAG a
+    * user of the engine actually ships; registering it proves the operators
+    * COMPOSE — Catalyst fuses every map-side stage (tokenize, quality,
+    * lang-ID, digest, chunk explode) into the scan stage, so the whole
+    * pipeline costs one shuffle for the dedup window and one metadata-sized
+    * shuffle for the rollup, regardless of corpus size. */
+  val d18Pipeline: GraftQuery = GraftQuery(
+    "d18_pipeline",
+    "end-to-end corpus pipeline: quality -> lang filter -> exact dedup -> chunk -> rollup",
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val stopCnt = size(filter(toks, t => t.isin(Stopwords: _*)))
+      val kept = docs(s, dir)
+        .filter(nTok >= 20 && nTok <= 120 && stopCnt > 0 &&
+          langGuess === "en")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = kept
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("doc_id"), col("source"), nTok.as("n"))
+      val nChunks = floor((col("n") + lit(ChunkTokens - 1)) / lit(ChunkTokens))
+        .cast("long")
+      deduped
+        .select(col("doc_id"), col("source"), col("n"),
+          explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(least(lit(ChunkTokens.toLong),
+            col("n").cast("long") - col("chunk_id") * ChunkTokens))
+            .as("n_tokens"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH t AS (
+        SELECT doc_id, text, source, string_split(text, ' ') AS toks
+        FROM documents),
+      q AS (
+        SELECT doc_id, text, source, len(toks) AS n,
+          len(list_filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS stop
+        FROM t),
+      k AS (
+        SELECT * FROM q
+        WHERE n BETWEEN 20 AND 120 AND stop > 0 AND ($langGuessSql) = 'en'),
+      d AS (
+        SELECT * FROM k
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+      c AS (
+        SELECT source, doc_id, n,
+          unnest(generate_series(0,
+            CAST(ceil(CAST(n AS DOUBLE) / $ChunkTokens) AS BIGINT) - 1)) AS chunk_id
+        FROM d)
+      SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        COUNT(*) AS n_chunks,
+        CAST(SUM(least($ChunkTokens, n - chunk_id * $ChunkTokens)) AS BIGINT) AS n_tokens
+      FROM c GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
     d11MinhashUnion, d12BpeTokens, d13MinhashUdaf, d14CorpusStats,
-    d15Repetition, d16Sample, d17ChunkPack)
+    d15Repetition, d16Sample, d17ChunkPack, d18Pipeline)
 }
