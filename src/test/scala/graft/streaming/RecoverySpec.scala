@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
@@ -49,6 +50,47 @@ class RecoverySpec extends SparkSpec {
     val got = sink.snapshot(spark).get.orderBy("user_id")
       .collect().map(r => (r.getAs[String]("user_id"), r.getAs[String]("lat"))).toSeq
     assert(got == Seq(("u1", "11"), ("u2", "12")))
+  }
+
+  test("topic sink: a replayed epoch (lost commit log) writes no duplicate parts") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val mem = memStream
+    val topic = StreamHarness.tempDir("recover-topic")
+    val ckpt = StreamHarness.checkpointDir("recover-topic")
+    def start() = parseFitbit(mem.toDF())
+      .select(renderTuple(col("user_id"), col("bp_cat")).as("payload"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreach(new FileTopicWriter(topic))
+      .outputMode("append").start()
+
+    val q1 = start()
+    mem.addData("fitbit,2024-01-01 10:00:00,u1,1,2,70.0,36.6,30,HYP_1,1")
+    q1.processAllAvailable()
+    q1.stop()
+
+    def lines() = spark.read.text(topic).orderBy("value")
+      .collect().map(_.getString(0)).toSeq
+    assert(lines() == Seq("(u1,HYP_1)"))
+
+    // Simulate a crash between the offset-log write and the commit-log
+    // write: on restart Spark REPLAYS epoch 0 into the foreach sink. The
+    // writer must decline the already-committed part instead of doubling it.
+    Files.delete(Paths.get(ckpt, "commits", "0"))
+    Files.deleteIfExists(Paths.get(ckpt, "commits", ".0.crc")) // hadoop local-FS sidecar
+    val q2 = start()
+    mem.addData("fitbit,2024-01-01 10:00:01,u2,3,4,70.0,36.6,30,HYP_2,2")
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(lines() == Seq("(u1,HYP_1)", "(u2,HYP_2)")) // each payload exactly once
+    val parts = {
+      val s = Files.list(Paths.get(topic))
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+    assert(parts.forall(_.startsWith("part-")) && parts.distinct == parts, parts.toString)
   }
 
   test("file-stream source: raw lines from a directory drive the same pipeline") {
