@@ -629,6 +629,32 @@ object RelationalQueries {
       FROM c CROSS JOIN e LEFT JOIN g USING (cohort, event_type)
       ORDER BY cohort, event_type"""))
 
+  /** q31 — exact interpolated percentiles per group. Bit-exactness contract:
+    * `l_quantity` is integer-valued, and the quartile interpolation weights
+    * (0.25/0.5/0.75) are exact binary fractions, so `(1−g)·a + g·b` is
+    * bit-identical in Spark (`percentile`) and DuckDB (`quantile_cont`) —
+    * arbitrary percentages on arbitrary doubles would NOT carry a hash
+    * oracle. Exact percentiles need the group's values together (unlike the
+    * mergeable sketches d11/d13): one shuffle on the group key; for a
+    * 100 TB percentile you'd reach for `approx_percentile`/t-digest
+    * instead and accept a rows-only check. */
+  val q31Percentiles: GraftQuery = GraftQuery(
+    "q31_percentiles",
+    "per-group exact quartiles (percentile / quantile_cont, interpolated)",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+      quantile_cont(l_quantity, 0.25) AS p25,
+      quantile_cont(l_quantity, 0.5) AS p50,
+      quantile_cont(l_quantity, 0.75) AS p75
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // NOTE: `all` must stay the LAST definition in this object — a query val
   // referenced here but defined further down is still null at object init
   // (silent, then NPEs at dispatch). SparkEntry.registry asserts against it.
@@ -639,5 +665,6 @@ object RelationalQueries {
     q13RevenueByNation, q14SemiJoin, q15AntiJoin, q16RunningWindow,
     q17SetOps, q18JsonExtract, q19RollupAgg, q20LagLead, q21SqlInterface,
     q22SlidingWindow, q23SessionWindow, q24SaltedJoin, q25AsofJoin,
-    q26RangeJoin, q27TpchQ5, q28DistinctAgg, q29Pivot, q30Unpivot)
+    q26RangeJoin, q27TpchQ5, q28DistinctAgg, q29Pivot, q30Unpivot,
+    q31Percentiles)
 }
