@@ -585,9 +585,101 @@ object TextQueries {
         CAST(SUM(least($ChunkTokens, n - chunk_id * $ChunkTokens)) AS BIGINT) AS n_tokens
       FROM c GROUP BY source ORDER BY source"""))
 
+  /** d19 — benchmark decontamination: score each corpus document by the
+    * fraction of its distinct word-3-gram hashes that also appear in a
+    * held-out "benchmark" split (a deterministic portable-hash 10% of the
+    * corpus, hash family 1 so it is independent of d16's sample). This is
+    * the standard pre-training decontamination shape: the benchmark n-gram
+    * set is benchmark-sized — tiny next to the corpus — so it is DISTINCTed
+    * and BROADCAST, and the per-document score is a map-side probe + one
+    * metadata-sized groupBy on doc_id. At 100 TB the corpus side streams
+    * through the scan; only the benchmark set is ever collected to one
+    * place. Non-vacuous on the fixture: the small vocabulary plus planted
+    * near-duplicates give real 3-gram collisions across the split. */
+  val d19Decontaminate: GraftQuery = GraftQuery(
+    "d19_decontaminate",
+    "benchmark 3-gram-overlap decontamination score (broadcast banned set)",
+    (s, dir) => {
+      import graft.functions.PortableHash.{A, B, P}
+      val bucket = ((lit(A(1)) * (col("doc_id") % lit(P)) + lit(B(1)))
+        % lit(P)) % lit(100L)
+      val grams = docs(s, dir)
+        .select(col("doc_id"), bucket.as("bucket"),
+          explode(array_distinct(
+            call_function("graft_shingle_hashes",
+              call_function("graft_token_hashes", col("text")), lit(3))))
+            .as("gh"))
+      val banned = grams.filter(col("bucket") < 10)
+        .select(col("gh")).distinct().withColumn("hit", lit(1))
+      grams.filter(col("bucket") >= 10)
+        .join(broadcast(banned), Seq("gh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_grams").cast("double"))
+            .as("score"),
+          (col("n_hit").cast("double") / col("n_grams").cast("double")
+            >= 0.5).cast("int").as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.functions.PortableHash.{A, B, P}
+      s"""WITH g AS (
+        SELECT doc_id,
+          ((${A(1)} * (doc_id % $P) + ${B(1)}) % $P) % 100 AS bucket,
+          unnest(list_distinct(${hashedShinglesSql(tokenHashesSql("text"), 3)})) AS gh
+        FROM documents),
+      banned AS (SELECT DISTINCT gh FROM g WHERE bucket < 10),
+      c AS (
+        SELECT g.doc_id, CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM g LEFT JOIN banned b USING (gh) WHERE g.bucket >= 10)
+      SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(hit) AS BIGINT) AS n_hit,
+        CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS score,
+        CAST(CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) >= 0.5 AS INT)
+          AS contaminated
+      FROM c GROUP BY doc_id ORDER BY doc_id"""
+    })
+
+  /** Per-source quota for d20. */
+  private val SampleQuota = 10
+
+  /** d20 — stratified per-source quota sampling: keep the first
+    * `SampleQuota` documents of every source, ordered by an independent
+    * portable hash of doc_id (family 2) — the per-source quota step every
+    * corpus-mixing pipeline runs, reproducible on any engine / partitioning
+    * (unlike `df.sample`). One shuffle on `source`; the window sort is
+    * per-source. At 100 TB with quota ≪ source size you would swap the full
+    * window sort for a bounded per-partition top-K aggregate (heap of K per
+    * source, mergeable) — the semantics here are the contract for that. */
+  val d20StratifiedSample: GraftQuery = GraftQuery(
+    "d20_stratified_sample",
+    s"deterministic per-source quota sample (first $SampleQuota by portable hash)",
+    (s, dir) => {
+      import graft.functions.PortableHash.{A, B, P}
+      val bucket = (lit(A(2)) * (col("doc_id") % lit(P)) + lit(B(2))) % lit(P)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(bucket, col("doc_id"))
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= SampleQuota)
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some {
+      import graft.functions.PortableHash.{A, B, P}
+      s"""SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY (${A(2)} * (doc_id % $P) + ${B(2)}) % $P, doc_id) AS INT) AS rk
+        FROM documents)
+      WHERE rk <= $SampleQuota ORDER BY source, rk"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
     d11MinhashUnion, d12BpeTokens, d13MinhashUdaf, d14CorpusStats,
-    d15Repetition, d16Sample, d17ChunkPack, d18Pipeline)
+    d15Repetition, d16Sample, d17ChunkPack, d18Pipeline, d19Decontaminate,
+    d20StratifiedSample)
 }
