@@ -58,18 +58,27 @@ object Bench {
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val scaleDirOk = scaleDir != sfDir &&
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(scaleDir))
     runOnce(names.head, sfDir) // warmup: JVM + codegen + parquet footer caches
+    // Pre-build the memoized MinHash sketch table at BOTH scale factors so
+    // the d07-family medians and the sf-slope comparison measure query time,
+    // not a first-rep sketch write that lands asymmetrically (ADVICE r6).
+    if (names.contains("d07_minhash_pairs")) {
+      runOnce("d07_minhash_pairs", sfDir)
+      if (scaleDirOk) runOnce("d07_minhash_pairs", scaleDir)
+    }
 
     val results = names.map { n =>
       val runs = (1 to reps).map(_ => runOnce(n, sfDir))
       n -> (median(runs.map(_._1)), runs.flatMap(_._2).headOption)
     }
     // Scale slope: one rep per query at the secondary SF (skipped when it
-    // is missing or identical to the primary).
+    // is missing or identical to the primary). Failures null the time and
+    // land in the scaling err map — never a fast-looking elapsed (ADVICE r6).
     val scaling =
-      if (scaleDir == sfDir || !java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(scaleDir))) Seq.empty[(String, Double)]
-      else names.map(n => n -> runOnce(n, scaleDir)._1)
+      if (!scaleDirOk) Seq.empty[(String, (Double, Option[String]))]
+      else names.map(n => n -> runOnce(n, scaleDir))
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -83,9 +92,14 @@ object Bench {
     val scal =
       if (scaling.isEmpty) ""
       else {
-        val sq = scaling.map { case (k, sec) => s"${jstr(k)}:$sec" }
-          .mkString("{", ",", "}")
-        s""","scaling":{"sf":${jstr(scaleDir)},"queries":$sq}"""
+        val sq = scaling.map {
+          case (k, (_, Some(_))) => s"${jstr(k)}:null"
+          case (k, (sec, None)) => s"${jstr(k)}:$sec"
+        }.mkString("{", ",", "}")
+        val serr = scaling.collect { case (k, (_, Some(e))) =>
+          s"${jstr(k)}:${jstr(e)}"
+        }.mkString("{", ",", "}")
+        s""","scaling":{"sf":${jstr(scaleDir)},"queries":$sq,"err":$serr}"""
       }
     val total = results.map(_._2._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$errs,"reps":$reps,"sf":"$sfDir"$scal}""")

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative min-label propagation —
+  * the clustering step that turns near-duplicate candidate PAIRS into
+  * duplicate GROUPS (so a dedup pass can keep one canonical document per
+  * group, not merely drop one side of each pair).
+  *
+  * Algorithm: every node starts labeled with itself; each round every node
+  * takes the min of its own label and its neighbors' labels; converged when
+  * no label changes. All per-round work is one equi-join (edges × labels,
+  * shuffle on the node key) plus one partial-aggregable `min` groupBy —
+  * both linear in |E| and skew-free when, as here, the graph is a
+  * near-duplicate graph whose components are small by construction (LSH
+  * candidates of a deduplicatable corpus; a component spanning a large
+  * fraction of the corpus would mean the corpus is one giant duplicate
+  * class). Rounds = component diameter. For adversarial graphs with long
+  * chains the same loop body accepts the large-star/small-star edge
+  * rewriting (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond") which converges in O(log n) rounds; the propagation variant is
+  * the right default for dedup graphs where diameter ≈ 2–3.
+  *
+  * Per-round lineage is truncated with `localCheckpoint` (eager) so the
+  * plan does not grow with iteration count — on a real cluster this would
+  * be `checkpoint` to the reliable store; local blocks are the right
+  * single-box analogue. Convergence is detected by the monotone label-sum:
+  * labels only ever decrease, so the sum strictly decreases iff any label
+  * changed — one cheap aggregate action per round instead of a self-join
+  * diff.
+  */
+object ConnectedComponents {
+
+  /** Labels every node with the minimum node id reachable from it.
+    *
+    * @param nodes one column `id` (bigint), the full vertex set
+    * @param edges two columns `src`, `dst` (bigint), directed; pass both
+    *              directions for an undirected graph
+    * @return columns (`id`, `cluster`) where `cluster` = min id in the
+    *         node's component
+    */
+  def label(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("id"), col("id").as("cluster"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("cluster"))).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = e.join(labels, e("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.select(col("id"), col("cluster")).union(msgs)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum(col("cluster"))).head.getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+      iter += 1
+    }
+    e.unpersist()
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    labels
+  }
+}

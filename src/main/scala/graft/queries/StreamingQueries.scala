@@ -520,13 +520,17 @@ object StreamingQueries {
     "mapData projection: fitbit parse -> (user, lat, long, half-up pulse, temp) (P3)",
     (s, dir) => {
       val raw = Tables.load(s, dir, "events").select(Wire.fitbitLine.as("value"))
+      // Total order needs lat too: lat derives from event_id while the other
+      // four keys derive from (user_id, temp), so two events of one user with
+      // the same value tie on everything but lat (ADVICE r6).
       mapData(parseFitbit(raw))
-        .orderBy(col("user_id"), col("long"), col("pulse"), col("temp"))
+        .orderBy(col("user_id"), col("lat"), col("long"), col("pulse"),
+          col("temp"))
     },
     Some(s"""SELECT CAST(user_id AS VARCHAR) AS user_id, $LatSql AS lat,
       $LongSql AS long, $PulseSql AS pulse, value AS temp
       FROM events
-      ORDER BY CAST(user_id AS VARCHAR), $LongSql, $PulseSql, value"""))
+      ORDER BY CAST(user_id AS VARCHAR), $LatSql, $LongSql, $PulseSql, value"""))
 
   /** s13 — K2's EXACT last-write-wins register ([[Wire.SalesSchemaV2]]): the
     * wire carries the transport offset (`seq` — here event_id, monotone in

@@ -57,6 +57,38 @@ object TextQueries {
     s.read.parquet(path)
   }
 
+  /** LSH candidate near-duplicate pairs (doc_a < doc_b, distinct): band the
+    * materialized signature table and self-equi-join on the band key — the
+    * one shuffle that makes MinHash-LSH sub-quadratic. Shared by d07
+    * (estimated Jaccard), d09 (exact verification) and d21 (clustering). */
+  private def lshCandidates(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val sig = signatureTable(s, dir)
+    val bands = sig.select(col("doc_id"),
+      posexplode(bandKeys(col("sig"))).as(Seq("band", "bh")))
+    bands.as("x").join(bands.as("y"),
+      col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** DuckDB CTE chain producing the same candidate pairs as
+    * [[lshCandidates]]: `th` → `hs` → `sig` → `bands` → `cand`. */
+  private def lshCandidatesSql: String =
+    s"""th AS (
+        SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents),
+      hs AS (
+        SELECT doc_id, ${hashedShinglesSql("th", 3)} AS hs FROM th),
+      sig AS (
+        SELECT doc_id, ${minhashSignatureSql("hs")} AS sig FROM hs),
+      bands AS (
+        SELECT doc_id, band - 1 AS band, (${bandKeysSql("sig")})[band] AS bh
+        FROM sig, (SELECT unnest(generate_series(1, $Bands)) AS band)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
+
   /** Exact deduplication: hash-groupBy on content digest, keep min doc_id.
     * At scale: one shuffle on a 128-bit digest, uniform distribution. */
   val d01DedupExact: GraftQuery = GraftQuery(
@@ -216,14 +248,7 @@ object TextQueries {
     s"MinHash($K)+LSH(${Bands}x$Rows) near-duplicate candidate pairs with estimated Jaccard",
     (s, dir) => {
       val sig = signatureTable(s, dir)
-      val bands = sig.select(col("doc_id"),
-        posexplode(bandKeys(col("sig"))).as(Seq("band", "bh")))
-      val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      cand
+      lshCandidates(s, dir)
         .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
         .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
@@ -232,19 +257,7 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some {
-      s"""WITH th AS (
-        SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents),
-      hs AS (
-        SELECT doc_id, ${hashedShinglesSql("th", 3)} AS hs FROM th),
-      sig AS (
-        SELECT doc_id, ${minhashSignatureSql("hs")} AS sig FROM hs),
-      bands AS (
-        SELECT doc_id, band - 1 AS band, (${bandKeysSql("sig")})[band] AS bh
-        FROM sig, (SELECT unnest(generate_series(1, $Bands)) AS band)),
-      cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y
-          ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+      s"""WITH $lshCandidatesSql
       SELECT doc_a, doc_b,
         CAST(list_sum(list_transform(generate_series(1, $K),
           i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS matches,
@@ -285,14 +298,7 @@ object TextQueries {
       val sh = toksT
         .select(col("doc_id"), wordShingles(col("toks"), 3).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sig = signatureTable(s, dir)
-      val bands = sig.select(col("doc_id"),
-        posexplode(bandKeys(col("sig"))).as(Seq("band", "bh")))
-      val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val cand = lshCandidates(s, dir)
       val inter = size(array_intersect(col("sh_a"), col("sh_b")))
       val uni = size(col("sh_a")) + size(col("sh_b")) - inter
       cand
@@ -304,20 +310,11 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some {
-      s"""WITH th AS (
-        SELECT doc_id, ${tokensSql("text")} AS toks, ${tokenHashesSql("text")} AS th
-        FROM documents),
+      s"""WITH $lshCandidatesSql,
+      tk AS (
+        SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
       sh AS (
-        SELECT doc_id, ${wordShinglesSql("toks", 3)} AS sh FROM th),
-      sig AS (
-        SELECT doc_id, ${minhashSignatureSql(hashedShinglesSql("th", 3))} AS sig FROM th),
-      bands AS (
-        SELECT doc_id, band - 1 AS band, (${bandKeysSql("sig")})[band] AS bh
-        FROM sig, (SELECT unnest(generate_series(1, $Bands)) AS band)),
-      cand AS (
-        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y
-          ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+        SELECT doc_id, ${wordShinglesSql("toks", 3)} AS sh FROM tk)
       SELECT doc_a, doc_b, jaccard FROM (
         SELECT doc_a, doc_b,
           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
@@ -676,10 +673,60 @@ object TextQueries {
       WHERE rk <= $SampleQuota ORDER BY source, rk"""
     })
 
+  /** d21 — near-duplicate CLUSTERING: connected components over the LSH
+    * candidate graph ([[lshCandidates]]) via
+    * [[graft.operators.ConnectedComponents]] min-label propagation. Pairwise
+    * candidates (d07) only say "a looks like b"; dedup needs GROUPS — a
+    * chain a~b~c must collapse to ONE kept document even when (a,c) never
+    * collide in any band. Every document gets a cluster id (= min doc_id in
+    * its component; singletons are their own cluster), the component size,
+    * and the canonical flag a dedup pass would keep.
+    *
+    * Scale: candidate generation is the LSH band equi-join (sub-quadratic);
+    * each propagation round is one edge equi-join + one partial-aggregable
+    * min groupBy; rounds = component diameter, which for a near-dup graph is
+    * small by construction. The size join is one shuffle on the cluster key.
+    * Oracle: DuckDB recursive transitive closure + MIN over the reach set —
+    * an independent formulation of the same fixpoint. */
+  val d21DupClusters: GraftQuery = GraftQuery(
+    "d21_dup_clusters",
+    "near-dup clustering: connected components over LSH candidates (min-label propagation)",
+    (s, dir) => {
+      val cand = lshCandidates(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val nodes = docs(s, dir).select(col("doc_id").as("id"))
+      val labels = graft.operators.ConnectedComponents.label(nodes, edges)
+      val sizes = labels.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster")
+        .select(col("id").as("doc_id"), col("cluster"), col("cluster_size"),
+          (col("id") === col("cluster")).cast("int").as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $lshCandidatesSql,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM cand),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS reach FROM documents
+        UNION
+        SELECT r.id, e.dst AS reach FROM reach r JOIN edges e ON r.reach = e.src),
+      lab AS (
+        SELECT id AS doc_id, MIN(reach) AS cluster FROM reach GROUP BY id),
+      sz AS (
+        SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
+      SELECT l.doc_id, l.cluster, sz.cluster_size,
+        CAST(l.doc_id = l.cluster AS INT) AS is_canonical
+      FROM lab l JOIN sz USING (cluster)
+      ORDER BY l.doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
     d11MinhashUnion, d12BpeTokens, d13MinhashUdaf, d14CorpusStats,
     d15Repetition, d16Sample, d17ChunkPack, d18Pipeline, d19Decontaminate,
-    d20StratifiedSample)
+    d20StratifiedSample, d21DupClusters)
 }
