@@ -723,10 +723,85 @@ object TextQueries {
       FROM lab l JOIN sz USING (cluster)
       ORDER BY l.doc_id"""))
 
+  /** Vocabulary size cap for d22. */
+  private val VocabK = 20
+
+  /** d22 — corpus vocabulary: global token frequencies, top-[[VocabK]] —
+    * the "build a tokenizer vocab / frequency table" step of a training
+    * pipeline. Scale: explode is map-side; the groupBy partial-aggregates
+    * per partition before ONE shuffle on the token key (reduce side is
+    * vocab-sized, not corpus-sized); the top-K is `TakeOrderedAndProject`
+    * (per-partition heaps merged at the driver), never a global sort.
+    * Ordering (n DESC, token ASC) is total — count ties are broken
+    * lexically, so the LIMIT boundary is deterministic on both engines. */
+  val d22VocabTopK: GraftQuery = GraftQuery(
+    "d22_vocab_topk",
+    s"corpus vocabulary: top-$VocabK tokens by frequency (partial-agg + heap top-K)",
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(VocabK),
+    Some(s"""SELECT token, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> ''
+      GROUP BY token ORDER BY n DESC, token LIMIT $VocabK"""))
+
+  /** Terms kept per document by d23. */
+  private val TfidfTop = 3
+
+  /** d23 — tf-idf top terms per document: tf from one (doc, token) groupBy,
+    * document frequency from a vocab-sized rollup that is BROADCAST back
+    * (the df table is |vocab| rows no matter how big the corpus), then a
+    * per-document top-[[TfidfTop]] window. The score is the rational
+    * `tf·(N+1)/(df+1)` rather than the usual log-idf: same ranking
+    * (log is monotone), but IEEE multiply/divide is bit-identical across
+    * engines while libm `ln` is not — the hash gate compares bits. */
+  val d23TfidfTop: GraftQuery = GraftQuery(
+    "d23_tfidf_top",
+    s"per-document top-$TfidfTop terms by tf-idf (broadcast vocab-sized df table)",
+    (s, dir) => {
+      val nDocs = docs(s, dir).count()
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val score = (col("tf").cast("double") * lit((nDocs + 1).toDouble)) /
+        (col("df") + lit(1L)).cast("double")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+      tf.join(broadcast(df), "token")
+        .withColumn("score", score)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= TfidfTop)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("score"), col("rk"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+    Some(s"""WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        WHERE token <> '' GROUP BY doc_id, token),
+      df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      sc AS (
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+          (CAST(tf.tf AS DOUBLE) * CAST(n.n + 1 AS DOUBLE)) /
+            CAST(df.df + 1 AS DOUBLE) AS score
+        FROM tf JOIN df USING (token) CROSS JOIN n)
+      SELECT doc_id, token, tf, df, score, rk FROM (
+        SELECT sc.*, CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, token) AS INT) AS rk FROM sc)
+      WHERE rk <= $TfidfTop ORDER BY doc_id, rk"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
     d11MinhashUnion, d12BpeTokens, d13MinhashUdaf, d14CorpusStats,
     d15Repetition, d16Sample, d17ChunkPack, d18Pipeline, d19Decontaminate,
-    d20StratifiedSample, d21DupClusters)
+    d20StratifiedSample, d21DupClusters, d22VocabTopK, d23TfidfTop)
 }
