@@ -83,6 +83,20 @@ object SimilarityQueries {
   val NList: Int = 16
   val NProbe: Int = 4
 
+  /** Per-centroid `(−cosine, cid)` structs against a collected codebook:
+    * `array_min` picks the max cosine with ties to the smallest cid — the
+    * same order as the oracles' `row_number() OVER (ORDER BY ccos DESC,
+    * cid)`. Shared by e02 (float codebook) and e04 (int8 codebook). */
+  private def centScores(codebook: Array[(Long, Seq[Double], Double)],
+                         vec: org.apache.spark.sql.Column,
+                         nrm: org.apache.spark.sql.Column) =
+    codebook.map { case (cid, cve, cnrm) =>
+      struct(
+        (-(call_function("graft_dot", vec, array(cve.map(lit): _*))
+          / (nrm * lit(cnrm)))).as("negc"),
+        lit(cid).as("cid"))
+    }
+
   /** e02 — IVF-bucketed approximate nearest neighbors (the scale path the
     * brief names): centroids = the `NList` lowest-vec_id vectors (a
     * deterministic coarse codebook; production would k-means, which is just
@@ -118,24 +132,14 @@ object SimilarityQueries {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
         .sortBy(_._1)
-      // Per-centroid (−cosine, cid) structs: array_min picks max cosine,
-      // ties to the smallest cid — the same order as the oracle's
-      // row_number() OVER (ORDER BY ccos DESC, cid).
-      def centScores(vec: org.apache.spark.sql.Column,
-                     nrm: org.apache.spark.sql.Column) =
-        codebook.map { case (cid, cve, cnrm) =>
-          struct(
-            (-(call_function("graft_dot", vec, array(cve.map(lit): _*))
-              / (nrm * lit(cnrm)))).as("negc"),
-            lit(cid).as("cid"))
-        }
       val assigned = prepared.withColumn("list",
-        array_min(array(centScores(col("ve"), col("nrm")): _*)).getField("cid"))
+        array_min(array(centScores(codebook, col("ve"), col("nrm")): _*))
+          .getField("cid"))
       val probes = prepared.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("ve").as("qv"), col("nrm").as("qnrm"))
         .withColumn("list",
           explode(transform(
-            slice(array_sort(array(centScores(col("qv"), col("qnrm")): _*)),
+            slice(array_sort(array(centScores(codebook, col("qv"), col("qnrm")): _*)),
               1, NProbe),
             _.getField("cid"))))
       val scored = assigned.join(broadcast(probes), Seq("list"))
@@ -305,6 +309,114 @@ object SimilarityQueries {
           / len(ve) AS mae
       FROM c ORDER BY vec_id"""))
 
+  /** e04 — the production ANN memory layout: IVF probing (e02's pipeline)
+    * over the int8-QUANTIZED vectors (e03's codes) — index, assignment,
+    * probe, and re-rank all read 1-byte codes, never the float column. At
+    * scale this is the 4× memory-bandwidth win quantized indexes exist for
+    * (the float embeddings stay in cold storage; the hot index is bytes).
+    *
+    * The quantized cosine needs NO dequantization: per-vector scales cancel,
+    * so cos_q(a,b) = idot(a,b) / (√idot(a,a)·√idot(b,b)) over raw integer
+    * codes. Every product ≤ 127²·dim fits exactly in a double, so unlike
+    * float dot products the score is EXACT integer arithmetic on both
+    * engines — the oracle matches bit-for-bit by construction, and the only
+    * approximation vs e01 is the quantization itself (plus IVF probe loss,
+    * recall-floored in AnnRecallSpec alongside e02). Zero vectors (scale=0)
+    * quantize to all-zero codes and are excluded on both engines rather
+    * than producing 0/0. */
+  val e04AnnInt8: GraftQuery = GraftQuery(
+    "e04_ann_int8",
+    "IVF ANN over int8 codes: scale-free quantized cosine (exact integer dots), NProbe probe + re-rank",
+    (s, dir) => {
+      val ve = transform(col("embedding"), x => x.cast("double"))
+      val amax = array_max(transform(col("ve"), x => abs(x)))
+      val quant = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), ve.as("ve"))
+        // scale materialized BEFORE the codes transform: interpreted HOFs
+        // have no CSE, so an inlined amax subtree would re-reduce the
+        // vector once per element.
+        .withColumn("scale",
+          when(amax > 0.0, lit(127.0) / amax).otherwise(lit(0.0)))
+        .withColumn("qv", transform(col("ve"),
+          x => floor(x * col("scale") + lit(0.5)).cast("double")))
+        .withColumn("qnrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
+        .filter(col("qnrm") > 0.0)
+        .select(col("vec_id"), col("qv"), col("qnrm"))
+      val codebook = quant.filter(col("vec_id") < NList)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1)
+      val assigned = quant.withColumn("list",
+        array_min(array(centScores(codebook, col("qv"), col("qnrm")): _*))
+          .getField("cid"))
+      val probes = quant.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qnrm").as("pnrm"))
+        .withColumn("list",
+          explode(transform(
+            slice(array_sort(array(centScores(codebook, col("pv"), col("pnrm")): _*)),
+              1, NProbe),
+            _.getField("cid"))))
+      val scored = assigned.join(broadcast(probes), Seq("list"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("qcos",
+          call_function("graft_dot", col("pv"), col("qv"))
+            / (col("pnrm") * col("qnrm")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("qcos").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id"), col("rnk"), col("qcos"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+      q0 AS (
+        SELECT vec_id, ve,
+          CASE WHEN list_max(list_transform(ve, x -> abs(x))) > 0
+               THEN CAST(127.0 AS DOUBLE) / list_max(list_transform(ve, x -> abs(x)))
+               ELSE CAST(0.0 AS DOUBLE) END AS scale
+        FROM v),
+      qz AS (
+        SELECT vec_id, list_transform(ve, x ->
+          CAST(CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DOUBLE)) AS qv
+        FROM q0),
+      n AS (
+        SELECT * FROM (
+          SELECT vec_id, qv,
+            sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS qnrm
+          FROM qz)
+        WHERE qnrm > 0),
+      c AS (SELECT vec_id AS cid, qv AS cqv, qnrm AS cnrm FROM n WHERE vec_id < $NList),
+      cc AS (
+        SELECT n.vec_id, n.qv, n.qnrm, c.cid,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(n.qv, c.cqv), p -> p[1] * p[2])), (a, b) -> a + b)
+            / (n.qnrm * c.cnrm) AS ccos
+        FROM n, c),
+      assigned AS (
+        SELECT vec_id, qv, qnrm, cid AS list FROM (
+          SELECT vec_id, qv, qnrm, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+          FROM cc) WHERE crn = 1),
+      probes AS (
+        SELECT qid, pv, pnrm, cid AS list FROM (
+          SELECT vec_id AS qid, qv AS pv, qnrm AS pnrm, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+          FROM cc WHERE vec_id < 8) WHERE crn <= $NProbe),
+      scored AS (
+        SELECT p.qid, a.vec_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(p.pv, a.qv), x -> x[1] * x[2])), (x, y) -> x + y)
+            / (p.pnrm * a.qnrm) AS qcos
+        FROM probes p JOIN assigned a USING (list) WHERE a.vec_id <> p.qid)
+      SELECT qid, vec_id, CAST(rnk AS INT) AS rnk, qcos FROM (
+        SELECT qid, vec_id, qcos,
+          row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS rnk
+        FROM scored)
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+
   val all: Seq[GraftQuery] =
-    Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, d10EmbeddingNeardup)
+    Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8, d10EmbeddingNeardup)
 }
