@@ -1,27 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
-import org.scalatest.BeforeAndAfterAll
-import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
 
 /** Min-label propagation must find full components, not just direct
   * neighborhoods: a chain a—b—c—d collapses to one cluster even though the
   * endpoints never share an edge (the property pairwise dedup lacks). */
-class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
-
-  private var spark: SparkSession = _
-
-  override def beforeAll(): Unit = {
-    spark = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", 2)
-      .config("spark.ui.enabled", "false")
-      .appName("cc-spec")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-  }
-
-  override def afterAll(): Unit = spark.stop()
+class ConnectedComponentsSpec extends SparkSpec {
 
   private def run(nodes: Seq[Long], undirected: Seq[(Long, Long)]): Map[Long, Long] = {
     val s = spark
