@@ -655,6 +655,53 @@ object RelationalQueries {
       quantile_cont(l_quantity, 0.75) AS p75
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** q32 — TPC-H Q3 shape (fixture columns: no shippriority, so
+    * o_orderpriority rides along): segment-filtered customer → open orders →
+    * not-yet-shipped lineitems, revenue rollup per order, top 10. Scale:
+    * both date predicates and the segment filter push to the parquet scans;
+    * the revenue sum is the exact-decimal [[graft.functions.Deterministic]]
+    * fold (bit-reproducible under any partial-agg order); the final top-10
+    * is TakeOrderedAndProject (per-partition heaps), never a global sort.
+    * Revenue ties are broken by l_orderkey so the LIMIT boundary is
+    * deterministic cross-engine. */
+  val q32TpchQ3: GraftQuery = GraftQuery(
+    "q32_tpch_q3",
+    "TPC-H Q3: segment-filtered 3-way join, decimal-exact revenue, heap top-10",
+    (s, dir) => {
+      val cutoff = lit("1996-07-01").cast("timestamp")
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(graft.functions.Deterministic.dsum(col("rev")).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey,
+      ${graft.functions.Deterministic.dsumSql(
+        "l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)")} AS revenue,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+        AND l_shipdate > TIMESTAMP '1996-07-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
   // NOTE: `all` must stay the LAST definition in this object — a query val
   // referenced here but defined further down is still null at object init
   // (silent, then NPEs at dispatch). SparkEntry.registry asserts against it.
@@ -666,5 +713,5 @@ object RelationalQueries {
     q17SetOps, q18JsonExtract, q19RollupAgg, q20LagLead, q21SqlInterface,
     q22SlidingWindow, q23SessionWindow, q24SaltedJoin, q25AsofJoin,
     q26RangeJoin, q27TpchQ5, q28DistinctAgg, q29Pivot, q30Unpivot,
-    q31Percentiles)
+    q31Percentiles, q32TpchQ3)
 }
