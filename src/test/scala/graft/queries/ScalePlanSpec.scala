@@ -71,6 +71,35 @@ class ScalePlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("d22 top-K is a heap (TakeOrderedAndProject), never a global sort") {
+    val plan = TextQueries.d22VocabTopK
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // Partial + final aggregate around the one token shuffle.
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("d23 broadcasts the vocab-sized df table and prunes the window map-side") {
+    val plan = TextQueries.d23TfidfTop
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // WindowGroupLimit pre-filters rank<=K before the doc_id exchange.
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("q32 pushes all three predicates to the scans and heap-selects the top 10") {
+    val plan = RelationalQueries.q32TpchQ3
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), plan)
+    assert(plan.contains("LessThan(o_orderdate"), plan)
+    assert(plan.contains("GreaterThan(l_shipdate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("approximate distinct (HLL sketch) lands within 5% of exact") {
     import spark.implicits._
     val df = (1 to 20000).map(i => i % 7919).toDF("v")
