@@ -569,9 +569,43 @@ object StreamingQueries {
         ORDER BY event_id DESC) = 1
       ORDER BY date"""))
 
+  /** s14 — s08's dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * keeps a dedup key only until the event-time watermark passes it, so
+    * state is sized by the lateness bound (2 h of keys) instead of the whole
+    * stream's key history — the only dedup that survives an unbounded
+    * stream. s08 proves the semantics with the unbounded operator; this
+    * proves the same result holds under eviction: duplicates arrive within
+    * the delay (here, in the same wire chunk), so none outlives its state
+    * entry. Same feed, same oracle as s08. */
+  val s14DedupWatermark: GraftQuery = GraftQuery(
+    "s14_dedup_watermark",
+    "bounded-state streaming dedup: dropDuplicatesWithinWatermark (state evicted past the 2h watermark)",
+    (s, dir) => {
+      val dup = explode(when(col("event_id") % 50 === 0,
+        array(Wire.fitbitLine, Wire.fitbitLine))
+        .otherwise(array(Wire.fitbitLine)))
+      val qn = "s14_sink_" + UUID.randomUUID().toString.replace("-", "")
+      StreamHarness.drain(s, fileSource("s14"), feedChunks(s, dir, dup)) { raw =>
+        parseFitbit(raw)
+          .select(col("user_id"), col("machine_ts"), col("long"),
+            try_to_timestamp(col("ts_str"),
+              lit("yyyy-MM-dd HH:mm:ss")).as("event_ts"))
+          .filter(col("event_ts").isNotNull)
+          .withWatermark("event_ts", "2 hours")
+          .dropDuplicatesWithinWatermark("user_id", "machine_ts", "long")
+          .select(col("user_id"), col("machine_ts"), col("long"))
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s14"))
+          .outputMode("append").start()
+      }
+      s.table(qn).orderBy(col("user_id"), col("machine_ts"), col("long"))
+    },
+    s08StreamDedup.oracle)
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, s01WarningStream, s02LatestLocationSink,
     s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
     s06ProfileUpsert, s07SalesUpsert, s08StreamDedup, s09StatefulCounter,
-    s10StreamJoin, s11TopicSink, s12MapData, s13SalesLwwExact)
+    s10StreamJoin, s11TopicSink, s12MapData, s13SalesLwwExact,
+    s14DedupWatermark)
 }
