@@ -34,34 +34,51 @@ object ConnectedComponents {
 
   /** Labels every node with the minimum node id reachable from it.
     *
+    * Each round is latency-bound (scheduler + one shuffle of a shrinking
+    * label table), so the shuffle partition count should track the GRAPH
+    * size, not the CPU count — same rationale as the streaming harness's
+    * right-sized state stores. Callers pass `shufflePartitions` sized to
+    * |E| (a 100 TB corpus passes thousands); the session conf is restored
+    * afterwards. Checkpoints are lazy: the convergence aggregate is the one
+    * action that materializes each round — eager checkpointing would run
+    * every round twice.
+    *
     * @param nodes one column `id` (bigint), the full vertex set
     * @param edges two columns `src`, `dst` (bigint), directed; pass both
     *              directions for an undirected graph
+    * @param shufflePartitions per-round shuffle width; None = session conf
     * @return columns (`id`, `cluster`) where `cluster` = min id in the
     *         node's component
     */
-  def label(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("id"), col("id").as("cluster"))
-      .localCheckpoint()
-    var prevSum = labels.agg(sum(col("cluster"))).head.getLong(0)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val msgs = e.join(labels, e("src") === labels("id"))
-        .select(col("dst").as("id"), col("cluster"))
-      val next = labels.select(col("id"), col("cluster")).union(msgs)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint()
-      val nextSum = next.agg(sum(col("cluster"))).head.getLong(0)
-      converged = nextSum == prevSum
-      prevSum = nextSum
-      labels = next
-      iter += 1
-    }
-    e.unpersist()
-    require(converged, s"connected components did not converge in $maxIter rounds")
-    labels
+  def label(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50,
+            shufflePartitions: Option[Int] = None): DataFrame = {
+    val spark = nodes.sparkSession
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      shufflePartitions.foreach(p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p))
+      val e = edges.select(col("src"), col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = nodes.select(col("id"), col("id").as("cluster"))
+        .localCheckpoint(eager = false)
+      var prevSum = labels.agg(sum(col("cluster"))).head.getLong(0)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val msgs = e.join(labels, e("src") === labels("id"))
+          .select(col("dst").as("id"), col("cluster"))
+        val next = labels.select(col("id"), col("cluster")).union(msgs)
+          .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+          .localCheckpoint(eager = false)
+        val nextSum = next.agg(sum(col("cluster"))).head.getLong(0)
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        labels = next
+        iter += 1
+      }
+      e.unpersist()
+      require(converged, s"connected components did not converge in $maxIter rounds")
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 }

@@ -342,6 +342,9 @@ object SimilarityQueries {
         .withColumn("qnrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
         .filter(col("qnrm") > 0.0)
         .select(col("vec_id"), col("qv"), col("qnrm"))
+        // The quantized table IS the stored index at scale — materialize it
+        // once; it feeds the codebook collect, the assignment, and the probes.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val codebook = quant.filter(col("vec_id") < NList)
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
