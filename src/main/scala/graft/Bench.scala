@@ -102,7 +102,18 @@ object Bench {
         s""","scaling":{"sf":${jstr(scaleDir)},"queries":$sq,"err":$serr}"""
       }
     val total = results.map(_._2._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$errs,"reps":$reps,"sf":"$sfDir"$scal}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$errs,"reps":$reps,"sf":"$sfDir"$scal}"""
+    println(json)
+    // The round artifact is captured from a stdout tail that has truncated
+    // the JSON two rounds running (VERDICT r7 missing #1). Also write the
+    // complete line to a file the round commits, so per-query medians stay
+    // auditable regardless of how stdout is captured.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // file write must never fail the bench
     spark.stop()
   }
 }

