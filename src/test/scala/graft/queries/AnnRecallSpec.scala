@@ -39,4 +39,24 @@ class AnnRecallSpec extends SparkSpec {
     val mean = meanRecallVsExact(SimilarityQueries.e04AnnInt8)
     assert(mean >= 0.6, s"e04 mean recall@5 $mean < 0.6")
   }
+
+  test("e05 trained-codebook IVF holds the recall floor and does not trail e04") {
+    // The point of training (VERDICT r7 missing #3): the k-means codebook
+    // must not be WORSE than the seed codebook it starts from. Equality is
+    // allowed — on an easy corpus training may not move assignments.
+    val e04 = meanRecallVsExact(SimilarityQueries.e04AnnInt8)
+    val e05 = meanRecallVsExact(SimilarityQueries.e05AnnIvfTrained)
+    assert(e05 >= 0.6, s"e05 mean recall@5 $e05 < 0.6")
+    assert(e05 >= e04 - 1e-9, s"trained codebook recall $e05 trails seed codebook $e04")
+  }
+
+  test("fixture embedding dimensionality matches SimilarityQueries.Dim") {
+    // e05's oracle unrolls per-dimension sums over 1..Dim; a fixture with a
+    // different dim would silently truncate the training sums.
+    import org.apache.spark.sql.functions._
+    val dims = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
+    assert(dims.toSeq == Seq(SimilarityQueries.Dim),
+      s"embedding dims ${dims.toSeq} != ${SimilarityQueries.Dim}")
+  }
 }
