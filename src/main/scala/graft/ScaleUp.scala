@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derived-scale-factor generator: replicates a testdata directory N× into
+  * a new directory so the bench can measure a ≥10× scale point above the
+  * largest driver-provided SF (VERDICT r7 missing #2 — the 100×-scale
+  * claims were plan-audited but measured only to sf0.1).
+  *
+  * Replication is NOT naive row duplication — duplicating every row 10×
+  * would (a) multiply every key's group size instead of the key count,
+  * and (b) hand the near-dup operators a corpus where every document has 9
+  * verbatim twins, making their candidate work measure a fixture artifact
+  * (quadratic clique growth) instead of engine scaling. Instead each
+  * replica i gets:
+  *
+  *  - int64 keys offset by `i × (max(key)+1)` per table, with foreign keys
+  *    offset by the referenced table's stride (orders.o_custkey moves with
+  *    customer, lineitem.l_orderkey with orders, …) so join fan-outs and
+  *    group cardinalities scale the way a genuinely bigger dataset's would;
+  *  - document text Caesar-shifted by i within [a-z]/[A-Z] (`translate`,
+  *    codegen'd): lengths, token shapes and WITHIN-replica near-dup
+  *    structure are preserved, while token/shingle/bigram hashes across
+  *    replicas decorrelate — near-dup pair density stays constant per
+  *    replica, so dedup cost scales like real corpus growth;
+  *  - embedding vectors rotated left by i positions: rotation is an
+  *    orthogonal transform (all intra-replica cosines exactly preserved)
+  *    that decorrelates inter-replica vectors, so ANN index/bucket load
+  *    scales linearly in corpus size;
+  *  - dimension tables (region, nation) copied as-is — at any real scale
+  *    these stay broadcast-sized, and inflating them would distort every
+  *    star-join plan the bench is trying to measure.
+  *
+  * Events keep their user population and time window (10× events = rate
+  * growth, the realistic axis) with only event_id offset. `ts` is read RAW
+  * (no nano→micro conversion) so the derived file round-trips through
+  * [[graft.sources.Tables.load]] identically to the source.
+  */
+object ScaleUp {
+
+  /** Marker file recording what the derived dir was built from; a content
+    * mismatch (different source or factor) forces a rebuild. */
+  private def marker(outDir: String) =
+    java.nio.file.Paths.get(outDir, "_GRAFT_SCALEUP")
+
+  /** Build `outDir` as `factor`× `srcDir` unless an up-to-date build is
+    * already there. Returns true when the derived dir is ready. */
+  def ensure(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Boolean = {
+    val want = s"src=$srcDir factor=$factor v1"
+    val m = marker(outDir)
+    if (java.nio.file.Files.exists(m) &&
+        java.nio.file.Files.readString(m).trim == want) return true
+    build(spark, srcDir, outDir, factor)
+    java.nio.file.Files.createDirectories(m.getParent)
+    java.nio.file.Files.writeString(m, want + "\n")
+    true
+  }
+
+  private def raw(spark: SparkSession, srcDir: String, name: String): DataFrame = {
+    graft.sources.Tables.prepare(spark) // nanosAsLong so events.ts reads raw
+    spark.read.parquet(s"$srcDir/$name.parquet")
+  }
+
+  private def stride(df: DataFrame, key: String): Long =
+    df.agg(max(col(key))).head().getLong(0) + 1L
+
+  /** Union of `factor` replicas, replica i transformed by `mod(df, i)`. */
+  private def replicate(df: DataFrame, factor: Int)(mod: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until factor).map(i => mod(df, i)).reduce(_ union _)
+
+  private def shiftKeys(df: DataFrame, i: Int, strides: (String, Long)*): DataFrame =
+    strides.foldLeft(df) { case (d, (k, s)) =>
+      d.withColumn(k, col(k) + lit(i * s))
+    }
+
+  def build(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+    def write(df: DataFrame, name: String, files: Int): Unit =
+      df.repartition(files).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+
+    // Dimension tables: copy (broadcast-sized at every real scale).
+    for (t <- Seq("region", "nation"))
+      write(raw(spark, srcDir, t), t, 1)
+
+    val customer = raw(spark, srcDir, "customer")
+    val supplier = raw(spark, srcDir, "supplier")
+    val part = raw(spark, srcDir, "part")
+    val orders = raw(spark, srcDir, "orders")
+    val custS = stride(customer, "c_custkey")
+    val suppS = stride(supplier, "s_suppkey")
+    val partS = stride(part, "p_partkey")
+    val orderS = stride(orders, "o_orderkey")
+
+    write(replicate(customer, factor)((d, i) => shiftKeys(d, i, "c_custkey" -> custS)),
+      "customer", 4)
+    write(replicate(supplier, factor)((d, i) => shiftKeys(d, i, "s_suppkey" -> suppS)),
+      "supplier", 1)
+    write(replicate(part, factor)((d, i) => shiftKeys(d, i, "p_partkey" -> partS)),
+      "part", 4)
+    write(replicate(orders, factor)((d, i) =>
+      shiftKeys(d, i, "o_orderkey" -> orderS, "o_custkey" -> custS)), "orders", 8)
+    write(replicate(raw(spark, srcDir, "lineitem"), factor)((d, i) =>
+      shiftKeys(d, i, "l_orderkey" -> orderS, "l_partkey" -> partS,
+        "l_suppkey" -> suppS)), "lineitem", 32)
+
+    val events = raw(spark, srcDir, "events")
+    val eventS = stride(events, "event_id")
+    write(replicate(events, factor)((d, i) =>
+      shiftKeys(d, i, "event_id" -> eventS)), "events", 16)
+
+    // Documents: Caesar shift by i decorrelates token/shingle/bigram hashes
+    // across replicas while preserving within-replica near-dup structure.
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val documents = raw(spark, srcDir, "documents")
+    val docS = stride(documents, "doc_id")
+    write(replicate(documents, factor) { (d, i) =>
+      val k = i % 26
+      val mapped = lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k)
+      shiftKeys(d, i, "doc_id" -> docS)
+        .withColumn("text", translate(col("text"), lower + upper, mapped))
+    }, "documents", 8)
+
+    // Embeddings: rotate dimensions by i (orthogonal ⇒ intra-replica
+    // cosines exact; inter-replica decorrelated).
+    val embeddings = raw(spark, srcDir, "embeddings")
+    val vecS = stride(embeddings, "vec_id")
+    write(replicate(embeddings, factor) { (d, i) =>
+      val rot =
+        if (i == 0) col("embedding")
+        else concat(slice(col("embedding"), i + 1, 100000),
+          slice(col("embedding"), 1, i))
+      shiftKeys(d, i, "vec_id" -> vecS).withColumn("embedding", rot)
+    }, "embeddings", 2)
+  }
+
+  /** Standalone entry: `runMain graft.ScaleUp [srcDir] [outDir] [factor]`. */
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "derived/x10"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ensure(spark, srcDir, outDir, factor)
+    spark.stop()
+  }
+}

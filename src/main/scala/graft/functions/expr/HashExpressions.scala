@@ -90,6 +90,19 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  case class PhashSig(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sig1", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sig2", LongType, nullable = false)))
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.phashSig(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.expr.HashOps.phashSig($c)")
+    override protected def withNewChildInternal(newChild: Expression): PhashSig =
+      copy(child = newChild)
+  }
+
   case class DotFold(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -120,5 +133,7 @@ object HashExpressions {
       args => DotFold(args.head, args(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_pretoken_counts",
       args => PretokenCounts(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_phash",
+      args => PhashSig(args.head), "built-in")
   }
 }

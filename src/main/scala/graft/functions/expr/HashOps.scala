@@ -166,4 +166,35 @@ object HashOps {
     }
     new GenericArrayData(sig)
   }
+
+  /** Perceptual signature of an opaque media payload (m03): two 32-bit
+    * halves, each from a 64-bucket byte-bigram histogram under an
+    * independent mix, bit k = count(k) > count(k+32). Histogram bits are
+    * robust to local edits (the property a pHash needs) and the pairwise
+    * bucket comparison keeps them ~balanced so the 16-bit LSH bands carry
+    * entropy. Both halves fit in 32 bits, so band shift/mask and
+    * bit_count(xor) stay sign-free in both engines (DuckDB raises on
+    * `1<<63`, which a packed 64-bit signature would need). */
+  def phashSig(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val c1 = new Array[Int](64)
+    val c2 = new Array[Int](64)
+    var i = 0
+    while (i < bytes.length - 1) {
+      val b1 = bytes(i) & 0xff
+      val b2 = bytes(i + 1) & 0xff
+      c1((b1 * 31 + b2) % 64) += 1
+      c2((b1 * 37 + b2 * 3) % 64) += 1
+      i += 1
+    }
+    var s1 = 0L
+    var s2 = 0L
+    var k = 0
+    while (k < 32) {
+      if (c1(k) > c1(k + 32)) s1 |= 1L << k
+      if (c2(k) > c2(k + 32)) s2 |= 1L << k
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](s1, s2))
+  }
 }

@@ -73,5 +73,81 @@ object MultimodalQueries {
       FROM documents, (SELECT unnest(generate_series(0, 7)) AS f)
       ORDER BY doc_id, frame_no"""))
 
-  val all: Seq[GraftQuery] = Seq(m01BinaryMeta, m02FrameSample)
+  /** m03 — perceptual near-duplicate pairs over the binary payload (the
+    * multimodal analog of d10): a pHash-style 64-bit signature (two 32-bit
+    * halves from byte-bigram histograms, native codegen expr `graft_phash`),
+    * 4×16-bit LSH bands for candidate generation (pigeonhole: any pair
+    * within Hamming 3 shares at least one of 4 bands), exact Hamming ≤ 3
+    * verification via `bit_count(xor)` confined to band collisions.
+    * Candidate work is Σ bucket², never corpus²; the signature scan is one
+    * map-side whole-stage-codegen projection — the d10 shape applied to
+    * opaque media bytes. */
+  val m03PhashNeardup: GraftQuery = GraftQuery(
+    "m03_phash_neardup",
+    "perceptual-hash near-dup pairs over binary payload: 4x16-bit bands + Hamming <= 3",
+    (s, dir) => {
+      val sigs = docs(s, dir)
+        .select(col("doc_id"),
+          call_function("graft_phash", col("text").cast("binary")).as("ph"))
+        .select(col("doc_id"), col("ph.sig1").as("sig1"), col("ph.sig2").as("sig2"))
+      val bands = sigs.select(col("doc_id"), col("sig1"), col("sig2"),
+        posexplode(array(
+          col("sig1").bitwiseAND(lit(65535L)), shiftright(col("sig1"), 16),
+          col("sig2").bitwiseAND(lit(65535L)), shiftright(col("sig2"), 16)))
+          .as(Seq("bn", "bv")))
+      val right = bands.select(col("bn"), col("bv"), col("doc_id").as("doc_b"),
+        col("sig1").as("s1b"), col("sig2").as("s2b"))
+      bands.join(right, Seq("bn", "bv"))
+        .filter(col("doc_id") < col("doc_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_b"),
+          col("sig1"), col("sig2"), col("s1b"), col("s2b"))
+        .distinct()
+        .withColumn("hamming",
+          expr("bit_count(sig1 ^ s1b) + bit_count(sig2 ^ s2b)"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH grams AS (
+        SELECT doc_id,
+          ord(substring(text, i, 1)) AS b1,
+          ord(substring(text, i + 1, 1)) AS b2
+        FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 1)) AS i)),
+      cnt1 AS (
+        SELECT doc_id, (b1 * 31 + b2) % 64 AS k, count(*) AS c
+        FROM grams GROUP BY 1, 2),
+      cnt2 AS (
+        SELECT doc_id, (b1 * 37 + b2 * 3) % 64 AS k, count(*) AS c
+        FROM grams GROUP BY 1, 2),
+      sig1 AS (
+        SELECT a.doc_id,
+          sum(CASE WHEN a.c > COALESCE(b.c, 0) THEN 1::BIGINT << a.k ELSE 0 END) AS sig
+        FROM cnt1 a LEFT JOIN cnt1 b ON b.doc_id = a.doc_id AND b.k = a.k + 32
+        WHERE a.k < 32 GROUP BY 1),
+      sig2 AS (
+        SELECT a.doc_id,
+          sum(CASE WHEN a.c > COALESCE(b.c, 0) THEN 1::BIGINT << a.k ELSE 0 END) AS sig
+        FROM cnt2 a LEFT JOIN cnt2 b ON b.doc_id = a.doc_id AND b.k = a.k + 32
+        WHERE a.k < 32 GROUP BY 1),
+      sigs AS (
+        SELECT d.doc_id, COALESCE(s1.sig, 0) AS sig1, COALESCE(s2.sig, 0) AS sig2
+        FROM documents d
+        LEFT JOIN sig1 s1 ON s1.doc_id = d.doc_id
+        LEFT JOIN sig2 s2 ON s2.doc_id = d.doc_id),
+      bands AS (
+        SELECT doc_id, sig1, sig2, bn,
+          CASE bn WHEN 0 THEN sig1 & 65535 WHEN 1 THEN sig1 >> 16
+                  WHEN 2 THEN sig2 & 65535 ELSE sig2 >> 16 END AS bv
+        FROM sigs, LATERAL (SELECT unnest(generate_series(0, 3)) AS bn)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          a.sig1 AS s1a, a.sig2 AS s2a, b.sig1 AS s1b, b.sig2 AS s2b
+        FROM bands a JOIN bands b ON a.bn = b.bn AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+        CAST(bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) AS INT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) <= 3
+      ORDER BY doc_a, doc_b"""))
+
+  val all: Seq[GraftQuery] = Seq(m01BinaryMeta, m02FrameSample, m03PhashNeardup)
 }

@@ -100,6 +100,20 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("m03 phash near-dup is a band equi-join, never all-pairs") {
+    val plan = MultimodalQueries.m03PhashNeardup
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // Candidate generation must be an equi-join on (band_no, band_value) —
+    // a hash or sort-merge join — with no cartesian fallback; the signature
+    // itself is a codegen'd native expression (graft_phash), so the scan
+    // projection stays inside whole-stage codegen.
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("phashsig") || plan.contains("graft_phash"), plan)
+  }
+
   test("approximate distinct (HLL sketch) lands within 5% of exact") {
     import spark.implicits._
     val df = (1 to 20000).map(i => i % 7919).toDF("v")
