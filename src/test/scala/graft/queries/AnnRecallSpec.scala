@@ -4,9 +4,11 @@ import graft.SparkSpec
 
 /** Recall floor for the approximate path (VERDICT r3/r5 carry): e02's IVF
   * ANN must find most of what e01's exact scan finds, or the "scale path"
-  * is a speed-up to a wrong answer. Measured 0.925 at sf0.01 with
-  * (NList=16, NProbe=4); the floor is 0.6 so codebook-parameter tweaks
-  * don't flap the suite. */
+  * is a speed-up to a wrong answer. Measured at sf0.01 with (NList=16,
+  * NProbe=4): e02 0.925, e04 0.90, e05 0.90. The queries are fully
+  * deterministic on the fixture, so the 0.8 floor (VERDICT r7 #3's target)
+  * has real headroom — a drop below it means a semantic regression, not
+  * noise. */
 class AnnRecallSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
@@ -28,16 +30,15 @@ class AnnRecallSpec extends SparkSpec {
     recalls.sum / recalls.size
   }
 
-  test("e02 IVF ANN mean recall@5 vs exact e01 is >= 0.6") {
+  test("e02 IVF ANN mean recall@5 vs exact e01 is >= 0.8") {
     val mean = meanRecallVsExact(SimilarityQueries.e02AnnIvf)
-    assert(mean >= 0.6, s"e02 mean recall@5 $mean < 0.6")
+    assert(mean >= 0.8, s"e02 mean recall@5 $mean < 0.8")
   }
 
-  test("e04 int8 IVF ANN mean recall@5 vs exact e01 is >= 0.6") {
-    // Adds quantization error on top of e02's probe loss; the floor stays
-    // 0.6 so codebook tweaks don't flap the suite.
+  test("e04 int8 IVF ANN mean recall@5 vs exact e01 is >= 0.8") {
+    // Adds quantization error on top of e02's probe loss (measured 0.90).
     val mean = meanRecallVsExact(SimilarityQueries.e04AnnInt8)
-    assert(mean >= 0.6, s"e04 mean recall@5 $mean < 0.6")
+    assert(mean >= 0.8, s"e04 mean recall@5 $mean < 0.8")
   }
 
   test("e05 trained-codebook IVF holds the recall floor and does not trail e04") {
@@ -46,7 +47,7 @@ class AnnRecallSpec extends SparkSpec {
     // allowed — on an easy corpus training may not move assignments.
     val e04 = meanRecallVsExact(SimilarityQueries.e04AnnInt8)
     val e05 = meanRecallVsExact(SimilarityQueries.e05AnnIvfTrained)
-    assert(e05 >= 0.6, s"e05 mean recall@5 $e05 < 0.6")
+    assert(e05 >= 0.8, s"e05 mean recall@5 $e05 < 0.8")
     assert(e05 >= e04 - 1e-9, s"trained codebook recall $e05 trails seed codebook $e04")
   }
 
