@@ -602,10 +602,51 @@ object StreamingQueries {
     },
     s08StreamDedup.oracle)
 
+  /** s15 — s09's per-user alert counter on Spark 4's `transformWithState`
+    * (VERDICT r7 #8): named RocksDB-backed `ValueState` instead of
+    * `mapGroupsWithState`'s opaque state blob — see
+    * [[graft.streaming.AlertCountProcessor]] for the operator-level
+    * rationale. The RocksDB provider is required by the operator; it is set
+    * for this query's session and restored after, so the rest of the
+    * registry keeps the default HDFS-backed store. Same feed, same oracle,
+    * same max-reconciliation as s09. */
+  val s15TwsCounter: GraftQuery = GraftQuery(
+    "s15_tws_counter",
+    "transformWithState per-user alert counter (RocksDB ValueState, update mode)",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val qn = "s15_sink_" + UUID.randomUUID().toString.replace("-", "")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val saved = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        StreamHarness.drain(s, fileSource("s15"), feedChunks(s, dir)) { raw =>
+          warningAlerts(parseFitbit(raw))
+            .select(col("user_id")).as[String]
+            .groupByKey(identity)
+            .transformWithState(new graft.streaming.AlertCountProcessor,
+              TimeMode.None(), OutputMode.Update())
+            .toDF("user_id", "n_alerts")
+            .writeStream.format("memory").queryName(qn)
+            .option("checkpointLocation", StreamHarness.checkpointDir("s15"))
+            .outputMode("update").start()
+        }
+      } finally saved match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
+      s.table(qn).groupBy(col("user_id"))
+        .agg(max(col("n_alerts")).as("n_alerts"))
+        .orderBy(col("user_id"))
+    },
+    s09StatefulCounter.oracle)
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, s01WarningStream, s02LatestLocationSink,
     s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
     s06ProfileUpsert, s07SalesUpsert, s08StreamDedup, s09StatefulCounter,
     s10StreamJoin, s11TopicSink, s12MapData, s13SalesLwwExact,
-    s14DedupWatermark)
+    s14DedupWatermark, s15TwsCounter)
 }
