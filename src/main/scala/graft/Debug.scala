@@ -13,10 +13,16 @@ object Debug {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = if (args.nonEmpty) args.toSeq else Seq("d07_minhash_pairs", "d08_simhash", "d09_ngram_jaccard")
-    names.foreach { n =>
+    // `name@dir` runs a query against an explicit directory (two-dir
+    // warm/cold experiments in one JVM); bare names use SPARK_GRAFT_SF_DIR.
+    names.foreach { spec =>
+      val (n, d) = spec.split("@") match {
+        case Array(n0, d0) => (n0, d0)
+        case _ => (spec, dir)
+      }
       val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
-      println(f"[debug] $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      SparkEntry.queries(n)(spark, d).write.format("noop").mode("overwrite").save()
+      println(f"[debug] $n@$d: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -167,6 +167,31 @@ object HashOps {
     new GenericArrayData(sig)
   }
 
+  /** One-pass symmetric int8 quantization (e04/e05's index build): amax →
+    * scale = 127/amax → half-up-rounded codes, exactly the declarative
+    * `floor(x·scale + 0.5)` pipeline (and the DuckDB oracle). One tight
+    * loop per row: the declarative form paid O(dim²) per row once
+    * CollapseProject inlined the `amax` reduction into the per-element
+    * lambda (measured 2 ms/row — 4 s to quantize 2 000 vectors — r8). */
+  def quantizeCodes(ve: ArrayData): ArrayData = {
+    val n = ve.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(ve.getDouble(i))
+      if (a > amax) amax = a
+      i += 1
+    }
+    val scale = if (amax > 0.0) 127.0 / amax else 0.0
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(ve.getDouble(i) * scale + 0.5)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Perceptual signature of an opaque media payload (m03): two 32-bit
     * halves, each from a 64-bucket byte-bigram histogram under an
     * independent mix, bit k = count(k) > count(k+32). Histogram bits are

@@ -83,19 +83,32 @@ object SimilarityQueries {
   val NList: Int = 16
   val NProbe: Int = 4
 
-  /** Per-centroid `(−cosine, cid)` structs against a collected codebook:
-    * `array_min` picks the max cosine with ties to the smallest cid — the
-    * same order as the oracles' `row_number() OVER (ORDER BY ccos DESC,
-    * cid)`. Shared by e02 (float codebook) and e04 (int8 codebook). */
-  private def centScores(codebook: Array[(Long, Seq[Double], Double)],
-                         vec: org.apache.spark.sql.Column,
-                         nrm: org.apache.spark.sql.Column) =
-    codebook.map { case (cid, cve, cnrm) =>
-      struct(
-        (-(call_function("graft_dot", vec, array(cve.map(lit): _*))
-          / (nrm * lit(cnrm)))).as("negc"),
-        lit(cid).as("cid"))
-    }
+  /** Centroid ids ordered by (−cosine, cid) against a collected codebook —
+    * element 1 is the nearest-centroid assignment, the first `NProbe` are a
+    * query's probe lists; ties to the smallest cid, the same order as the
+    * oracles' `row_number() OVER (ORDER BY ccos DESC, cid)`. Shared by e02
+    * (float codebook) and e04/e05 (int8 codebook).
+    *
+    * One native expression holding the codebook as a reference object
+    * (see [[graft.functions.expr.HashExpressions.CodebookRank]]): the r7
+    * per-centroid literal-struct formulation put ~NList·Dim literal nodes
+    * in the plan, and its one-time optimize/codegen cost dominated cold
+    * runs (17.8 s at the r8 10× scale point). Registered per call under a
+    * query-unique name; DataFrame analysis is eager, so each plan captures
+    * the codebook registered immediately before it (e05 re-registers per
+    * Lloyd iteration). */
+  private def cbRank(s: org.apache.spark.sql.SparkSession, tag: String,
+                     codebook: Array[(Long, Seq[Double], Double)],
+                     vec: org.apache.spark.sql.Column,
+                     nrm: org.apache.spark.sql.Column) = {
+    val cids = codebook.map(_._1)
+    val cvecs = codebook.map(_._2.toArray)
+    val cnrms = codebook.map(_._3)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(s"graft_cbrank_$tag",
+      args => graft.functions.expr.HashExpressions.CodebookRank(
+        args(0), args(1), cids, cvecs, cnrms), "built-in")
+    call_function(s"graft_cbrank_$tag", vec, nrm)
+  }
 
   /** e02 — IVF-bucketed approximate nearest neighbors (the scale path the
     * brief names): centroids = the `NList` lowest-vec_id vectors (a
@@ -133,15 +146,12 @@ object SimilarityQueries {
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
         .sortBy(_._1)
       val assigned = prepared.withColumn("list",
-        array_min(array(centScores(codebook, col("ve"), col("nrm")): _*))
-          .getField("cid"))
+        element_at(cbRank(s, "e02", codebook, col("ve"), col("nrm")), 1))
       val probes = prepared.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("ve").as("qv"), col("nrm").as("qnrm"))
         .withColumn("list",
-          explode(transform(
-            slice(array_sort(array(centScores(codebook, col("qv"), col("qnrm")): _*)),
-              1, NProbe),
-            _.getField("cid"))))
+          explode(slice(cbRank(s, "e02", codebook, col("qv"), col("qnrm")),
+            1, NProbe)))
       val scored = assigned.join(broadcast(probes), Seq("list"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("cosine",
@@ -329,16 +339,14 @@ object SimilarityQueries {
     "IVF ANN over int8 codes: scale-free quantized cosine (exact integer dots), NProbe probe + re-rank",
     (s, dir) => {
       val ve = transform(col("embedding"), x => x.cast("double"))
-      val amax = array_max(transform(col("ve"), x => abs(x)))
+      // Quantization is ONE native kernel call (graft_quantize): the r7
+      // declarative form re-reduced amax per element after CollapseProject
+      // inlined the scale subtree into the codes lambda — O(dim²)
+      // interpreted work per row, measured 2 ms/row (r8). Value semantics
+      // identical (floor(x·127/amax + 0.5); oracle unchanged).
       val quant = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), ve.as("ve"))
-        // scale materialized BEFORE the codes transform: interpreted HOFs
-        // have no CSE, so an inlined amax subtree would re-reduce the
-        // vector once per element.
-        .withColumn("scale",
-          when(amax > 0.0, lit(127.0) / amax).otherwise(lit(0.0)))
-        .withColumn("qv", transform(col("ve"),
-          x => floor(x * col("scale") + lit(0.5)).cast("double")))
+        .withColumn("qv", call_function("graft_quantize", col("ve")))
         .withColumn("qnrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
         .filter(col("qnrm") > 0.0)
         .select(col("vec_id"), col("qv"), col("qnrm"))
@@ -350,15 +358,12 @@ object SimilarityQueries {
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
         .sortBy(_._1)
       val assigned = quant.withColumn("list",
-        array_min(array(centScores(codebook, col("qv"), col("qnrm")): _*))
-          .getField("cid"))
+        element_at(cbRank(s, "e04", codebook, col("qv"), col("qnrm")), 1))
       val probes = quant.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qnrm").as("pnrm"))
         .withColumn("list",
-          explode(transform(
-            slice(array_sort(array(centScores(codebook, col("pv"), col("pnrm")): _*)),
-              1, NProbe),
-            _.getField("cid"))))
+          explode(slice(cbRank(s, "e04", codebook, col("pv"), col("pnrm")),
+            1, NProbe)))
       val scored = assigned.join(broadcast(probes), Seq("list"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("qcos",
@@ -459,13 +464,11 @@ object SimilarityQueries {
     "IVF ANN with k-means-trained codebook over int8 codes: integer-exact Lloyd iterations, NProbe probe + re-rank",
     (s, dir) => {
       val ve = transform(col("embedding"), x => x.cast("double"))
-      val amax = array_max(transform(col("ve"), x => abs(x)))
+      // Same native one-pass quantize as e04 (identical logical plan, so
+      // the persisted index is shared between them by the cache manager).
       val quant = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), ve.as("ve"))
-        .withColumn("scale",
-          when(amax > 0.0, lit(127.0) / amax).otherwise(lit(0.0)))
-        .withColumn("qv", transform(col("ve"),
-          x => floor(x * col("scale") + lit(0.5)).cast("double")))
+        .withColumn("qv", call_function("graft_quantize", col("ve")))
         .withColumn("qnrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
         .filter(col("qnrm") > 0.0)
         .select(col("vec_id"), col("qv"), col("qnrm"))
@@ -478,8 +481,7 @@ object SimilarityQueries {
         .sortBy(_._1)
       for (_ <- 1 to NIter) {
         val assigned = quant.withColumn("list",
-          array_min(array(centScores(codebook, col("qv"), col("qnrm")): _*))
-            .getField("cid"))
+          element_at(cbRank(s, "e05", codebook, col("qv"), col("qnrm")), 1))
         // Exact per-(list, dim) integer sums: the order-independent step
         // that makes the whole loop deterministic.
         val cells = assigned
@@ -503,15 +505,12 @@ object SimilarityQueries {
       }
       // e04's probe pipeline, fed by the trained codebook.
       val assigned = quant.withColumn("list",
-        array_min(array(centScores(codebook, col("qv"), col("qnrm")): _*))
-          .getField("cid"))
+        element_at(cbRank(s, "e05", codebook, col("qv"), col("qnrm")), 1))
       val probes = quant.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qnrm").as("pnrm"))
         .withColumn("list",
-          explode(transform(
-            slice(array_sort(array(centScores(codebook, col("pv"), col("pnrm")): _*)),
-              1, NProbe),
-            _.getField("cid"))))
+          explode(slice(cbRank(s, "e05", codebook, col("pv"), col("pnrm")),
+            1, NProbe)))
       val scored = assigned.join(broadcast(probes), Seq("list"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("qcos",
