@@ -702,6 +702,123 @@ object RelationalQueries {
       GROUP BY l_orderkey, o_orderdate, o_orderpriority
       ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
 
+  /** q33 — TPC-H Q2 shape (fixture has no partsupp, so the supply cost is
+    * derived from facts): per-(part, supplier) min unit price, per-part
+    * global min, join BACK on the min to recover every tied supplier, then
+    * broadcast part/supplier/nation dims. Scale: lineitem shuffles ONCE on
+    * (part, supp); `best` re-aggregates the already-reduced cost table on
+    * its own prefix key; the join-back is agg-to-agg on the part key (both
+    * sides partitioned alike, AQE co-locates); all three dims broadcast.
+    * For single-winner semantics `min(struct(cost, supp))` would fold the
+    * join-back into the same pass — Q2 keeps ties, so the join-back is the
+    * semantics, not a plan accident. Double equality in the join-back is
+    * sound: both engines derive the value by the same IEEE division and
+    * exact MIN, so the bits agree. */
+  val q33MinCostSupplier: GraftQuery = GraftQuery(
+    "q33_min_cost_supplier",
+    "TPC-H Q2 shape: per-part min-cost supplier(s) via join-back, broadcast dims",
+    (s, dir) => {
+      val cost = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("uc"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("uc")).as("supply_cost"))
+      val best = cost.groupBy(col("l_partkey"))
+        .agg(min(col("supply_cost")).as("min_cost"))
+      val parts = broadcast(t(s, dir, "part")
+        .filter(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_name")))
+      val supp = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name")))
+      cost.join(best, Seq("l_partkey"))
+        .filter(col("supply_cost") === col("min_cost"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("supply_cost"),
+          col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy(col("p_partkey"), col("s_suppkey"))
+    },
+    Some("""WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+          MIN(l_extendedprice / l_quantity) AS supply_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+      best AS (
+        SELECT l_partkey, MIN(supply_cost) AS min_cost
+        FROM cost GROUP BY l_partkey)
+      SELECT p_partkey, p_name, c.supply_cost, s_suppkey, s_name, n_name
+      FROM cost c
+      JOIN best b ON c.l_partkey = b.l_partkey AND c.supply_cost = b.min_cost
+      JOIN part ON p_partkey = c.l_partkey AND p_size = 15
+      JOIN supplier ON s_suppkey = c.l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      ORDER BY p_partkey, s_suppkey"""))
+
+  /** q34 — CUBE over (returnflag, linestatus) with subtotal rows labeled
+    * `(all)` so the sort keys stay non-null and total. Spark plans CUBE via
+    * Expand (×4 row multiplication before the partial agg); at 100 TB with
+    * high-cardinality keys you would aggregate the finest grouping first
+    * and re-aggregate the (tiny) result per grouping set — for two
+    * low-cardinality flags the Expand plan's map-side combine collapses
+    * each partition to ≤ 4·|rf×ls| rows before the single shuffle, which
+    * is already minimal. */
+  val q34CubeAgg: GraftQuery = GraftQuery(
+    "q34_cube_agg",
+    "CUBE grouping-sets aggregate with deterministic subtotal labels",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("sum_price"), col("n"))
+        .orderBy(col("rf"), col("ls")),
+    Some(s"""SELECT COALESCE(l_returnflag, '(all)') AS rf,
+        COALESCE(l_linestatus, '(all)') AS ls,
+        ${dsumSql("l_extendedprice")} AS sum_price, COUNT(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY rf, ls"""))
+
+  /** q35 — TPC-H Q17 shape: revenue of small-quantity orders, where "small"
+    * means below 20% of that part's own average quantity — the correlated
+    * scalar subquery pattern, decorrelated by hand into the plan Catalyst's
+    * subquery rewrite would produce. Scale: the brand filter cuts `part` to
+    * a broadcastable key list; the per-part average is computed over the
+    * ALREADY-FILTERED fact rows (one partial agg, part-keyed, itself tiny =
+    * |brand parts| rows, so it broadcasts back onto the same filtered scan);
+    * the fact table is scanned twice but never shuffled. The 0.2 threshold
+    * multiply is one IEEE double op — bit-equal on both engines. */
+  val q35AvgQtyRevenue: GraftQuery = GraftQuery(
+    "q35_small_qty_revenue",
+    "TPC-H Q17 shape: decorrelated per-part-average threshold aggregate",
+    (s, dir) => {
+      val pk = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#13")
+        .select(col("p_partkey")))
+      val li = t(s, dir, "lineitem")
+        .join(pk, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val avgq = li.groupBy(col("l_partkey"))
+        .agg(davg(col("l_quantity")).as("aq"))
+      li.join(broadcast(avgq), Seq("l_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("aq"))
+        .agg(dsum(col("l_extendedprice")).as("total_price"),
+          count(lit(1)).as("n_items"))
+    },
+    Some(s"""WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+      li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice
+        FROM lineitem JOIN pk ON p_partkey = l_partkey),
+      a AS (SELECT l_partkey, ${davgSql("l_quantity")} AS aq
+            FROM li GROUP BY l_partkey)
+      SELECT ${dsumSql("l_extendedprice")} AS total_price,
+        COUNT(*) AS n_items
+      FROM li JOIN a USING (l_partkey)
+      WHERE l_quantity < CAST(0.2 AS DOUBLE) * a.aq"""))
+
   // NOTE: `all` must stay the LAST definition in this object — a query val
   // referenced here but defined further down is still null at object init
   // (silent, then NPEs at dispatch). SparkEntry.registry asserts against it.
@@ -713,5 +830,6 @@ object RelationalQueries {
     q17SetOps, q18JsonExtract, q19RollupAgg, q20LagLead, q21SqlInterface,
     q22SlidingWindow, q23SessionWindow, q24SaltedJoin, q25AsofJoin,
     q26RangeJoin, q27TpchQ5, q28DistinctAgg, q29Pivot, q30Unpivot,
-    q31Percentiles, q32TpchQ3)
+    q31Percentiles, q32TpchQ3, q33MinCostSupplier, q34CubeAgg,
+    q35AvgQtyRevenue)
 }
