@@ -879,11 +879,168 @@ object TextQueries {
         FROM r3 ORDER BY doc_id"""))
   }
 
+  /** d25 — dedup APPLY: d21 labels the clusters; this emits the corpus a
+    * dedup pass actually keeps — one canonical document (min doc_id) per
+    * connected component, carrying its cluster size. d21 answers "what are
+    * the duplicate groups"; d25 is the downstream contract: "give me the
+    * surviving corpus". Scale: identical to d21 (LSH candidates + min-label
+    * propagation) plus ONE corpus-keyed join to re-attach document columns
+    * to the kept ids — doc_id-keyed on both sides, so AQE plans a plain
+    * co-partitioned shuffle join; no new quadratic step. */
+  val d25DedupApply: GraftQuery = GraftQuery(
+    "d25_dedup_apply",
+    "near-dup removal: keep one canonical doc per LSH cluster, with cluster size",
+    (s, dir) => {
+      val cand = lshCandidates(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val nodes = docs(s, dir).select(col("doc_id").as("id"))
+      val labels = graft.operators.ConnectedComponents.label(nodes, edges,
+        shufflePartitions = Some(8))
+      val sizes = labels.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.filter(col("id") === col("cluster"))
+        .join(sizes, "cluster")
+        .join(docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+          col("id") === col("doc_id"))
+        .select(col("doc_id"), col("cluster_size"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $lshCandidatesSql,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM cand),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS reach FROM documents
+        UNION
+        SELECT r.id, e.dst AS reach FROM reach r JOIN edges e ON r.reach = e.src),
+      lab AS (
+        SELECT id AS doc_id, MIN(reach) AS cluster FROM reach GROUP BY id),
+      sz AS (
+        SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
+      SELECT l.doc_id, sz.cluster_size, d.source, d.n_chars
+      FROM lab l
+      JOIN sz USING (cluster)
+      JOIN documents d ON d.doc_id = l.doc_id
+      WHERE l.doc_id = l.cluster
+      ORDER BY l.doc_id"""))
+
+  /** Head tokens removed by d26. */
+  private val ScrubK = 5
+
+  /** d26 — corpus-adaptive stopword scrub: drop the [[ScrubK]] tokens with
+    * the highest DOCUMENT frequency (the head of the corpus's own Zipf
+    * curve, not a fixed list — CCNet/C4-style boilerplate control) and
+    * REASSEMBLE each document with original token order preserved. A fixed
+    * df-ratio cut is degenerate on this fixture (30 of 31 vocab tokens sit
+    * at ~77% df, the 31st at 5%), so the operator takes the rank-K form;
+    * ties break lexically, making the cut deterministic on both engines.
+    *
+    * Scale: the df table is vocab-sized (one distinct + one partial agg),
+    * its top-K is a TakeOrderedAndProject heap, and the K-row stop list is
+    * BROADCAST back onto the token stream — the corpus itself shuffles only
+    * once, on doc_id, for the positional reassembly (collect_list of
+    * (pos, token) structs sorted per doc — order restored explicitly, never
+    * assumed from shuffle order). */
+  val d26StopwordScrub: GraftQuery = GraftQuery(
+    "d26_stopword_scrub",
+    s"corpus-adaptive scrub of the top-$ScrubK df tokens with order-preserving reassembly",
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "token")))
+        .filter(col("token") =!= "")
+      val stop = tok.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(ScrubK)
+        .select(col("token"), lit(1).as("is_stop"))
+      val re = tok.join(broadcast(stop), Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("is_stop").isNull, 1L).otherwise(0L)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(col("is_stop").isNull,
+              struct(col("pos"), col("token"))))),
+            x => x.getField("token")), " ").as("scrubbed"))
+      docs(s, dir).select(col("doc_id"))
+        .join(re, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(coalesce(col("scrubbed"), lit("")).cast("binary"))
+            .as("scrubbed_digest"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      p AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos
+        FROM t),
+      tok AS (
+        SELECT doc_id, pos, toks[pos] AS token FROM p WHERE toks[pos] <> ''),
+      df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+      stop AS (SELECT token FROM df ORDER BY df DESC, token LIMIT $ScrubK),
+      re AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          SUM(CASE WHEN token IN (SELECT token FROM stop) THEN 0 ELSE 1 END)
+            AS n_kept,
+          string_agg(CASE WHEN token IN (SELECT token FROM stop) THEN NULL
+            ELSE token END, ' ' ORDER BY pos) AS scrubbed
+        FROM tok GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(re.n_tokens, 0) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
+        md5(COALESCE(re.scrubbed, '')) AS scrubbed_digest
+      FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
+      ORDER BY d.doc_id"""))
+
+  /** Shard count for d27 (the parallel write unit; at 100 TB this is the
+    * knob you raise to ~data/target-file-size — the plan shape is
+    * unchanged because all per-shard work stays within its own partition). */
+  private val NShards = 8
+
+  /** d27 — deterministic corpus shuffle into training shards: every
+    * document gets (shard, pos) from an independent portable hash of its
+    * id — the final "shuffle the corpus, write N shard files" step of every
+    * training-data pipeline, reproducible on any engine and any partitioning
+    * (unlike `df.orderBy(rand())`). Scale: the hash is map-side; the only
+    * shuffle is `repartition(shard)`-shaped (the window partitions by
+    * shard), and the within-shard ordering is a per-partition local sort —
+    * no global ordering exists anywhere in the plan, which is exactly why
+    * the operator survives 100 TB: shard files are written independently in
+    * parallel, and (shard, pos) is a total order without a total sort. */
+  val d27ShardShuffle: GraftQuery = GraftQuery(
+    "d27_shard_shuffle",
+    s"deterministic $NShards-way shard shuffle: portable-hash (shard, pos) assignment",
+    (s, dir) => {
+      val h = (lit(A(3)) * (col("doc_id") % lit(P)) + lit(B(3))) % lit(P)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", (col("h") % NShards).cast("int"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    Some(s"""WITH h AS (
+        SELECT doc_id,
+          (${A(3)} * (doc_id % $P) + ${B(3)}) % $P AS h
+        FROM documents)
+      SELECT doc_id, CAST(h % $NShards AS INT) AS shard,
+        CAST(row_number() OVER (PARTITION BY h % $NShards ORDER BY h, doc_id)
+          AS INT) AS pos
+      FROM h ORDER BY shard, pos"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
     d11MinhashUnion, d12BpeTokens, d13MinhashUdaf, d14CorpusStats,
     d15Repetition, d16Sample, d17ChunkPack, d18Pipeline, d19Decontaminate,
     d20StratifiedSample, d21DupClusters, d22VocabTopK, d23TfidfTop,
-    d24PiiScrub)
+    d24PiiScrub, d25DedupApply, d26StopwordScrub, d27ShardShuffle)
 }
