@@ -22,6 +22,45 @@ object MultimodalQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
 
+  /** DuckDB CTE chain reproducing `graft_phash` signatures, their 4×16-bit
+    * bands, and the banded candidate pairs (with both signatures attached) —
+    * shared by the m03 (pairs) and m04 (clusters) oracles. */
+  private val phashCandSql: String = """grams AS (
+        SELECT doc_id,
+          ord(substring(text, i, 1)) AS b1,
+          ord(substring(text, i + 1, 1)) AS b2
+        FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 1)) AS i)),
+      cnt1 AS (
+        SELECT doc_id, (b1 * 31 + b2) % 64 AS k, count(*) AS c
+        FROM grams GROUP BY 1, 2),
+      cnt2 AS (
+        SELECT doc_id, (b1 * 37 + b2 * 3) % 64 AS k, count(*) AS c
+        FROM grams GROUP BY 1, 2),
+      sig1 AS (
+        SELECT a.doc_id,
+          sum(CASE WHEN a.c > COALESCE(b.c, 0) THEN 1::BIGINT << a.k ELSE 0 END) AS sig
+        FROM cnt1 a LEFT JOIN cnt1 b ON b.doc_id = a.doc_id AND b.k = a.k + 32
+        WHERE a.k < 32 GROUP BY 1),
+      sig2 AS (
+        SELECT a.doc_id,
+          sum(CASE WHEN a.c > COALESCE(b.c, 0) THEN 1::BIGINT << a.k ELSE 0 END) AS sig
+        FROM cnt2 a LEFT JOIN cnt2 b ON b.doc_id = a.doc_id AND b.k = a.k + 32
+        WHERE a.k < 32 GROUP BY 1),
+      sigs AS (
+        SELECT d.doc_id, COALESCE(s1.sig, 0) AS sig1, COALESCE(s2.sig, 0) AS sig2
+        FROM documents d
+        LEFT JOIN sig1 s1 ON s1.doc_id = d.doc_id
+        LEFT JOIN sig2 s2 ON s2.doc_id = d.doc_id),
+      bands AS (
+        SELECT doc_id, sig1, sig2, bn,
+          CASE bn WHEN 0 THEN sig1 & 65535 WHEN 1 THEN sig1 >> 16
+                  WHEN 2 THEN sig2 & 65535 ELSE sig2 >> 16 END AS bv
+        FROM sigs, LATERAL (SELECT unnest(generate_series(0, 3)) AS bn)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          a.sig1 AS s1a, a.sig2 AS s2a, b.sig1 AS s1b, b.sig2 AS s2b
+        FROM bands a JOIN bands b ON a.bn = b.bn AND a.bv = b.bv AND a.doc_id < b.doc_id)"""
+
   /** m01 — binary payload metadata: byte length, content digest, head-bytes
     * hex sample, and the deterministic fake "decode" fields. */
   val m01BinaryMeta: GraftQuery = GraftQuery(
@@ -108,46 +147,62 @@ object MultimodalQueries {
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some("""WITH grams AS (
-        SELECT doc_id,
-          ord(substring(text, i, 1)) AS b1,
-          ord(substring(text, i + 1, 1)) AS b2
-        FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 1)) AS i)),
-      cnt1 AS (
-        SELECT doc_id, (b1 * 31 + b2) % 64 AS k, count(*) AS c
-        FROM grams GROUP BY 1, 2),
-      cnt2 AS (
-        SELECT doc_id, (b1 * 37 + b2 * 3) % 64 AS k, count(*) AS c
-        FROM grams GROUP BY 1, 2),
-      sig1 AS (
-        SELECT a.doc_id,
-          sum(CASE WHEN a.c > COALESCE(b.c, 0) THEN 1::BIGINT << a.k ELSE 0 END) AS sig
-        FROM cnt1 a LEFT JOIN cnt1 b ON b.doc_id = a.doc_id AND b.k = a.k + 32
-        WHERE a.k < 32 GROUP BY 1),
-      sig2 AS (
-        SELECT a.doc_id,
-          sum(CASE WHEN a.c > COALESCE(b.c, 0) THEN 1::BIGINT << a.k ELSE 0 END) AS sig
-        FROM cnt2 a LEFT JOIN cnt2 b ON b.doc_id = a.doc_id AND b.k = a.k + 32
-        WHERE a.k < 32 GROUP BY 1),
-      sigs AS (
-        SELECT d.doc_id, COALESCE(s1.sig, 0) AS sig1, COALESCE(s2.sig, 0) AS sig2
-        FROM documents d
-        LEFT JOIN sig1 s1 ON s1.doc_id = d.doc_id
-        LEFT JOIN sig2 s2 ON s2.doc_id = d.doc_id),
-      bands AS (
-        SELECT doc_id, sig1, sig2, bn,
-          CASE bn WHEN 0 THEN sig1 & 65535 WHEN 1 THEN sig1 >> 16
-                  WHEN 2 THEN sig2 & 65535 ELSE sig2 >> 16 END AS bv
-        FROM sigs, LATERAL (SELECT unnest(generate_series(0, 3)) AS bn)),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          a.sig1 AS s1a, a.sig2 AS s2a, b.sig1 AS s1b, b.sig2 AS s2b
-        FROM bands a JOIN bands b ON a.bn = b.bn AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    Some(s"""WITH $phashCandSql
       SELECT doc_a, doc_b,
         CAST(bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) AS INT) AS hamming
       FROM cand
       WHERE bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) <= 3
       ORDER BY doc_a, doc_b"""))
 
-  val all: Seq[GraftQuery] = Seq(m01BinaryMeta, m02FrameSample, m03PhashNeardup)
+  /** m04 — media dedup CLUSTERING: m03's pHash near-dup pairs promoted to
+    * connected components (the d21 pattern applied to the binary modality) —
+    * pairwise "these two images look alike" becomes transitive groups with
+    * one canonical asset each, which is what a multimodal dedup pass
+    * actually deletes against. Scale: identical to d21 — candidate pairs
+    * from banded signatures (Σ bucket², never corpus²), then per-round one
+    * edge equi-join + partial-aggregable min; at production scale the m03
+    * pair table would be materialized once and both consumers (pair audit,
+    * clustering) would read it. */
+  val m04MediaDupClusters: GraftQuery = GraftQuery(
+    "m04_media_dup_clusters",
+    "media dedup clustering: connected components over pHash near-dup pairs",
+    (s, dir) => {
+      val pairs = m03PhashNeardup.run(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val nodes = docs(s, dir).select(col("doc_id").as("id"))
+      val labels = graft.operators.ConnectedComponents.label(nodes, edges,
+        shufflePartitions = Some(8))
+      val sizes = labels.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster")
+        .select(col("id").as("doc_id"), col("cluster"), col("cluster_size"),
+          (col("id") === col("cluster")).cast("int").as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $phashCandSql,
+      pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) <= 3),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS reach FROM documents
+        UNION
+        SELECT r.id, e.dst AS reach FROM reach r JOIN edges e ON r.reach = e.src),
+      lab AS (
+        SELECT id AS doc_id, MIN(reach) AS cluster FROM reach GROUP BY id),
+      sz AS (
+        SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
+      SELECT l.doc_id, l.cluster, sz.cluster_size,
+        CAST(l.doc_id = l.cluster AS INT) AS is_canonical
+      FROM lab l JOIN sz USING (cluster)
+      ORDER BY l.doc_id"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(m01BinaryMeta, m02FrameSample, m03PhashNeardup, m04MediaDupClusters)
 }

@@ -605,7 +605,149 @@ object SimilarityQueries {
       WHERE rnk <= 5 ORDER BY qid, rnk"""
     })
 
+  /** Shortlist size for e06's second stage. */
+  val RerankC: Int = 20
+
+  /** e06 — two-stage retrieval, the production serving shape: stage 1
+    * generates a [[RerankC]]-candidate shortlist per query from the int8
+    * IVF index (e04's pipeline — bytes only, 4× bandwidth win), stage 2
+    * re-ranks ONLY the shortlist with exact float cosine and keeps the
+    * top 5. This is the "quantized index recalls, float re-rank decides"
+    * contract every large-scale ANN deployment runs: quantization error can
+    * reorder near-ties inside the shortlist, and the float pass fixes the
+    * final ranking at the cost of fetching |queries|·C full vectors instead
+    * of scanning any corpus-sized float data.
+    *
+    * Scale: stage 1 is e04's plan (map-side assignment, broadcast probe
+    * join, per-query top-C heap window). Stage 2's shortlist is
+    * queries×C rows — BROADCAST onto the float table, so the full-precision
+    * fetch is one broadcast-hash-join pass over the embedding scan with
+    * column pruning (only shortlisted rows' floats are ever materialized),
+    * then a per-query top-5 window over ≤ C rows. No corpus shuffle in
+    * either stage. */
+  val e06AnnRerank: GraftQuery = GraftQuery(
+    "e06_ann_rerank",
+    s"two-stage ANN: int8 IVF top-$RerankC shortlist, exact float cosine re-rank to top-5",
+    (s, dir) => {
+      val ve = transform(col("embedding"), x => x.cast("double"))
+      // Stage 1 — e04's quantized IVF pipeline (identical logical plan, so
+      // the persisted quantized index is shared across e04/e05/e06).
+      val quant = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), ve.as("ve"))
+        .withColumn("qv", call_function("graft_quantize", col("ve")))
+        .withColumn("qnrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
+        .filter(col("qnrm") > 0.0)
+        .select(col("vec_id"), col("qv"), col("qnrm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val codebook = quant.filter(col("vec_id") < NList)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1)
+      val assigned = quant.withColumn("list",
+        element_at(cbRank(s, "e06", codebook, col("qv"), col("qnrm")), 1))
+      val probes = quant.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qnrm").as("pnrm"))
+        .withColumn("list",
+          explode(slice(cbRank(s, "e06", codebook, col("pv"), col("pnrm")),
+            1, NProbe)))
+      val wq = Window.partitionBy(col("qid"))
+        .orderBy(col("qcos").desc, col("vec_id"))
+      val shortlist = assigned.join(broadcast(probes), Seq("list"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("qcos",
+          call_function("graft_dot", col("pv"), col("qv"))
+            / (col("pnrm") * col("qnrm")))
+        .withColumn("crnk", row_number().over(wq))
+        .filter(col("crnk") <= RerankC)
+        .select(col("qid"), col("vec_id"))
+      // Stage 2 — exact float re-rank of the shortlist only.
+      val fv = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), ve.as("fe"))
+        .withColumn("fnrm", sqrt(call_function("graft_dot", col("fe"), col("fe"))))
+      val qf = broadcast(fv.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("fe").as("qfe"),
+          col("fnrm").as("qfnrm")))
+      val w2 = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      fv.join(broadcast(shortlist), Seq("vec_id"))
+        .join(qf, Seq("qid"))
+        .withColumn("cosine",
+          call_function("graft_dot", col("qfe"), col("fe"))
+            / (col("qfnrm") * col("fnrm")))
+        .withColumn("rnk", row_number().over(w2))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id"), col("rnk"), col("cosine"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+      q0 AS (
+        SELECT vec_id, ve,
+          CASE WHEN list_max(list_transform(ve, x -> abs(x))) > 0
+               THEN CAST(127.0 AS DOUBLE) / list_max(list_transform(ve, x -> abs(x)))
+               ELSE CAST(0.0 AS DOUBLE) END AS scale
+        FROM v),
+      qz AS (
+        SELECT vec_id, list_transform(ve, x ->
+          CAST(CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DOUBLE)) AS qv
+        FROM q0),
+      n AS (
+        SELECT * FROM (
+          SELECT vec_id, qv,
+            sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(qv, x -> x * x)), (a, b) -> a + b)) AS qnrm
+          FROM qz)
+        WHERE qnrm > 0),
+      c AS (SELECT vec_id AS cid, qv AS cqv, qnrm AS cnrm FROM n WHERE vec_id < $NList),
+      cc AS (
+        SELECT n.vec_id, n.qv, n.qnrm, c.cid,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(n.qv, c.cqv), p -> p[1] * p[2])), (a, b) -> a + b)
+            / (n.qnrm * c.cnrm) AS ccos
+        FROM n, c),
+      assigned AS (
+        SELECT vec_id, qv, qnrm, cid AS list FROM (
+          SELECT vec_id, qv, qnrm, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+          FROM cc) WHERE crn = 1),
+      probes AS (
+        SELECT qid, pv, pnrm, cid AS list FROM (
+          SELECT vec_id AS qid, qv AS pv, qnrm AS pnrm, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+          FROM cc WHERE vec_id < 8) WHERE crn <= $NProbe),
+      scored AS (
+        SELECT p.qid, a.vec_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(p.pv, a.qv), x -> x[1] * x[2])), (x, y) -> x + y)
+            / (p.pnrm * a.qnrm) AS qcos
+        FROM probes p JOIN assigned a USING (list) WHERE a.vec_id <> p.qid),
+      shortlist AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+            row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS crnk
+          FROM scored)
+        WHERE crnk <= $RerankC),
+      fv AS (
+        SELECT vec_id, ve,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS fnrm
+        FROM v),
+      rr AS (
+        SELECT sl.qid, sl.vec_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(qf.ve, f.ve), p -> p[1] * p[2])), (x, y) -> x + y)
+            / (qf.fnrm * f.fnrm) AS cosine
+        FROM shortlist sl
+        JOIN fv f ON f.vec_id = sl.vec_id
+        JOIN fv qf ON qf.vec_id = sl.qid)
+      SELECT qid, vec_id, CAST(rnk AS INT) AS rnk, cosine FROM (
+        SELECT qid, vec_id, cosine,
+          row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+        FROM rr)
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+
   val all: Seq[GraftQuery] =
     Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8,
-      e05AnnIvfTrained, d10EmbeddingNeardup)
+      e05AnnIvfTrained, e06AnnRerank, d10EmbeddingNeardup)
 }
