@@ -643,10 +643,117 @@ object StreamingQueries {
     },
     s09StatefulCounter.oracle)
 
+  /** s16 — per-user SESSION windows on the live stream (q23's
+    * gaps-and-islands semantics, but maintained incrementally by the
+    * session-window state store with watermark-driven finalization —
+    * sessions merge as late-but-within-watermark events arrive, and a
+    * session only emits once the watermark proves no more events can extend
+    * it). Same sentinel technique as s05: two far-future lines push the
+    * watermark past every real session's end; the sentinel's own
+    * (never-finalized) session is excluded by the 2050 cutoff. Scale:
+    * session state is per-user and bounded by the watermark horizon — state
+    * for a user is dropped as soon as its session closes, so an unbounded
+    * stream holds only the open-session frontier. */
+  val s16SessionStream: GraftQuery = GraftQuery(
+    "s16_session_stream",
+    "streaming per-user session windows (1h gap), append mode with watermark finalization",
+    (s, dir) => {
+      import s.implicits._
+      val qn = "s16_sink_" + UUID.randomUUID().toString.replace("-", "")
+      val sentinel = (1 to 2).map(i =>
+        s"fitbit,2100-01-01 0$i:00:00,0,0,0,1.0,1.0,20,click,4102444800000")
+        .toDF("value")
+      StreamHarness.drain(s, fileSource("s16"), feedChunks(s, dir) :+ sentinel) { raw =>
+        parseFitbit(raw)
+          .select(col("user_id"),
+            try_to_timestamp(col("ts_str"),
+              lit("yyyy-MM-dd HH:mm:ss")).as("event_ts"))
+          .filter(col("event_ts").isNotNull)
+          .withWatermark("event_ts", "2 hours")
+          .groupBy(col("user_id"), session_window(col("event_ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            unix_micros(col("session_window.end")).as("session_end_us"),
+            col("n_events"))
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s16"))
+          .outputMode("append").start()
+      }
+      // 2050-01-01 00:00:00 UTC in epoch micros — excludes the sentinel.
+      s.table(qn).filter(col("session_start_us") < 2524608000000000L)
+        .orderBy(col("user_id"), col("session_start_us"))
+    },
+    Some("""WITH ev AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id,
+          date_trunc('second', ts) AS ts
+        FROM events),
+      marked AS (
+        SELECT user_id, ts,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+            > INTERVAL 1 HOUR OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+            IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM ev),
+      islands AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id,
+        epoch_us(MIN(ts)) AS session_start_us,
+        epoch_us(MAX(ts) + INTERVAL 1 HOUR) AS session_end_us,
+        COUNT(*) AS n_events
+      FROM islands GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us"""))
+
+  /** s17 — CHAINED stateful aggregation in one streaming query (Spark 4
+    * multi-stateful-operator support): hourly tumbling counts feed a
+    * second, daily aggregation over the finalized hourly windows —
+    * `window(window_col, '1 day')` re-windows the first operator's window
+    * struct, and the engine propagates the watermark through the first agg
+    * so the second finalizes correctly. Pre-Spark-3.4 this required two
+    * queries with an intermediate sink; the single-query form removes the
+    * intermediate storage AND its end-to-end latency. State: both operators
+    * are watermark-bounded (open hours + open days only). */
+  val s17ChainedAgg: GraftQuery = GraftQuery(
+    "s17_chained_agg",
+    "chained streaming aggs: hourly counts re-windowed to daily hour-count/max (multi-stateful)",
+    (s, dir) => {
+      import s.implicits._
+      val qn = "s17_sink_" + UUID.randomUUID().toString.replace("-", "")
+      val sentinel = (1 to 2).map(i =>
+        s"fitbit,2100-01-01 0$i:00:00,0,0,0,1.0,1.0,20,click,4102444800000")
+        .toDF("value")
+      StreamHarness.drain(s, fileSource("s17"), feedChunks(s, dir) :+ sentinel) { raw =>
+        parseFitbit(raw)
+          .select(try_to_timestamp(col("ts_str"),
+            lit("yyyy-MM-dd HH:mm:ss")).as("event_ts"))
+          .filter(col("event_ts").isNotNull)
+          .withWatermark("event_ts", "2 hours")
+          .groupBy(window(col("event_ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(window(col("window"), "1 day"))
+          .agg(count(lit(1)).as("n_hours"), max(col("n")).as("max_hourly"))
+          .select(col("window.start").as("day"), col("n_hours"),
+            col("max_hourly"))
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s17"))
+          .outputMode("append").start()
+      }
+      s.table(qn).filter(col("day") < lit("2050-01-01").cast("timestamp"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH h AS (
+        SELECT date_trunc('hour', ts) AS hw, COUNT(*) AS n
+        FROM events GROUP BY 1)
+      SELECT date_trunc('day', hw) AS day, COUNT(*) AS n_hours,
+        MAX(n) AS max_hourly
+      FROM h GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, s01WarningStream, s02LatestLocationSink,
     s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
     s06ProfileUpsert, s07SalesUpsert, s08StreamDedup, s09StatefulCounter,
     s10StreamJoin, s11TopicSink, s12MapData, s13SalesLwwExact,
-    s14DedupWatermark, s15TwsCounter)
+    s14DedupWatermark, s15TwsCounter, s16SessionStream, s17ChainedAgg)
 }
