@@ -51,6 +51,16 @@ class AnnRecallSpec extends SparkSpec {
     assert(e05 >= e04 - 1e-9, s"trained codebook recall $e05 trails seed codebook $e04")
   }
 
+  test("e06 two-stage re-rank holds the floor and does not trail its own stage 1") {
+    // The float re-rank re-orders e04's shortlist with exact cosine; since
+    // the shortlist (top-20) strictly contains the stage-1 top-5, recall
+    // can only improve or hold vs e04 — a drop means the re-rank is broken.
+    val e04 = meanRecallVsExact(SimilarityQueries.e04AnnInt8)
+    val e06 = meanRecallVsExact(SimilarityQueries.e06AnnRerank)
+    assert(e06 >= 0.8, s"e06 mean recall@5 $e06 < 0.8")
+    assert(e06 >= e04 - 1e-9, s"re-ranked recall $e06 trails stage-1 recall $e04")
+  }
+
   test("fixture embedding dimensionality matches SimilarityQueries.Dim") {
     // e05's oracle unrolls per-dimension sums over 1..Dim; a fixture with a
     // different dim would silently truncate the training sums.

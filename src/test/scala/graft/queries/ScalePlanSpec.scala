@@ -121,4 +121,47 @@ class ScalePlanSpec extends SparkSpec {
       .head().getLong(0)
     assert(math.abs(approx - 7919.0) / 7919.0 < 0.05, approx)
   }
+
+  test("q33 broadcasts every dimension and never goes cartesian") {
+    val plan = RelationalQueries.q33MinCostSupplier
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // part, supplier+nation, and the min-cost join-back: the dims must be
+    // broadcast; the only shuffles belong to the two-level aggregation.
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("d26 heap-selects the stop list and broadcasts it back onto the tokens") {
+    val plan = TextQueries.d26StopwordScrub
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // Top-K by document frequency must be a heap, and the K-row stop list
+    // must come back as a broadcast — the corpus itself shuffles only once
+    // (doc_id reassembly).
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("d27 shard shuffle partitions by shard, no global sort before the window") {
+    val plan = TextQueries.d27ShardShuffle
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // The row_number window must sit on a hash exchange keyed by shard —
+    // per-shard local sorts, parallel across shards. (The final
+    // display-order ORDER BY is allowed to range-partition.)
+    assert(plan.contains("Exchange hashpartitioning(shard"), plan)
+  }
+
+  test("e06 re-rank broadcasts the shortlist onto the float table") {
+    val plan = SimilarityQueries.e06AnnRerank
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // Stage 2 must fetch full-precision vectors via a broadcast of the
+    // queries x C candidate list — never by shuffling the embedding table.
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
