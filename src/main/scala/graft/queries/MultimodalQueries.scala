@@ -203,6 +203,62 @@ object MultimodalQueries {
       FROM lab l JOIN sz USING (cluster)
       ORDER BY l.doc_id"""))
 
+  /** Frames sampled and window width for m05. */
+  private val NFrames = 8
+  private val FrameW = 32
+
+  /** m05 — cross-media frame-fingerprint overlap (the "same video, shifted
+    * container" detector): [[NFrames]] evenly spaced [[FrameW]]-byte windows
+    * per payload, each fingerprinted (md5), POSITIONALLY equi-joined across
+    * media — two payloads match when ≥ 2 of their aligned frames collide.
+    * This is the containment-style complement to m03: pHash finds "looks
+    * alike overall", frame overlap finds "shares aligned content runs".
+    * Scale: fingerprints are map-side; the join key (frame_no, digest) is
+    * 128-bit-selective (measured max bucket 3, Σ bucket² ≈ 4k on the
+    * fixture), so candidate work is Σ bucket², never corpus²; the overlap
+    * count is one partial-aggregable groupBy on the pair key. */
+  val m05FrameOverlap: GraftQuery = GraftQuery(
+    "m05_frame_overlap",
+    s"cross-media near-dup via positional frame-fingerprint overlap (>= 2 of $NFrames aligned frames)",
+    (s, dir) => {
+      val step = greatest(
+        floor((length(col("text")) - lit(FrameW)).cast("double") / lit(NFrames - 1))
+          .cast("long"), lit(1L))
+      val frames = docs(s, dir)
+        .select(col("doc_id"), col("text"), step.as("step"),
+          posexplode(sequence(lit(0L), lit((NFrames - 1).toLong)))
+            .as(Seq("fno", "_f")))
+        .select(col("doc_id"), col("fno"),
+          md5(col("text").substr((col("_f") * col("step") + 1).cast("int"),
+            lit(FrameW)).cast("binary")).as("fp"))
+      val right = frames.select(col("fno"), col("fp"),
+        col("doc_id").as("doc_b"))
+      frames.join(right, Seq("fno", "fp"))
+        .filter(col("doc_id") < col("doc_b"))
+        .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          (col("n_shared").cast("double") / lit(NFrames.toDouble)).as("overlap"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH f AS (
+        SELECT doc_id, fno,
+          md5(substring(text,
+            CAST(fno * greatest((length(text) - $FrameW) // ${NFrames - 1}, 1)
+              + 1 AS BIGINT), $FrameW)) AS fp
+        FROM documents, (SELECT unnest(generate_series(0, ${NFrames - 1})) AS fno)),
+      cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM f a JOIN f b
+          ON a.fno = b.fno AND a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_shared,
+        CAST(n_shared AS DOUBLE) / $NFrames AS overlap
+      FROM cand WHERE n_shared >= 2
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[GraftQuery] =
-    Seq(m01BinaryMeta, m02FrameSample, m03PhashNeardup, m04MediaDupClusters)
+    Seq(m01BinaryMeta, m02FrameSample, m03PhashNeardup, m04MediaDupClusters,
+      m05FrameOverlap)
 }

@@ -1036,11 +1036,61 @@ object TextQueries {
           AS INT) AS pos
       FROM h ORDER BY shard, pos"""))
 
+  /** d28 — INCREMENTAL ingestion dedup: a new batch (doc_id % 10 ≥ 8 plays
+    * the fresh crawl) is LSH-matched against the EXISTING corpus's
+    * signature index (doc_id % 10 < 8) — the production dedup mode, where
+    * you never re-pair the whole corpus, only probe the new slice against
+    * the standing index. Within-batch duplicates are out of scope here
+    * (that is d01/d07's job on the batch itself). Scale: the probe is one
+    * band-key equi-join of |new|·bands rows against the index — work scales
+    * with the BATCH, not the corpus; the signature table is the same
+    * materialized parquet the d07 family reads (write-once index, probed by
+    * every ingest). */
+  val d28IncrementalDedup: GraftQuery = GraftQuery(
+    "d28_incremental_dedup",
+    "incremental dedup: new-batch docs probed against the existing corpus LSH index",
+    (s, dir) => {
+      val sig = signatureTable(s, dir)
+      val bands = sig.select(col("doc_id"),
+        posexplode(bandKeys(col("sig"))).as(Seq("band", "bh")))
+      val existing = bands.filter(col("doc_id") % 10 < 8)
+        .select(col("band"), col("bh"), col("doc_id").as("doc_e"))
+      val fresh = bands.filter(col("doc_id") % 10 >= 8)
+      val hits = fresh.join(existing, Seq("band", "bh"))
+        .select(col("doc_id"), col("doc_e")).distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"), min(col("doc_e")).as("first_match"))
+      docs(s, dir).filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("first_match"),
+          col("n_matches").isNotNull.cast("int").as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $lshCandidatesSql,
+      hits AS (
+        SELECT f.doc_id, COUNT(DISTINCT e.doc_id) AS n_matches,
+          MIN(e.doc_id) AS first_match
+        FROM bands f JOIN bands e
+          ON f.band = e.band AND f.bh = e.bh
+          AND f.doc_id % 10 >= 8 AND e.doc_id % 10 < 8
+        GROUP BY f.doc_id)
+      SELECT d.doc_id,
+        COALESCE(h.n_matches, CAST(0 AS BIGINT)) AS n_matches,
+        h.first_match,
+        CAST(h.doc_id IS NOT NULL AS INT) AS is_dup
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      WHERE d.doc_id % 10 >= 8
+      ORDER BY d.doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
     d11MinhashUnion, d12BpeTokens, d13MinhashUdaf, d14CorpusStats,
     d15Repetition, d16Sample, d17ChunkPack, d18Pipeline, d19Decontaminate,
     d20StratifiedSample, d21DupClusters, d22VocabTopK, d23TfidfTop,
-    d24PiiScrub, d25DedupApply, d26StopwordScrub, d27ShardShuffle)
+    d24PiiScrub, d25DedupApply, d26StopwordScrub, d27ShardShuffle,
+    d28IncrementalDedup)
 }

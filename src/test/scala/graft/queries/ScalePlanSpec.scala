@@ -154,6 +154,26 @@ class ScalePlanSpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning(shard"), plan)
   }
 
+  test("m05 frame overlap is a (frame_no, digest) equi-join, never all-pairs") {
+    val plan = MultimodalQueries.m05FrameOverlap
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("d28 incremental probe is a band equi-join against the signature index") {
+    val plan = TextQueries.d28IncrementalDedup
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // The new batch probes the standing index by (band, bh) — an equi-join,
+    // with the signature table coming off its materialized parquet scan.
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("e06 re-rank broadcasts the shortlist onto the float table") {
     val plan = SimilarityQueries.e06AnnRerank
       .run(spark, "/root/testdata/sf0.001")
