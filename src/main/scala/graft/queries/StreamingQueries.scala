@@ -84,6 +84,51 @@ object StreamingQueries {
       ORDER BY CAST(user_id AS VARCHAR), CAST(epoch_ms(ts) AS VARCHAR), $LongSql,
         CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END NULLS FIRST"""))
 
+  /** Materialized JSONL rendering of the events table, once per corpus dir
+    * (same write-once coordination as TextQueries' signature table). */
+  private val jsonlDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Microsecond-precision timestamp format for the JSONL round trip:
+    * Spark's default JSON timestampFormat writes millisecond precision,
+    * which would silently truncate the fixture's microsecond timestamps. */
+  private val JsonTsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  /** c02 — JSONL source adapter (the source-format surface beyond parquet +
+    * CSV wire): the events table rendered to JSON lines once, then read
+    * back through `spark.read.schema(...).json` — explicit schema, no
+    * inference pass (inference is a full extra scan at 100 TB), explicit
+    * microsecond timestampFormat on both sides. The value check proves the
+    * round trip is lossless: int64 keys, double values, and microsecond
+    * event times all hash-match the parquet originals. */
+  val c02JsonlSource: GraftQuery = GraftQuery(
+    "c02_jsonl_source",
+    "JSONL source adapter: explicit-schema lossless json round trip of events (no inference scan)",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val path = jsonlDirs.computeIfAbsent(dir, { d =>
+        val out = StreamHarness.tempDir("jsonl")
+        Tables.load(s, d, "events")
+          .select(to_json(
+            struct(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value")),
+            Map("timestampFormat" -> JsonTsFmt)).as("value"))
+          .write.mode("overwrite").text(out)
+        out
+      })
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      Tables.prepare(s)
+      s.read.schema(schema).option("timestampFormat", JsonTsFmt).json(path)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+      FROM events ORDER BY event_id"""))
+
   /** s01 — the reference's flagship pipeline as a REAL StreamingQuery
     * (SURVEY.md §7.2.2): watched-dir file stream of multiplexed CSV → tag demux →
     * `from_csv` → classifier → memory sink, drained over $Chunks
@@ -750,10 +795,88 @@ object StreamingQueries {
         MAX(n) AS max_hourly
       FROM h GROUP BY 1 ORDER BY 1"""))
 
+  /** s18 — stream-stream LEFT OUTER join (s10's inner join plus the
+    * null-extended rows): an alert with no location in its 1h lookback must
+    * still emit, which in a streaming engine means the row can only be
+    * released once the WATERMARK proves no matching location can ever
+    * arrive — the outer side is held in (bounded) state until its match
+    * horizon expires. A far-future sentinel on BOTH feeds pushes the global
+    * watermark past every real alert so all null-extensions flush before
+    * the drain stops; the sentinel's own rows are excluded by the 2050
+    * cutoff. Null sort order is pinned explicitly (Spark ASC = NULLS FIRST;
+    * DuckDB defaults NULLS LAST, so the oracle says NULLS FIRST). */
+  val s18OuterStreamJoin: GraftQuery = GraftQuery(
+    "s18_outer_stream_join",
+    "watermark-bounded stream-stream LEFT OUTER join: alerts with/without 1h-lookback location",
+    (s, dir) => {
+      import s.implicits._
+      val qn = "s18_sink_" + UUID.randomUUID().toString.replace("-", "")
+      // Parses as a WARNING alert (pulse 250 >= 0.95 * maxPulse(20)) so it
+      // survives warningAlerts and advances the alert-side watermark too.
+      val sentinel = Seq(
+        "fitbit,2100-01-01 01:00:00,zz,0,0,250.0,250.0,20,click,4102444800000")
+        .toDF("value")
+      StreamHarness.drain2(s,
+        fileSource("s18a"), feedChunks(s, dir) :+ sentinel,
+        fileSource("s18b"), feedChunks(s, dir) :+ sentinel) { (rawA, rawB) =>
+        val alerts = warningAlerts(parseFitbit(rawA))
+          .select(col("user_id"), col("machine_ts").cast("long").as("a_ms"),
+            timestamp_millis(col("machine_ts").cast("long")).as("a_ts"),
+            col("warning"))
+          .withWatermark("a_ts", "2 hours")
+        // Sparse location pings (every 3rd event; long = event_id % 180 and
+        // 3 | 180, so long % 3 == event_id % 3): without this, every alert
+        // matches its own event's location and the outer join degenerates
+        // to the inner one — the null-extension path would go untested.
+        val locs = locations(parseFitbit(rawB))
+          .filter(col("long").cast("long") % 3 === 0)
+          .select(col("user_id").as("l_user"), col("lat"), col("long"),
+            col("ver").as("l_ms"), timestamp_millis(col("ver")).as("l_ts"))
+          .withWatermark("l_ts", "2 hours")
+        alerts.join(locs,
+          col("user_id") === col("l_user") &&
+            col("l_ts") <= col("a_ts") &&
+            col("l_ts") > col("a_ts") - expr("interval 1 hour"),
+          "leftOuter")
+          .select(col("user_id"), col("a_ms"), col("warning"),
+            col("l_ms"), col("lat"), col("long"))
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s18"))
+          .outputMode("append").start()
+      }
+      // 2050-01-01 UTC in epoch millis — excludes the sentinel's own rows.
+      s.table(qn).filter(col("a_ms") < 2524608000000L)
+        .orderBy(col("user_id"), col("a_ms"), col("l_ms"), col("long"),
+          col("lat"), col("warning"))
+    },
+    Some(s"""WITH al AS (
+        SELECT user_id, ts, $WarningSql AS warning FROM events
+        WHERE $WarningSql <> 'no-use')
+      SELECT CAST(al.user_id AS VARCHAR) AS user_id,
+        epoch_ms(al.ts) AS a_ms, al.warning,
+        epoch_ms(l.ts) AS l_ms,
+        CASE WHEN l.user_id IS NULL THEN NULL
+             ELSE CAST(l.user_id % 90 AS VARCHAR) END AS lat,
+        CASE WHEN l.event_id IS NULL THEN NULL
+             ELSE CAST(l.event_id % 180 AS VARCHAR) END AS long
+      FROM al LEFT JOIN events l
+        ON al.user_id = l.user_id
+        AND l.event_id % 3 = 0
+        AND epoch_ms(l.ts) <= epoch_ms(al.ts)
+        AND epoch_ms(l.ts) > epoch_ms(al.ts) - 3600000
+      ORDER BY CAST(al.user_id AS VARCHAR), epoch_ms(al.ts),
+        epoch_ms(l.ts) NULLS FIRST,
+        CASE WHEN l.event_id IS NULL THEN NULL
+             ELSE CAST(l.event_id % 180 AS VARCHAR) END NULLS FIRST,
+        CASE WHEN l.user_id IS NULL THEN NULL
+             ELSE CAST(l.user_id % 90 AS VARCHAR) END NULLS FIRST,
+        al.warning"""))
+
   val all: Seq[GraftQuery] = Seq(
-    c01MultiplexParse, s01WarningStream, s02LatestLocationSink,
+    c01MultiplexParse, c02JsonlSource, s01WarningStream, s02LatestLocationSink,
     s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
     s06ProfileUpsert, s07SalesUpsert, s08StreamDedup, s09StatefulCounter,
     s10StreamJoin, s11TopicSink, s12MapData, s13SalesLwwExact,
-    s14DedupWatermark, s15TwsCounter, s16SessionStream, s17ChainedAgg)
+    s14DedupWatermark, s15TwsCounter, s16SessionStream, s17ChainedAgg,
+    s18OuterStreamJoin)
 }
