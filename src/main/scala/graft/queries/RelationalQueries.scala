@@ -819,6 +819,66 @@ object RelationalQueries {
       FROM li JOIN a USING (l_partkey)
       WHERE l_quantity < CAST(0.2 AS DOUBLE) * a.aq"""))
 
+  /** Shared ANSI text for q36 (both engines run it verbatim): correlated
+    * EXISTS + NOT EXISTS through the SQL front end. Unlike q14/q15 (semi /
+    * anti join written directly in the DataFrame API), this exercises
+    * Catalyst's SUBQUERY DECORRELATION: both predicates arrive as
+    * correlated subqueries and must be rewritten to the same semi/anti
+    * joins — `.explain` shows no subquery remains in the physical plan. */
+  private val Q36Sql = """SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 400000)
+        AND NOT EXISTS (SELECT 1 FROM orders f
+                        WHERE f.o_custkey = c.c_custkey
+                          AND f.o_orderstatus = 'F')
+      ORDER BY c_custkey"""
+
+  val q36ExistsSubquery: GraftQuery = GraftQuery(
+    "q36_exists_subquery",
+    "correlated EXISTS / NOT EXISTS via spark.sql (Catalyst decorrelation to semi/anti joins)",
+    (s, dir) => {
+      Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q36Sql)
+    },
+    Some(Q36Sql))
+
+  /** q37 — time-RANGE window frame: per-user rolling 1-hour statistics,
+    * where the frame is defined by EVENT TIME (all rows within the
+    * preceding hour), not a row count — q16's ROWS frame cannot express
+    * this when event spacing is irregular. Frame bounds compare exact
+    * integer microseconds on both engines (Spark `rangeBetween` needs a
+    * numeric sort key; DuckDB's `RANGE ... PRECEDING` accepts one too), so
+    * frame membership is bit-deterministic. Scale: one shuffle on user_id,
+    * per-user local sort, single forward pass with a sliding frame — the
+    * same plan class as q16, cost O(n log n_user) regardless of frame
+    * width. */
+  val q37RangeFrame: GraftQuery = GraftQuery(
+    "q37_range_frame",
+    "per-user rolling 1h RANGE-frame window aggregates (event-time frame, exact micros)",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("n_1h"), col("sum_1h"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        COUNT(*) OVER w AS n_1h,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
   // NOTE: `all` must stay the LAST definition in this object — a query val
   // referenced here but defined further down is still null at object init
   // (silent, then NPEs at dispatch). SparkEntry.registry asserts against it.
@@ -831,5 +891,5 @@ object RelationalQueries {
     q22SlidingWindow, q23SessionWindow, q24SaltedJoin, q25AsofJoin,
     q26RangeJoin, q27TpchQ5, q28DistinctAgg, q29Pivot, q30Unpivot,
     q31Percentiles, q32TpchQ3, q33MinCostSupplier, q34CubeAgg,
-    q35AvgQtyRevenue)
+    q35AvgQtyRevenue, q36ExistsSubquery, q37RangeFrame)
 }

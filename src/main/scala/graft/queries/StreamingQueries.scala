@@ -872,11 +872,47 @@ object StreamingQueries {
              ELSE CAST(l.user_id % 90 AS VARCHAR) END NULLS FIRST,
         al.warning"""))
 
+  /** s19 — backlog catch-up with `Trigger.AvailableNow` (the Spark-4
+    * replacement for the deprecated `Trigger.Once`): the WHOLE feed is
+    * published before the query starts, and the trigger drains it in
+    * rate-limited batches (`maxFilesPerTrigger`, the file-source analog of
+    * a Kafka `maxOffsetsPerTrigger`) and then stops itself — the
+    * "reprocess everything, bounded memory per batch" mode every
+    * production pipeline needs after downtime. Same pipeline and oracle as
+    * s01; what is under test is the trigger's batch-bounding + self-
+    * termination contract. */
+  val s19AvailableNow: GraftQuery = GraftQuery(
+    "s19_available_now",
+    "Trigger.AvailableNow backlog drain: rate-limited catch-up batches, self-terminating",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val qn = "s19_sink_" + UUID.randomUUID().toString.replace("-", "")
+      val src = new FileStreamSource(StreamHarness.tempDir("s19-feed"),
+        maxFilesPerTrigger = Some(4))
+      feedChunks(s, dir).foreach(src.append) // entire backlog, up front
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, StreamHarness.StreamShufflePartitions.toString)
+      try {
+        val q = warningAlerts(parseFitbit(src.open(s)))
+          .select(col("user_id"), col("age"), col("pulse"), col("warning"),
+            col("machine_ts"))
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s19"))
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append").start()
+        q.awaitTermination()
+      } finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+      s.table(qn).orderBy(col("user_id"), col("machine_ts"), col("pulse"),
+        col("warning"), col("age"))
+    },
+    s01WarningStream.oracle)
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, c02JsonlSource, s01WarningStream, s02LatestLocationSink,
     s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
     s06ProfileUpsert, s07SalesUpsert, s08StreamDedup, s09StatefulCounter,
     s10StreamJoin, s11TopicSink, s12MapData, s13SalesLwwExact,
     s14DedupWatermark, s15TwsCounter, s16SessionStream, s17ChainedAgg,
-    s18OuterStreamJoin)
+    s18OuterStreamJoin, s19AvailableNow)
 }

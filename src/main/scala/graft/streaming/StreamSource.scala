@@ -34,9 +34,17 @@ trait StreamSource {
   * production-shaped default in this zero-egress env. Reads are exactly-once
   * via the file source's checkpointed file log; writes land distributed
   * through [[FileFeed]], so no line ever funnels through the driver. */
-final class FileStreamSource(val dir: String) extends StreamSource {
+final class FileStreamSource(val dir: String,
+                             maxFilesPerTrigger: Option[Int] = None)
+    extends StreamSource {
   Files.createDirectories(Paths.get(dir))
-  override def open(spark: SparkSession): DataFrame = spark.readStream.text(dir)
+  override def open(spark: SparkSession): DataFrame = {
+    // The optional per-trigger file cap is the file source's admission
+    // control — with Trigger.AvailableNow (s19) it bounds each catch-up
+    // batch the way maxOffsetsPerTrigger bounds a Kafka backlog drain.
+    val r = spark.readStream
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n)).text(dir)
+  }
   override def append(chunk: DataFrame): Unit = FileFeed.append(chunk, dir)
 }
 

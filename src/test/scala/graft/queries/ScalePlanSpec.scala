@@ -174,6 +174,18 @@ class ScalePlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q36 decorrelates both EXISTS subqueries into semi/anti joins") {
+    val plan = RelationalQueries.q36ExistsSubquery
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // Catalyst must rewrite the correlated EXISTS / NOT EXISTS into
+    // LeftSemi / LeftAnti joins — a surviving subquery would re-execute
+    // per outer row.
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.toLowerCase.contains("subquery"), plan)
+  }
+
   test("e06 re-rank broadcasts the shortlist onto the float table") {
     val plan = SimilarityQueries.e06AnnRerank
       .run(spark, "/root/testdata/sf0.001")
