@@ -1085,6 +1085,114 @@ object TextQueries {
       WHERE d.doc_id % 10 >= 8
       ORDER BY d.doc_id"""))
 
+  /** Merge iterations for d29. */
+  private val BpeMerges = 3
+  /** Symbol separator (U+001F, absent from the corpus). */
+  private val BpeSep = "\u001f"
+
+  /** d29 — BPE TRAINING (the tokenizer-induction step d12 only
+    * pre-tokenizes for): [[BpeMerges]] iterations of "count adjacent symbol
+    * pairs, merge the most frequent", emitting the learned merge table.
+    * Like every production BPE trainer, the iteration runs on the WORD
+    * COUNT table, not the corpus: the only corpus-sized work is the one
+    * word-frequency rollup (single shuffle, partial-agg); each merge round
+    * is pair counting + string rewrite over the vocab-sized table, and the
+    * winning pair per round is a 1-row bounded collect (index metadata,
+    * like the IVF codebooks). Ties break lexically so the merge sequence is
+    * total-ordered. Pair occurrences are counted at every adjacency
+    * (overlaps included); the rewrite merges non-overlapping occurrences
+    * left-to-right — both conventions replayed identically by the oracle,
+    * so the learned table is bit-equal on both engines. */
+  val d29BpeTrain: GraftQuery = GraftQuery(
+    "d29_bpe_train",
+    s"BPE vocabulary training: $BpeMerges most-frequent-pair merges over the word-count table",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      val words = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // word → separator-joined character symbols: "the" → "t␟h␟e"
+      var tbl: DataFrame = words.select(
+        array_join(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))), BpeSep).as("sym"),
+        col("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val merges = (1 to BpeMerges).map { rank =>
+        // Single-symbol words carry no pairs (and Spark's sequence(1, 0)
+        // DESCENDS rather than yielding empty — it must never be built).
+        val top = tbl
+          .select(col("cnt"), split(col("sym"), BpeSep).as("arr"))
+          .filter(size(col("arr")) >= 2)
+          .select(col("cnt"), explode(transform(
+            sequence(lit(1), size(col("arr")) - 1),
+            i => concat(element_at(col("arr"), i), lit(BpeSep),
+              element_at(col("arr"), i + 1)))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("freq"))
+          .orderBy(col("freq").desc, col("pair")).limit(1)
+          .head() // 1-row bounded collect: the round's winning pair
+        val pair = top.getString(0)
+        val freq = top.getLong(1)
+        val Array(l, r) = pair.split(BpeSep, 2)
+        // Boundary-aware non-overlapping rewrite on the padded string.
+        tbl = tbl.select(
+          expr(s"substring(replace(concat('$BpeSep', sym, '$BpeSep')," +
+            s" concat('$BpeSep', '$l', '$BpeSep', '$r', '$BpeSep')," +
+            s" concat('$BpeSep', '$l', '$r', '$BpeSep')), 2)").as("padded"),
+          col("cnt"))
+          .select(expr(s"substring(padded, 1, length(padded) - 1)").as("sym"),
+            col("cnt"))
+        (rank, l, r, freq)
+      }
+      import s.implicits._
+      merges.toDF("rank", "left_sym", "right_sym", "freq")
+        .select(col("rank"), col("left_sym"), col("right_sym"),
+          concat(col("left_sym"), col("right_sym")).as("merged"), col("freq"))
+        .orderBy(col("rank"))
+    },
+    Some {
+      val sep = "chr(31)"
+      // One merge round: count pairs over w{i-1}, pick the winner, rewrite.
+      def roundSql(i: Int): String = {
+        val prev = s"w${i - 1}"
+        s""",
+        p$i AS (
+          SELECT list_element(arr, j) || $sep || list_element(arr, j + 1) AS pair,
+            CAST(SUM(cnt) AS BIGINT) AS freq
+          FROM (SELECT string_split(sym, $sep) AS arr, cnt FROM $prev),
+            LATERAL (SELECT unnest(generate_series(1, len(arr) - 1)) AS j)
+          GROUP BY 1),
+        m$i AS (SELECT pair, freq FROM p$i ORDER BY freq DESC, pair LIMIT 1),
+        w$i AS (
+          SELECT substring(s2, 1, length(s2) - 1) AS sym, cnt FROM (
+            SELECT substring(replace($sep || sym || $sep,
+              $sep || list_element(string_split(m.pair, $sep), 1) || $sep ||
+                list_element(string_split(m.pair, $sep), 2) || $sep,
+              $sep || list_element(string_split(m.pair, $sep), 1) ||
+                list_element(string_split(m.pair, $sep), 2) || $sep), 2) AS s2,
+              cnt
+            FROM $prev, m$i m))"""
+      }
+      val rounds = (1 to BpeMerges).map(roundSql).mkString
+      val unions = (1 to BpeMerges).map(i =>
+        s"""SELECT $i AS rank,
+           list_element(string_split(pair, $sep), 1) AS left_sym,
+           list_element(string_split(pair, $sep), 2) AS right_sym,
+           list_element(string_split(pair, $sep), 1) ||
+             list_element(string_split(pair, $sep), 2) AS merged,
+           freq FROM m$i""").mkString(" UNION ALL ")
+      s"""WITH words AS (
+        SELECT w, COUNT(*) AS cnt FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w),
+      w0 AS (
+        SELECT array_to_string(list_transform(generate_series(1, length(w)),
+          i -> w[i]), chr(31)) AS sym, cnt
+        FROM words)$rounds
+      SELECT CAST(rank AS INT) AS rank, left_sym, right_sym, merged, freq
+      FROM ($unions) ORDER BY rank"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
@@ -1092,5 +1200,5 @@ object TextQueries {
     d15Repetition, d16Sample, d17ChunkPack, d18Pipeline, d19Decontaminate,
     d20StratifiedSample, d21DupClusters, d22VocabTopK, d23TfidfTop,
     d24PiiScrub, d25DedupApply, d26StopwordScrub, d27ShardShuffle,
-    d28IncrementalDedup)
+    d28IncrementalDedup, d29BpeTrain)
 }
