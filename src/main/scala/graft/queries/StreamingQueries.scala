@@ -908,11 +908,55 @@ object StreamingQueries {
     },
     s01WarningStream.oracle)
 
+  /** s20 — dual-sink `foreachBatch` fan-out: ONE streaming query feeds TWO
+    * sinks (parquet history + JSONL topic payload) from the same cached
+    * micro-batch — the reference writes Cassandra AND a Kafka topic from
+    * one pipeline (`IOTSparkStreaming.scala:138-141`, SURVEY.md §2.5), and
+    * foreachBatch is Structured Streaming's contract for that fan-out.
+    * Idempotency: each sink writes `epoch=<id>/` with overwrite, so a
+    * replayed batch (checkpoint recovery) rewrites its own epoch directory
+    * instead of duplicating rows — exactly-once per (sink, epoch) without
+    * a commit log. The batch is persisted once so the two writes share one
+    * evaluation. The query returns the parquet sink's content and ASSERTS
+    * the two sinks carry identical row counts (divergence fails the run
+    * loudly rather than producing a silently inconsistent pair). */
+  val s20DualSink: GraftQuery = GraftQuery(
+    "s20_dual_sink",
+    "foreachBatch dual-sink fan-out: parquet + JSONL from one cached batch, epoch-idempotent",
+    (s, dir) => {
+      val outA = StreamHarness.tempDir("s20-hist")
+      val outB = StreamHarness.tempDir("s20-topic")
+      StreamHarness.drain(s, fileSource("s20"), feedChunks(s, dir)) { raw =>
+        warningAlerts(parseFitbit(raw))
+          .select(col("user_id"), col("age"), col("pulse"), col("warning"),
+            col("machine_ts"))
+          .writeStream
+          .option("checkpointLocation", StreamHarness.checkpointDir("s20"))
+          .foreachBatch { (batch: DataFrame, epoch: Long) =>
+            val cached = batch.persist()
+            try {
+              cached.write.mode("overwrite").parquet(s"$outA/epoch=$epoch")
+              cached.write.mode("overwrite").json(s"$outB/epoch=$epoch")
+            } finally { cached.unpersist(); () }
+          }
+          .outputMode("append").start()
+      }
+      val hist = s.read.parquet(outA)
+      val topic = s.read.json(outB)
+      require(hist.count() == topic.count(),
+        s"s20 sink divergence: parquet=${hist.count()} jsonl=${topic.count()}")
+      hist.select(col("user_id"), col("age"), col("pulse"), col("warning"),
+        col("machine_ts"))
+        .orderBy(col("user_id"), col("machine_ts"), col("pulse"),
+          col("warning"), col("age"))
+    },
+    s01WarningStream.oracle)
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, c02JsonlSource, s01WarningStream, s02LatestLocationSink,
     s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
     s06ProfileUpsert, s07SalesUpsert, s08StreamDedup, s09StatefulCounter,
     s10StreamJoin, s11TopicSink, s12MapData, s13SalesLwwExact,
     s14DedupWatermark, s15TwsCounter, s16SessionStream, s17ChainedAgg,
-    s18OuterStreamJoin, s19AvailableNow)
+    s18OuterStreamJoin, s19AvailableNow, s20DualSink)
 }
