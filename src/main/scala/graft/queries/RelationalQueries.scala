@@ -879,6 +879,38 @@ object RelationalQueries {
         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       ORDER BY event_id"""))
 
+  /** q25's semantics through the custom-plan path: [[graft.plans.AsOfJoinExec]]
+    * (logical node + rewrite rule + strategy, registered per session by
+    * `GraftPlans.ensure`). Same oracle as q25, so the gate proves the
+    * physical operator agrees with both the (a)-path compose and DuckDB's
+    * native ASOF LEFT JOIN. Scale: one shuffle+sort per side on its own
+    * narrow schema, then a streaming per-partition merge holding one
+    * carried right row — no union blow-up, no window buffer. */
+  val q38AsofNative: GraftQuery = GraftQuery(
+    "q38_asof_native",
+    "native sort-merge as-of join (custom LogicalPlan/Strategy/SparkPlan)",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"),
+          unix_micros(col("ts")).as("p_t_us"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      graft.plans.GraftPlans.asOf(clicks, purchases,
+          "user_id", "t_us", "p_user_id", "p_t_us", Some("p_event_id"))
+        .select(col("user_id"), col("event_id"), col("t_us"),
+          col("p_event_id"), col("p_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT c.user_id, c.event_id, epoch_us(c.ts) AS t_us,
+        p.event_id AS p_event_id, p.value AS p_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+      ORDER BY c.user_id, c.event_id"""))
+
   // NOTE: `all` must stay the LAST definition in this object — a query val
   // referenced here but defined further down is still null at object init
   // (silent, then NPEs at dispatch). SparkEntry.registry asserts against it.
@@ -891,5 +923,5 @@ object RelationalQueries {
     q22SlidingWindow, q23SessionWindow, q24SaltedJoin, q25AsofJoin,
     q26RangeJoin, q27TpchQ5, q28DistinctAgg, q29Pivot, q30Unpivot,
     q31Percentiles, q32TpchQ3, q33MinCostSupplier, q34CubeAgg,
-    q35AvgQtyRevenue, q36ExistsSubquery, q37RangeFrame)
+    q35AvgQtyRevenue, q36ExistsSubquery, q37RangeFrame, q38AsofNative)
 }
