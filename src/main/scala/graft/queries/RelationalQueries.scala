@@ -911,6 +911,97 @@ object RelationalQueries {
         ON c.user_id = p.user_id AND p.ts <= c.ts
       ORDER BY c.user_id, c.event_id"""))
 
+  /** Explicit GROUPING SETS (the general form behind q19's ROLLUP and q34's
+    * CUBE) with `GROUPING()` markers disambiguating subtotal rows. One ANSI
+    * text shared verbatim with the oracle through the SQL entry path. Spark
+    * plans this as a single Expand (one pass over orders, rows duplicated
+    * once per grouping set) + one partial-aggregable groupBy — no extra
+    * scan per set, the shape that holds at 100 TB. */
+  private val Q39Sql =
+    s"""SELECT COALESCE(o_orderpriority, '(all)') AS pri,
+      COALESCE(o_orderstatus, '(all)') AS st,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+      CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+      ${dsumSql("o_totalprice")} AS sum_price, COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        (o_orderpriority), (o_orderstatus), ())
+      ORDER BY pri, st, g_pri, g_st"""
+
+  val q39GroupingSets: GraftQuery = GraftQuery(
+    "q39_grouping_sets",
+    "explicit GROUPING SETS aggregate with GROUPING() subtotal markers",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(Q39Sql)
+    },
+    Some(Q39Sql))
+
+  /** Rank-family window functions over a unique total order (ties broken by
+    * o_orderkey — `ntile`/`percent_rank`/`cume_dist` are order-dependent, so
+    * a non-unique ORDER BY would be engine-nondeterministic). Scale: one
+    * shuffle on the partition key; all five ranks share a single window
+    * sort. */
+  val q40RankFamily: GraftQuery = GraftQuery(
+    "q40_rank_family",
+    "rank/dense_rank/percent_rank/cume_dist/ntile over one shared window sort",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("prnk", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .withColumn("tile4", ntile(4).over(w))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+        RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+        PERCENT_RANK() OVER w AS prnk, CUME_DIST() OVER w AS cdist,
+        CAST(NTILE(4) OVER w AS INT) AS tile4
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+        ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey"""))
+
+  /** TPC-H Q18 shape: aggregate the fact table, keep the rare heavy groups
+    * (HAVING), and join the survivors BACK to the dimensions. Scale: the
+    * lineitem groupBy is one partial-aggregable shuffle on l_orderkey; the
+    * HAVING cut leaves a tiny key set, so both the orders and customer
+    * attachments broadcast the small side — the fact table is never
+    * shuffled again after its one aggregation. */
+  val q41TpchQ18: GraftQuery = GraftQuery(
+    "q41_tpch_q18",
+    "TPC-H Q18: HAVING-filtered heavy groups joined back to dimensions",
+    (s, dir) => {
+      val heavy = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
+        .filter(col("sum_qty") > 300.0)
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      ord.join(broadcast(heavy), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_date"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    },
+    Some("""SELECT c_name, c_custkey, o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice, sum_qty
+      FROM customer, orders,
+        (SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_orderkey
+         HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 300.0) h
+      WHERE o_orderkey = h.l_orderkey AND c_custkey = o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey"""))
+
   // NOTE: `all` must stay the LAST definition in this object — a query val
   // referenced here but defined further down is still null at object init
   // (silent, then NPEs at dispatch). SparkEntry.registry asserts against it.
@@ -923,5 +1014,6 @@ object RelationalQueries {
     q22SlidingWindow, q23SessionWindow, q24SaltedJoin, q25AsofJoin,
     q26RangeJoin, q27TpchQ5, q28DistinctAgg, q29Pivot, q30Unpivot,
     q31Percentiles, q32TpchQ3, q33MinCostSupplier, q34CubeAgg,
-    q35AvgQtyRevenue, q36ExistsSubquery, q37RangeFrame, q38AsofNative)
+    q35AvgQtyRevenue, q36ExistsSubquery, q37RangeFrame, q38AsofNative,
+    q39GroupingSets, q40RankFamily, q41TpchQ18)
 }
