@@ -952,11 +952,58 @@ object StreamingQueries {
     },
     s01WarningStream.oracle)
 
+  /** s21 — SCD type-2 dimension history over the CDC wire: where s02/s06
+    * overwrite a key's row ([[UpsertSink]], the reference's Cassandra
+    * semantics), [[graft.streaming.Scd2Sink]] opens a new version row per
+    * tracked-value CHANGE and closes the previous one, so the register holds
+    * each key's full validity history — the warehouse dimension-history
+    * discipline (Kimball SCD2) driven by a stream. The tracked value is the
+    * event value bucketed to hundreds (floor(value/100)), so runs of equal
+    * values exercise change compression; seq = event_id = the log offset.
+    * Scale: per batch, ONE window over (open rows of touched buckets ∪
+    * batch) — closed history is immutable and never recomputed, so a
+    * dimension with years of versions takes updates at stream rate. The
+    * oracle recomputes the same change-compressed history relationally. */
+  val s21Scd2History: GraftQuery = GraftQuery(
+    "s21_scd2_history",
+    "SCD2 dimension history sink: change-compressed version rows with validity ranges (K1 history variant)",
+    (s, dir) => {
+      val scdLine = concat_ws(",", lit("scd"), col("user_id").cast("string"),
+        floor(col("value") / lit(100.0)).cast("int").cast("string"),
+        col("event_id").cast("string"))
+      val sink = new graft.streaming.Scd2Sink(StreamHarness.tempDir("s21-scd2"),
+        Seq("user_id"), "seq", Seq("v"))
+      StreamHarness.drain(s, fileSource("s21"), feedChunks(s, dir, scdLine)) { raw =>
+        parseScd(raw)
+          .filter(col("_corrupt").isNull)
+          .select(col("user_id"), col("seq"), col("v"))
+          .writeStream
+          .option("checkpointLocation", StreamHarness.checkpointDir("s21"))
+          .foreachBatch { (b: DataFrame, id: Long) => sink.upsert(b, id) }
+          .start()
+      }
+      sink.snapshot(s).get
+        .select(col("user_id"), col("v"), col("valid_from"), col("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+    Some("""WITH upd AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id, event_id AS seq,
+               CAST(FLOOR(value / CAST(100 AS DOUBLE)) AS INT) AS v
+        FROM events),
+      pts AS (SELECT user_id, seq, v,
+               LAG(v) OVER (PARTITION BY user_id ORDER BY seq) AS pv FROM upd),
+      starts AS (SELECT user_id, seq, v FROM pts WHERE pv IS NULL OR pv <> v)
+      SELECT user_id, v, seq AS valid_from,
+             LEAD(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to,
+             (LEAD(seq) OVER (PARTITION BY user_id ORDER BY seq) IS NULL) AS is_current
+      FROM starts ORDER BY user_id, valid_from"""))
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, c02JsonlSource, s01WarningStream, s02LatestLocationSink,
     s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
     s06ProfileUpsert, s07SalesUpsert, s08StreamDedup, s09StatefulCounter,
     s10StreamJoin, s11TopicSink, s12MapData, s13SalesLwwExact,
     s14DedupWatermark, s15TwsCounter, s16SessionStream, s17ChainedAgg,
-    s18OuterStreamJoin, s19AvailableNow, s20DualSink)
+    s18OuterStreamJoin, s19AvailableNow, s20DualSink, s21Scd2History)
 }

@@ -91,6 +91,12 @@ object StreamPipelines {
       .select(Wire.parseCsv(col("value"), Wire.SalesSchemaV2).as("r"))
       .select(col("r.*"))
 
+  /** CDC dimension-update parse ([[Wire.ScdSchema]], s21). */
+  def parseScd(raw: DataFrame): DataFrame =
+    raw.filter(Wire.tagOf(col("value")) === "scd")
+      .select(Wire.parseCsv(col("value"), Wire.ScdSchema).as("r"))
+      .select(col("r.*"))
+
   /** mapData projection (P3, reference `IOTSparkStreaming.scala:92-100`):
     * `(user_id, lat, long, pulse:Int, temp)` for the map topic. The
     * reference defines this pipeline but comments out its start

@@ -73,6 +73,18 @@ object Wire {
     StructField("seq", LongType),
     StructField("_corrupt", StringType)))
 
+  /** `scd` layout (s21): key, tracked value, and the transport seq — the
+    * minimal CDC wire for a versioned dimension register ([[Scd2Sink]]).
+    * Like [[SalesSchemaV2]], the seq rides the wire because validity ranges
+    * are defined by log order, which only the transport offset makes
+    * explicit. */
+  val ScdSchema: StructType = StructType(Seq(
+    StructField("rtype", StringType),
+    StructField("user_id", StringType),
+    StructField("v", IntegerType),
+    StructField("seq", LongType),
+    StructField("_corrupt", StringType)))
+
   private val CsvOpts = Map(
     "mode" -> "PERMISSIVE",
     "columnNameOfCorruptRecord" -> "_corrupt")
