@@ -747,7 +747,131 @@ object SimilarityQueries {
         FROM rr)
       WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
+  /** Neighbors kept per vector in the e07 graph. */
+  val KnnK: Int = 3
+  /** Edge threshold for e08's semantic clusters — sized to this corpus's
+    * cosine range (max pairwise ≈ 0.51; see the fixture probe in the
+    * Scaladoc below). */
+  val SemTau: Double = 0.38
+
+  /** Shared candidate generation for e07/e08: every vector assigned
+    * map-side to its nearest coarse centroid (the e02 codebook), then pairs
+    * generated ONLY within a list by a self-equi-join on the list key.
+    * Candidate work is Σ|list|² instead of n² — the IVF analogue of d07's
+    * LSH band join, and the shape that makes a corpus-wide similarity graph
+    * feasible at 100 TB (NList grows ~√n, so lists stay bounded). The list
+    * key is the ONE shuffle on each side of the join. */
+  private def listPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val prepared = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ve"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codebook = prepared.filter(col("vec_id") < NList)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val assigned = prepared.withColumn("list",
+      element_at(cbRank(s, "e07", codebook, col("ve"), col("nrm")), 1))
+    assigned
+      .join(assigned.select(col("list"), col("vec_id").as("nid"),
+        col("ve").as("nve"), col("nrm").as("nnrm")), Seq("list"))
+      .filter(col("vec_id") =!= col("nid"))
+      .withColumn("cosine",
+        call_function("graft_dot", col("ve"), col("nve"))
+          / (col("nrm") * col("nnrm")))
+      .select(col("vec_id"), col("nid"), col("cosine"))
+  }
+
+  /** Oracle CTE chain computing the same assignment + within-list pairs. */
+  private val listPairsSql: String =
+    s"""v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, ve,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS nrm
+        FROM v),
+      asg AS (
+        SELECT vec_id, ve, nrm, cid AS list FROM (
+          SELECT n.vec_id, n.ve, n.nrm, c.vec_id AS cid,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(list_zip(n.ve, c.ve), p -> p[1] * p[2])),
+                (a, b) -> a + b) / (n.nrm * c.nrm) DESC, c.vec_id) AS crn
+          FROM n, n c WHERE c.vec_id < $NList) WHERE crn = 1),
+      pairs AS (
+        SELECT x.vec_id, y.vec_id AS nid,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(x.ve, y.ve), p -> p[1] * p[2])),
+            (a, b) -> a + b) / (x.nrm * y.nrm) AS cosine
+        FROM asg x JOIN asg y ON x.list = y.list AND x.vec_id <> y.vec_id)"""
+
+  /** e07 — corpus-wide k-NN GRAPH (neighbors for EVERY vector, not just a
+    * query set — the structure semantic dedup, clustering, and
+    * graph-based retrieval indexes are built from). e01–e06 answer "top-k
+    * for these 8 queries"; e07 answers it for all n vectors at once, which
+    * brute force would make n² — the IVF bucketing bounds it to Σ|list|².
+    * Vectors whose list has no other member emit no rows (the standard
+    * 1-probe IVF recall tradeoff, reproduced identically by the oracle). */
+  val e07KnnGraph: GraftQuery = GraftQuery(
+    "e07_knn_graph",
+    s"corpus-wide top-$KnnK neighbor graph via IVF lists (Σ|list|² not n²)",
+    (s, dir) => {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("nid"))
+      listPairs(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= KnnK)
+        .select(col("vec_id"), col("nid"), col("rnk"), col("cosine"))
+        .orderBy(col("vec_id"), col("rnk"))
+    },
+    Some(s"""WITH $listPairsSql
+      SELECT vec_id, nid, CAST(rnk AS INT) AS rnk, cosine FROM (
+        SELECT vec_id, nid, cosine,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nid) AS rnk
+        FROM pairs)
+      WHERE rnk <= $KnnK ORDER BY vec_id, rnk"""))
+
+  /** e08 — SEMANTIC dedup clusters: the d21 discipline (pairs → connected
+    * components → canonical per group) applied to embedding space instead
+    * of MinHash space. Edges are within-list pairs at cosine ≥ [[SemTau]]
+    * (near-dups land in the same coarse list, the same recall argument as
+    * d10's sign-LSH buckets); components labeled by the shared
+    * min-label-propagation operator. Fixture probe: max pairwise cosine at
+    * sf0.01 is ≈ 0.51, so τ=0.38 keeps the strongest ~20 edges. */
+  val e08SemanticClusters: GraftQuery = GraftQuery(
+    "e08_semantic_clusters",
+    s"semantic dedup clusters: IVF-bucketed cosine edges (τ=$SemTau) + connected components",
+    (s, dir) => {
+      val cand = listPairs(s, dir).filter(col("cosine") >= SemTau)
+      val edges = cand.select(col("vec_id").as("src"), col("nid").as("dst"))
+      val nodes = Tables.load(s, dir, "embeddings").select(col("vec_id").as("id"))
+      val labels = graft.operators.ConnectedComponents.label(nodes, edges,
+        shufflePartitions = Some(8))
+      val sizes = labels.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster")
+        .select(col("id").as("vec_id"), col("cluster"), col("cluster_size"),
+          (col("id") === col("cluster")).cast("int").as("is_canonical"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH RECURSIVE $listPairsSql,
+      edges AS (SELECT vec_id AS src, nid AS dst FROM pairs WHERE cosine >= $SemTau),
+      reach AS (
+        SELECT vec_id AS id, vec_id AS reach FROM embeddings
+        UNION
+        SELECT r.id, e.dst AS reach FROM reach r JOIN edges e ON r.reach = e.src),
+      lab AS (SELECT id AS vec_id, MIN(reach) AS cluster FROM reach GROUP BY id),
+      sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
+      SELECT l.vec_id, l.cluster, sz.cluster_size,
+        CAST(l.vec_id = l.cluster AS INT) AS is_canonical
+      FROM lab l JOIN sz USING (cluster)
+      ORDER BY l.vec_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8,
-      e05AnnIvfTrained, e06AnnRerank, d10EmbeddingNeardup)
+      e05AnnIvfTrained, e06AnnRerank, e07KnnGraph, e08SemanticClusters,
+      d10EmbeddingNeardup)
 }
