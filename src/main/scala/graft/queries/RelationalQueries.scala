@@ -1002,6 +1002,110 @@ object RelationalQueries {
       WHERE o_orderkey = h.l_orderkey AND c_custkey = o_custkey
       ORDER BY o_totalprice DESC, o_orderkey"""))
 
+  /** q42 — recursive CTE (Spark 4's WITH RECURSIVE, shared ANSI text):
+    * every customer key walks the synthetic binary hierarchy parent(k) =
+    * ⌊k/2⌋ up to the root, emitting depth and the path sum — the
+    * transitive-closure surface (org charts, BOM explosions, thread
+    * ancestry). Iteration count = tree depth (log₂ n), each step one
+    * self-join the engine drives — the declarative sibling of
+    * [[graft.operators.ConnectedComponents]]'s hand-rolled loop. The
+    * division is floor(k/2.0) so the text is engine-shared (no DIV/`//`
+    * dialect split). */
+  private val Q42Sql =
+    """WITH RECURSIVE up AS (
+        SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+        UNION ALL
+        SELECT node, CAST(FLOOR(cur / 2.0) AS BIGINT) AS cur, depth + 1
+        FROM up WHERE cur > 1)
+      SELECT node, CAST(MAX(depth) AS INT) AS depth_to_root,
+        CAST(SUM(cur) AS BIGINT) AS path_sum
+      FROM up GROUP BY node ORDER BY node"""
+
+  val q42RecursiveCte: GraftQuery = GraftQuery(
+    "q42_recursive_cte",
+    "WITH RECURSIVE hierarchy walk: per-node depth and path sum to the root",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(Q42Sql)
+    },
+    Some(Q42Sql))
+
+  /** q43 — LATERAL correlated subquery with LIMIT (shared ANSI text):
+    * top-2 customers per nation, written the way an analyst writes it.
+    * Catalyst decorrelates the per-row subquery into a set-based plan
+    * (filter + rank shapes) rather than executing it row-at-a-time — q12/
+    * q40's window formulation is the hand-decorrelated equivalent; this
+    * entry keeps the LATERAL surface itself covered. */
+  private val Q43Sql =
+    """SELECT n.n_name, l.c_custkey, l.c_acctbal
+      FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) l
+      ORDER BY n.n_name, l.c_acctbal DESC, l.c_custkey"""
+
+  val q43LateralTopn: GraftQuery = GraftQuery(
+    "q43_lateral_topn",
+    "LATERAL correlated LIMIT subquery: top-2 customers per nation (decorrelated)",
+    (s, dir) => {
+      Seq("nation", "customer").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q43Sql)
+    },
+    Some(Q43Sql))
+
+  /** q44 — time-series gap fill: resample each user's event stream to a
+    * daily grid (`sequence` + explode between the user's own first and last
+    * day) and forward-fill missing days with the last observed value — the
+    * standard feature-store densification step. Scale: the daily compaction
+    * is one window on (user, day); the grid explode is map-side (≤ span
+    * rows per user); the fill is one more window on user — two shuffles on
+    * the user key total, no cross-user work. Observed-day pick is exact:
+    * last by (ts, event_id) within the day, so both engines agree under
+    * same-timestamp ties. */
+  val q44GapFill: GraftQuery = GraftQuery(
+    "q44_gap_fill",
+    "daily resample + forward fill per user (sequence/explode + ignore-nulls window)",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("ts"),
+          col("event_id"), col("value"))
+      val wDay = Window.partitionBy(col("user_id"), col("d"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = ev.withColumn("_rn", row_number().over(wDay))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("d"), col("value").as("obs"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("d"))
+      val wFill = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "d"), "left")
+        .withColumn("v_filled", last(col("obs"), ignoreNulls = true).over(wFill))
+        .select(col("user_id"),
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("v_filled"), col("obs").isNotNull.as("is_observed"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""WITH daily AS (
+        SELECT user_id, d, value AS obs FROM (
+          SELECT user_id, CAST(ts AS DATE) AS d, value,
+            row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1),
+      bounds AS (
+        SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id),
+      grid AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds)
+      SELECT g.user_id, strftime(g.d, '%Y-%m-%d') AS day,
+        last_value(daily.obs IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        (daily.obs IS NOT NULL) AS is_observed
+      FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d
+      ORDER BY g.user_id, day"""))
+
   // NOTE: `all` must stay the LAST definition in this object — a query val
   // referenced here but defined further down is still null at object init
   // (silent, then NPEs at dispatch). SparkEntry.registry asserts against it.
@@ -1015,5 +1119,6 @@ object RelationalQueries {
     q26RangeJoin, q27TpchQ5, q28DistinctAgg, q29Pivot, q30Unpivot,
     q31Percentiles, q32TpchQ3, q33MinCostSupplier, q34CubeAgg,
     q35AvgQtyRevenue, q36ExistsSubquery, q37RangeFrame, q38AsofNative,
-    q39GroupingSets, q40RankFamily, q41TpchQ18)
+    q39GroupingSets, q40RankFamily, q41TpchQ18, q42RecursiveCte,
+    q43LateralTopn, q44GapFill)
 }
