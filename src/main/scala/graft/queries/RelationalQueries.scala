@@ -1106,6 +1106,31 @@ object RelationalQueries {
       FROM grid g LEFT JOIN daily ON g.user_id = daily.user_id AND g.d = daily.d
       ORDER BY g.user_id, day"""))
 
+  /** q45 — ANSI aggregate FILTER clause (shared text): per-group conditional
+    * aggregates in ONE pass — the declarative form of the
+    * `sum(when(cond, x))` idiom, planned as a single partial-aggregable
+    * groupBy (no per-condition scans). Empty filter groups yield NULL on
+    * both engines. */
+  private val Q45Sql =
+    s"""SELECT o_orderpriority,
+      COUNT(*) AS n,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      ${dsumSql("o_totalprice")} AS sum_all,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sum_f,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        FILTER (WHERE o_orderstatus <> 'F') AS DOUBLE) AS sum_nf
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  val q45FilteredAgg: GraftQuery = GraftQuery(
+    "q45_filtered_agg",
+    "aggregate FILTER clause: conditional aggregates in one grouped pass",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(Q45Sql)
+    },
+    Some(Q45Sql))
+
   // NOTE: `all` must stay the LAST definition in this object — a query val
   // referenced here but defined further down is still null at object init
   // (silent, then NPEs at dispatch). SparkEntry.registry asserts against it.
@@ -1120,5 +1145,5 @@ object RelationalQueries {
     q31Percentiles, q32TpchQ3, q33MinCostSupplier, q34CubeAgg,
     q35AvgQtyRevenue, q36ExistsSubquery, q37RangeFrame, q38AsofNative,
     q39GroupingSets, q40RankFamily, q41TpchQ18, q42RecursiveCte,
-    q43LateralTopn, q44GapFill)
+    q43LateralTopn, q44GapFill, q45FilteredAgg)
 }
