@@ -186,6 +186,44 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("subquery"), plan)
   }
 
+  test("q38 plans the native as-of exec with one exchange per side") {
+    val plan = RelationalQueries.q38AsofNative
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    // One hash exchange per side on its own key — the SMJ contract; the
+    // final display ORDER BY adds range exchanges, not hash ones.
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("q41 broadcasts the HAVING survivors back; the fact shuffles once") {
+    val plan = RelationalQueries.q41TpchQ18
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // lineitem aggregates partial+final around its one orderkey shuffle.
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("e07 k-NN graph pairs come from a list-key equi-join, never all-pairs") {
+    val plan = SimilarityQueries.e07KnnGraph
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q44 gap fill shuffles on the user key only (grid explode is map-side)") {
+    val plan = RelationalQueries.q44GapFill
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(user_id"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("e06 re-rank broadcasts the shortlist onto the float table") {
     val plan = SimilarityQueries.e06AnnRerank
       .run(spark, "/root/testdata/sf0.001")
