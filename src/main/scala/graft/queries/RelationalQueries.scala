@@ -1026,6 +1026,12 @@ object RelationalQueries {
     "WITH RECURSIVE hierarchy walk: per-node depth and path sum to the root",
     (s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("customer")
+      // Working-set guard, not a semantic limit: the walk emits n·log₂(n)
+      // rows total (150k customers × depth ≈ 17 > the 1M default at the
+      // bench's 10× scale-up point). Row count per ITERATION still shrinks
+      // to zero as nodes reach the root, so raising the cap does not admit
+      // runaway recursion — the level limit (default 100) still bounds it.
+      s.conf.set("spark.sql.cteRecursionRowLimit", (100 * 1000 * 1000).toString)
       s.sql(Q42Sql)
     },
     Some(Q42Sql))

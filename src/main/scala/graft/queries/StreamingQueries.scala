@@ -999,11 +999,82 @@ object StreamingQueries {
              (LEAD(seq) OVER (PARTITION BY user_id ORDER BY seq) IS NULL) AS is_current
       FROM starts ORDER BY user_id, valid_from"""))
 
+  /** s22 — POINT-IN-TIME temporal join against the streamed SCD2 register:
+    * the feature-store lookup that makes training data repeatable. The
+    * multiplexed feed carries two topics (the reference's P1 demux): non-
+    * click events stream as `scd` dimension updates into
+    * [[graft.streaming.Scd2Sink]] (s21's register, here keyed off a
+    * filtered feed), and click events are then enriched with the version
+    * VALID AT their sequence number — `valid_from ≤ seq < valid_to` — not
+    * the current one, so re-running the enrichment months later yields the
+    * SAME features (the as-of-history discipline; a latest-value join like
+    * s03 silently leaks future dimension state into past examples). Scale:
+    * the lookup is an equi-join on the key with a per-version range
+    * predicate; versions per key are few, so the range filter rides the
+    * equi-join's partitions — no extra shuffle. Clicks before a key's
+    * first version keep nulls (left outer). */
+  val s22TemporalJoin: GraftQuery = GraftQuery(
+    "s22_temporal_join",
+    "point-in-time enrichment against the streamed SCD2 history (repeatable features)",
+    (s, dir) => {
+      // Multiplexed wire: dimension updates under the `scd` tag, clicks
+      // under a distinct tag that the scd pipeline's demux drops.
+      val line = when(col("event_type") === "click",
+        concat_ws(",", lit("clickq"), col("user_id").cast("string"),
+          col("event_id").cast("string")))
+        .otherwise(concat_ws(",", lit("scd"), col("user_id").cast("string"),
+          floor(col("value") / lit(100.0)).cast("int").cast("string"),
+          col("event_id").cast("string")))
+      val sink = new graft.streaming.Scd2Sink(StreamHarness.tempDir("s22-scd2"),
+        Seq("user_id"), "seq", Seq("v"))
+      StreamHarness.drain(s, fileSource("s22"), feedChunks(s, dir, line)) { raw =>
+        parseScd(raw) // tag demux: clickq lines never reach the register
+          .filter(col("_corrupt").isNull)
+          .select(col("user_id"), col("seq"), col("v"))
+          .writeStream
+          .option("checkpointLocation", StreamHarness.checkpointDir("s22"))
+          .foreachBatch { (b: DataFrame, id: Long) => sink.upsert(b, id) }
+          .start()
+      }
+      val history = sink.snapshot(s).get
+      val clicks = Tables.load(s, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(col("user_id").cast("string").as("user_id"),
+          col("event_id").as("seq"))
+      clicks.join(history,
+          clicks("user_id") === history("user_id") &&
+            col("valid_from") <= col("seq") &&
+            (col("valid_to").isNull || col("seq") < col("valid_to")),
+          "left_outer")
+        .select(clicks("user_id"), col("seq"), col("v"), col("valid_from"))
+        .orderBy(clicks("user_id"), col("seq"))
+    },
+    Some("""WITH upd AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id, event_id AS seq,
+               CAST(FLOOR(value / CAST(100 AS DOUBLE)) AS INT) AS v
+        FROM events WHERE event_type <> 'click'),
+      pts AS (SELECT user_id, seq, v,
+               LAG(v) OVER (PARTITION BY user_id ORDER BY seq) AS pv FROM upd),
+      starts AS (SELECT user_id, seq, v FROM pts WHERE pv IS NULL OR pv <> v),
+      hist AS (
+        SELECT user_id, v, seq AS valid_from,
+               LEAD(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to
+        FROM starts),
+      clicks AS (
+        SELECT CAST(user_id AS VARCHAR) AS user_id, event_id AS seq
+        FROM events WHERE event_type = 'click')
+      SELECT c.user_id, c.seq, h.v, h.valid_from
+      FROM clicks c LEFT JOIN hist h
+        ON c.user_id = h.user_id AND h.valid_from <= c.seq
+          AND (h.valid_to IS NULL OR c.seq < h.valid_to)
+      ORDER BY c.user_id, c.seq"""))
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, c02JsonlSource, s01WarningStream, s02LatestLocationSink,
     s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
     s06ProfileUpsert, s07SalesUpsert, s08StreamDedup, s09StatefulCounter,
     s10StreamJoin, s11TopicSink, s12MapData, s13SalesLwwExact,
     s14DedupWatermark, s15TwsCounter, s16SessionStream, s17ChainedAgg,
-    s18OuterStreamJoin, s19AvailableNow, s20DualSink, s21Scd2History)
+    s18OuterStreamJoin, s19AvailableNow, s20DualSink, s21Scd2History,
+    s22TemporalJoin)
 }
