@@ -121,6 +121,39 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(got == Seq(("c1", None), ("c2", None)))
   }
 
+  test("equivalence sweep vs an in-memory reference across seeded corpora") {
+    import spark.implicits._
+    // Deterministic LCG so the sweep never flakes; three corpora exercise
+    // sparse matches, dense duplicate times, and right-heavy keys.
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    for (seed <- Seq(7L, 99L, 5151L)) {
+      val r = lcg(seed).map(x => math.abs(x))
+      val nL = 120 + (r.next() % 80).toInt
+      val nR = 90 + (r.next() % 120).toInt
+      val leftRows = (1 to nL).map { i =>
+        (s"k${r.next() % 19}", (r.next() % 40).toLong, s"L$i")
+      }
+      val rightRows = (1 to nR).map { i =>
+        (s"k${r.next() % 13}", (r.next() % 40).toLong, i.toLong, (r.next() % 1000) / 10.0)
+      }
+      val expected = leftRows.map { case (k, t, id) =>
+        val m = rightRows.filter(rr => rr._1 == k && rr._2 <= t)
+        val best = if (m.isEmpty) None else Some(m.maxBy(rr => (rr._2, rr._3)))
+        (id, best.map(_._3), best.map(_._4))
+      }.toSet
+      val got = GraftPlans.asOf(
+        leftRows.toDF("k", "t", "cid"), rightRows.toDF("pk", "pt", "pid", "pv"),
+        "k", "t", "pk", "pt", Some("pid"))
+        .select(col("cid"), col("pid"), col("pv"))
+        .collect()
+        .map(row => (row.getString(0),
+          Option(row.get(1)).map(_.asInstanceOf[Long]),
+          Option(row.get(2)).map(_.asInstanceOf[Double]))).toSet
+      assert(got == expected, s"seed $seed diverged from the reference")
+    }
+  }
+
   test("GraftExtensions installs the rule, strategy, and marker function") {
     val exts = new SparkSessionExtensions
     new GraftExtensions()(exts)

@@ -56,6 +56,38 @@ class Scd2SinkSpec extends SparkSpec {
     assert(history(oneShot) == history(perRow))
   }
 
+  test("random in-order feeds under random batch splits match the reference") {
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    for (seed <- Seq(11L, 404L)) {
+      val r = lcg(seed).map(math.abs)
+      // Global seqs ascending => in-order per key (the sink's contract).
+      val rows = (1 to 150).map { i =>
+        (s"u${r.next() % 9}", i.toLong * 2, (r.next() % 4).toInt)
+      }
+      // Reference: change-compress each key's seq-ordered run.
+      val expected = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(_._2)
+        val starts = sorted.zip(None +: sorted.map(x => Some(x._3)))
+          .collect { case ((_, seq, v), prev) if !prev.contains(v) => (seq, v) }
+        starts.zip(starts.drop(1).map(s => Some(s._1)) :+ None).map {
+          case ((from, v), to) => (k, v, from, to, to.isEmpty)
+        }
+      }.toSet
+      val sink = fresh()
+      // Random batch boundaries (always ascending seq across batches).
+      var rest = rows
+      var id = 0L
+      while (rest.nonEmpty) {
+        val take = 1 + (r.next() % 40).toInt
+        sink.upsert(updates(rest.take(take): _*), id)
+        rest = rest.drop(take); id += 1
+      }
+      assert(history(sink).map(t => (t._1, t._2, t._3, t._4, t._5)).toSet == expected,
+        s"seed $seed diverged from the reference")
+    }
+  }
+
   test("replayed batches are no-ops (marker) and re-merges converge (content)") {
     val sink = fresh()
     val b0 = updates(("u1", 1L, 10), ("u1", 5L, 20))
