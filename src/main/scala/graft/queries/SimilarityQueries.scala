@@ -750,16 +750,25 @@ object SimilarityQueries {
   /** Neighbors kept per vector in the e07 graph. */
   val KnnK: Int = 3
   /** Edge threshold for e08's semantic clusters — sized to this corpus's
-    * cosine range (max pairwise ≈ 0.51; see the fixture probe in the
-    * Scaladoc below). */
+    * cosine range (max pairwise ≈ 0.51), keeping only the strongest edges
+    * among the probed candidates. */
   val SemTau: Double = 0.38
 
+  /** Probe width for the corpus-wide graph (e07/e08). Wider than the
+    * query-set ANN's [[NProbe]]: graph recall is scored over ALL n vectors
+    * (not 8 easy queries) at k=3, a harsher target on this near-orthogonal
+    * corpus — measured recall@3 vs the exact graph: 1-probe 0.22, 4-probe
+    * symmetric 0.70, 8-probe symmetric 0.93 (AnnRecallSpec floors 0.8). */
+  val GraphNProbe: Int = 8
+
   /** Shared candidate generation for e07/e08: every vector assigned
-    * map-side to its nearest coarse centroid (the e02 codebook), then pairs
-    * generated ONLY within a list by a self-equi-join on the list key.
-    * Candidate work is Σ|list|² instead of n² — the IVF analogue of d07's
-    * LSH band join, and the shape that makes a corpus-wide similarity graph
-    * feasible at 100 TB (NList grows ~√n, so lists stay bounded). The list
+    * map-side to its nearest coarse centroid (the e02 codebook) on the
+    * INDEX side, probing its [[GraphNProbe]] nearest lists on the QUERY
+    * side, and candidates SYMMETRIZED — cosine is symmetric, so if a
+    * probes b's list the pair serves both endpoints; the union-distinct
+    * dedups the doubly-found pairs exactly (both directions compute
+    * bit-identical cosines). Candidate work is GraphNProbe·Σ|list|²
+    * instead of n² — the IVF analogue of d07's LSH band join; the list
     * key is the ONE shuffle on each side of the join. */
   private def listPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val prepared = Tables.load(s, dir, "embeddings")
@@ -771,19 +780,24 @@ object SimilarityQueries {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
-    val assigned = prepared.withColumn("list",
+    val probing = prepared.withColumn("list",
+      explode(slice(cbRank(s, "e07", codebook, col("ve"), col("nrm")),
+        1, GraphNProbe)))
+    val indexed = prepared.withColumn("list",
       element_at(cbRank(s, "e07", codebook, col("ve"), col("nrm")), 1))
-    assigned
-      .join(assigned.select(col("list"), col("vec_id").as("nid"),
+    val raw = probing
+      .join(indexed.select(col("list"), col("vec_id").as("nid"),
         col("ve").as("nve"), col("nrm").as("nnrm")), Seq("list"))
       .filter(col("vec_id") =!= col("nid"))
       .withColumn("cosine",
         call_function("graft_dot", col("ve"), col("nve"))
           / (col("nrm") * col("nnrm")))
       .select(col("vec_id"), col("nid"), col("cosine"))
+    raw.union(raw.select(col("nid").as("vec_id"), col("vec_id").as("nid"),
+      col("cosine"))).distinct()
   }
 
-  /** Oracle CTE chain computing the same assignment + within-list pairs. */
+  /** Oracle CTE chain computing the same assignment + probed-list pairs. */
   private val listPairsSql: String =
     s"""v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
@@ -793,28 +807,35 @@ object SimilarityQueries {
           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS nrm
         FROM v),
-      asg AS (
-        SELECT vec_id, ve, nrm, cid AS list FROM (
-          SELECT n.vec_id, n.ve, n.nrm, c.vec_id AS cid,
-            row_number() OVER (PARTITION BY n.vec_id ORDER BY
-              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                list_transform(list_zip(n.ve, c.ve), p -> p[1] * p[2])),
-                (a, b) -> a + b) / (n.nrm * c.nrm) DESC, c.vec_id) AS crn
-          FROM n, n c WHERE c.vec_id < $NList) WHERE crn = 1),
-      pairs AS (
+      ranked AS (
+        SELECT n.vec_id, n.ve, n.nrm, c.vec_id AS cid,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(n.ve, c.ve), p -> p[1] * p[2])),
+              (a, b) -> a + b) / (n.nrm * c.nrm) DESC, c.vec_id) AS crn
+        FROM n, n c WHERE c.vec_id < $NList),
+      asg AS (SELECT vec_id, ve, nrm, cid AS list FROM ranked WHERE crn = 1),
+      probes AS (SELECT vec_id, ve, nrm, cid AS list FROM ranked
+        WHERE crn <= $GraphNProbe),
+      raw AS (
         SELECT x.vec_id, y.vec_id AS nid,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(list_zip(x.ve, y.ve), p -> p[1] * p[2])),
             (a, b) -> a + b) / (x.nrm * y.nrm) AS cosine
-        FROM asg x JOIN asg y ON x.list = y.list AND x.vec_id <> y.vec_id)"""
+        FROM probes x JOIN asg y ON x.list = y.list AND x.vec_id <> y.vec_id),
+      pairs AS (
+        SELECT vec_id, nid, cosine FROM raw
+        UNION
+        SELECT nid AS vec_id, vec_id AS nid, cosine FROM raw)"""
 
   /** e07 — corpus-wide k-NN GRAPH (neighbors for EVERY vector, not just a
     * query set — the structure semantic dedup, clustering, and
     * graph-based retrieval indexes are built from). e01–e06 answer "top-k
     * for these 8 queries"; e07 answers it for all n vectors at once, which
-    * brute force would make n² — the IVF bucketing bounds it to Σ|list|².
-    * Vectors whose list has no other member emit no rows (the standard
-    * 1-probe IVF recall tradeoff, reproduced identically by the oracle). */
+    * brute force would make n² — the IVF probing bounds it to
+    * GraphNProbe·Σ|list|². Vectors none of whose probed lists hold another
+    * member emit no rows (the IVF recall tradeoff, reproduced identically
+    * by the oracle; AnnRecallSpec floors the measured graph recall). */
   val e07KnnGraph: GraftQuery = GraftQuery(
     "e07_knn_graph",
     s"corpus-wide top-$KnnK neighbor graph via IVF lists (Σ|list|² not n²)",
@@ -839,13 +860,15 @@ object SimilarityQueries {
     * of MinHash space. Edges are within-list pairs at cosine ≥ [[SemTau]]
     * (near-dups land in the same coarse list, the same recall argument as
     * d10's sign-LSH buckets); components labeled by the shared
-    * min-label-propagation operator. Fixture probe: max pairwise cosine at
-    * sf0.01 is ≈ 0.51, so τ=0.38 keeps the strongest ~20 edges. */
+    * min-label-propagation operator. At sf0.01 (max pairwise cosine
+    * ≈ 0.51) τ=0.38 yields 70 multi-member clusters. */
   val e08SemanticClusters: GraftQuery = GraftQuery(
     "e08_semantic_clusters",
     s"semantic dedup clusters: IVF-bucketed cosine edges (τ=$SemTau) + connected components",
     (s, dir) => {
       val cand = listPairs(s, dir).filter(col("cosine") >= SemTau)
+      // listPairs candidates are already symmetrized, so both directions of
+      // every edge are present — exactly what min-label propagation needs.
       val edges = cand.select(col("vec_id").as("src"), col("nid").as("dst"))
       val nodes = Tables.load(s, dir, "embeddings").select(col("vec_id").as("id"))
       val labels = graft.operators.ConnectedComponents.label(nodes, edges,
@@ -858,7 +881,8 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     },
     Some(s"""WITH RECURSIVE $listPairsSql,
-      edges AS (SELECT vec_id AS src, nid AS dst FROM pairs WHERE cosine >= $SemTau),
+      edges AS (SELECT vec_id AS src, nid AS dst FROM pairs
+        WHERE cosine >= $SemTau),
       reach AS (
         SELECT vec_id AS id, vec_id AS reach FROM embeddings
         UNION

