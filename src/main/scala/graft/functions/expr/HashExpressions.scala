@@ -171,6 +171,35 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Real P6 PPM decode over the binary column (see [[HashOps.ppmDecode]]).
+    * Nullable by design: malformed payloads decode to NULL, which the m06
+    * query surfaces as the quarantine flag — so the codegen path must
+    * null-check the RESULT, not just the input (plain `defineCodeGen`
+    * assumes a non-null return). */
+  case class PpmDecode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("width",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("height",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("maxval",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("mean_r", DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("mean_g", DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("mean_b", DoubleType, nullable = false)))
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.ppmDecode(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.expr.HashOps.ppmDecode($c);
+        ${ev.isNull} = ${ev.value} == null;
+      """)
+    override protected def withNewChildInternal(newChild: Expression): PpmDecode =
+      copy(child = newChild)
+  }
+
   case class DotFold(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -205,5 +234,7 @@ object HashExpressions {
       args => PhashSig(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_quantize",
       args => QuantizeCodes(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_ppm_decode",
+      args => PpmDecode(args.head), "built-in")
   }
 }

@@ -222,4 +222,47 @@ object HashOps {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](s1, s2))
   }
+
+  /** REAL P6 PPM (binary portable pixmap) decode — the m06 decode step.
+    * Unlike the m01/m02 byte-derived pseudo-metadata, this is an actual
+    * byte-level image parser: magic check, whitespace-delimited ASCII
+    * header (width, height, maxval), the single post-maxval whitespace
+    * byte, then exactly width·height RGB triples. Any violation — wrong
+    * magic, bad dimensions, maxval out of 8-bit range, truncated or
+    * oversized pixel payload — returns null, which the query surfaces as a
+    * quarantine flag (the binary-path analogue of the c01 PERMISSIVE
+    * parse). Channel means are exact integer sums with one double division
+    * each, so both engines agree bitwise. */
+  def ppmDecode(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    if (bytes == null || bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return null
+    var i = 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\t' || b == '\r'
+    def readInt(): Int = {
+      val start = i
+      while (i < bytes.length && isWs(bytes(i))) i += 1
+      if (i == start) return -1 // header fields must be whitespace-separated
+      var v = 0
+      var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9' && v <= 0xffffff) {
+        v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = readInt()
+    val h = readInt()
+    val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return null
+    if (i >= bytes.length || !isWs(bytes(i))) return null // exactly one ws byte
+    i += 1
+    val n = w * h
+    if (bytes.length - i != n * 3) return null
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    while (p < n) {
+      sr += bytes(i) & 0xff; sg += bytes(i + 1) & 0xff; sb += bytes(i + 2) & 0xff
+      i += 3; p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      w, h, maxv, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+  }
 }

@@ -258,7 +258,61 @@ object MultimodalQueries {
       FROM cand WHERE n_shared >= 2
       ORDER BY doc_a, doc_b"""))
 
+  /** m06 — REAL image decode on the binary path (closing the m01/m02
+    * fake-decode gap as far as this container allows): each document is
+    * rendered as a genuine binary P6 PPM image — `P6\n8 4\n255\n` + 96
+    * RGB bytes from the text — and [[graft.functions.expr.HashOps.ppmDecode]]
+    * parses those BYTES like any image library would: magic, whitespace-
+    * delimited header ints, single post-maxval whitespace, exact payload
+    * length, integer channel sums. Every 23rd document gets a corrupted
+    * magic and must quarantine as NULL (the c01 PERMISSIVE discipline on
+    * the binary path). Map-side only; the decode is one codegen'd JVM call
+    * per row. The oracle cannot parse binary, so it PREDICTS the decode
+    * from the construction — same discipline as c01's wire oracle. */
+  val m06PpmDecode: GraftQuery = GraftQuery(
+    "m06_ppm_decode",
+    "real P6 PPM byte-level decode (native kernel) with malformed-payload quarantine",
+    (s, dir) => {
+      val payload = rpad(substring(col("text"), 1, 96), 96, "x")
+      val header = when(col("doc_id") % 23 === 0, lit("Q6\n8 4\n255\n"))
+        .otherwise(lit("P6\n8 4\n255\n"))
+      docs(s, dir)
+        .select(col("doc_id"), concat(header, payload).cast("binary").as("img"))
+        .withColumn("dec", call_function("graft_ppm_decode", col("img")))
+        .select(col("doc_id"),
+          col("dec.width").as("width"), col("dec.height").as("height"),
+          col("dec.maxval").as("maxval"), col("dec.mean_r").as("mean_r"),
+          col("dec.mean_g").as("mean_g"), col("dec.mean_b").as("mean_b"),
+          col("dec").isNull.as("is_corrupt"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, rpad(substring(text, 1, 96), 96, 'x') AS pay
+        FROM documents),
+      px AS (
+        SELECT doc_id,
+          ord(substring(pay, 3 * (i - 1) + 1, 1)) AS r,
+          ord(substring(pay, 3 * (i - 1) + 2, 1)) AS g,
+          ord(substring(pay, 3 * (i - 1) + 3, 1)) AS b
+        FROM p, LATERAL (SELECT unnest(generate_series(1, 32)) AS i)),
+      agg AS (
+        SELECT doc_id,
+          CAST(SUM(r) AS DOUBLE) / 32 AS mean_r,
+          CAST(SUM(g) AS DOUBLE) / 32 AS mean_g,
+          CAST(SUM(b) AS DOUBLE) / 32 AS mean_b
+        FROM px GROUP BY doc_id)
+      SELECT d.doc_id,
+        CASE WHEN d.doc_id % 23 = 0 THEN NULL ELSE 8 END AS width,
+        CASE WHEN d.doc_id % 23 = 0 THEN NULL ELSE 4 END AS height,
+        CASE WHEN d.doc_id % 23 = 0 THEN NULL ELSE 255 END AS maxval,
+        CASE WHEN d.doc_id % 23 = 0 THEN NULL ELSE a.mean_r END AS mean_r,
+        CASE WHEN d.doc_id % 23 = 0 THEN NULL ELSE a.mean_g END AS mean_g,
+        CASE WHEN d.doc_id % 23 = 0 THEN NULL ELSE a.mean_b END AS mean_b,
+        (d.doc_id % 23 = 0) AS is_corrupt
+      FROM documents d JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(m01BinaryMeta, m02FrameSample, m03PhashNeardup, m04MediaDupClusters,
-      m05FrameOverlap)
+      m05FrameOverlap, m06PpmDecode)
 }
