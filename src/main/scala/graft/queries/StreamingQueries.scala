@@ -1069,6 +1069,72 @@ object StreamingQueries {
           AND (h.valid_to IS NULL OR c.seq < h.valid_to)
       ORDER BY c.user_id, c.seq"""))
 
+  /** Wire layout for s23: key, transport seq, event-time micros, and the
+    * type tag the click filter demuxes on. */
+  private val AsofWireSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("rtype",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("t_us",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("etype",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_corrupt",
+      org.apache.spark.sql.types.StringType)))
+
+  /** s23 — the NATIVE as-of exec ([[graft.plans.AsOfJoinExec]], q38's
+    * custom plan) running INSIDE Structured Streaming: each micro-batch of
+    * click events is enriched with the latest prior purchase through
+    * `GraftPlans.asOf` in `foreachBatch`. This pins the custom-plan ×
+    * streaming intersection: runtime rule/strategy registration
+    * (`GraftPlans.ensure`) must hold on the micro-batch's session clone,
+    * and per-click lookups depend only on the static dimension, so batch
+    * boundaries cannot change the result — the drained stream equals q38's
+    * batch answer and shares its oracle (DuckDB's native ASOF LEFT JOIN).
+    * Scale: per batch, the batch side is small (shuffles cheaply) and the
+    * dimension side's shuffle+sort is re-derived per batch from the
+    * snapshot — on a real cluster the dimension would be a pre-bucketed
+    * table so the exec's required distribution is satisfied scan-side. */
+  val s23AsofStream: GraftQuery = GraftQuery(
+    "s23_asof_stream",
+    "native as-of join exec inside foreachBatch (custom plan x streaming)",
+    (s, dir) => {
+      val line = concat_ws(",", lit("aof"), col("user_id").cast("string"),
+        col("event_id").cast("string"), unix_micros(col("ts")).cast("string"),
+        col("event_type"))
+      val out = StreamHarness.tempDir("s23-out")
+      StreamHarness.drain(s, fileSource("s23"), feedChunks(s, dir, line)) { raw =>
+        raw.filter(Wire.tagOf(col("value")) === "aof")
+          .select(Wire.parseCsv(col("value"), AsofWireSchema).as("r"))
+          .select(col("r.*"))
+          .filter(col("_corrupt").isNull && col("etype") === "click")
+          // The wire keeps ids as strings (reference §1.2); the as-of key
+          // must come back to the oracle's BIGINT before the join.
+          .select(col("user_id").cast("bigint").as("user_id"), col("t_us"),
+            col("event_id"))
+          .writeStream
+          .option("checkpointLocation", StreamHarness.checkpointDir("s23"))
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val purchases = Tables.load(b.sparkSession, dir, "events")
+              .filter(col("event_type") === "purchase")
+              .select(col("user_id").as("p_user_id"),
+                unix_micros(col("ts")).as("p_t_us"),
+                col("event_id").as("p_event_id"), col("value").as("p_value"))
+            graft.plans.GraftPlans.asOf(b, purchases,
+                "user_id", "t_us", "p_user_id", "p_t_us", Some("p_event_id"))
+              .select(col("user_id"), col("event_id"), col("t_us"),
+                col("p_event_id"), col("p_value"))
+              .write.mode("append").parquet(out)
+          }
+          .start()
+      }
+      s.read.parquet(out).orderBy(col("user_id"), col("event_id"))
+    },
+    RelationalQueries.q38AsofNative.oracle)
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, c02JsonlSource, s01WarningStream, s02LatestLocationSink,
     s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
@@ -1076,5 +1142,5 @@ object StreamingQueries {
     s10StreamJoin, s11TopicSink, s12MapData, s13SalesLwwExact,
     s14DedupWatermark, s15TwsCounter, s16SessionStream, s17ChainedAgg,
     s18OuterStreamJoin, s19AvailableNow, s20DualSink, s21Scd2History,
-    s22TemporalJoin)
+    s22TemporalJoin, s23AsofStream)
 }
