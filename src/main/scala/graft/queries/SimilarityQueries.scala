@@ -793,8 +793,14 @@ object SimilarityQueries {
         call_function("graft_dot", col("ve"), col("nve"))
           / (col("nrm") * col("nnrm")))
       .select(col("vec_id"), col("nid"), col("cosine"))
-    raw.union(raw.select(col("nid").as("vec_id"), col("vec_id").as("nid"),
-      col("cosine"))).distinct()
+    // Symmetrize in ONE pass: a self-union would evaluate the probe join
+    // twice; the map-side explode emits both directions from one scan.
+    raw.select(explode(array(
+        struct(col("vec_id"), col("nid"), col("cosine")),
+        struct(col("nid").as("vec_id"), col("vec_id").as("nid"),
+          col("cosine")))).as("p"))
+      .select(col("p.vec_id"), col("p.nid"), col("p.cosine"))
+      .distinct()
   }
 
   /** Oracle CTE chain computing the same assignment + probed-list pairs. */
