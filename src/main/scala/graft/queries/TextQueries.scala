@@ -1193,6 +1193,67 @@ object TextQueries {
       FROM ($unions) ORDER BY rank"""
     })
 
+  /** Window width / document-frequency threshold for d30. At W=3 words,
+    * 22 windows of this corpus appear in ≥ 5 distinct docs (max 10) — the
+    * scrub removes real repeated phrases, not nothing. */
+  private val BoilerW = 3
+  private val BoilerMinDocs = 5
+
+  /** d30 — boilerplate removal, the CCNet/CommonCrawl line-dedup
+    * discipline: segments repeated across many DOCUMENTS (navigation,
+    * footers, licence blurbs) are dropped from every document. Differs
+    * from d26 (single frequent TOKENS) and d19 (contamination against an
+    * external benchmark): the unit is a multi-word window and the
+    * frequency is cross-document. Scale: window explode is map-side; the
+    * document-frequency count is one partial-aggregable shuffle on the
+    * window string; the boilerplate set is tiny (df ≥ threshold) so it
+    * broadcasts back onto the stream; reassembly is one shuffle on doc_id.
+    * No corpus-sized structure ever sits on the driver. */
+  val d30BoilerplateScrub: GraftQuery = GraftQuery(
+    "d30_boilerplate_scrub",
+    s"boilerplate scrub: $BoilerW-word windows in >= $BoilerMinDocs docs removed (CCNet line dedup)",
+    (s, dir) => {
+      val wins = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          explode(sequence(lit(1),
+            ceil(size(col("ws")) / lit(BoilerW.toDouble)).cast("int"))).as("i"),
+          col("ws"))
+        .select(col("doc_id"), col("i"),
+          array_join(slice(col("ws"),
+            (col("i") - 1) * BoilerW + 1, lit(BoilerW)), " ").as("w"))
+      val boiler = wins.groupBy(col("w"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= BoilerMinDocs)
+        .select(col("w"), lit(true).as("is_boiler"))
+      wins.join(broadcast(boiler), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("is_boiler"), 1).otherwise(0)).cast("bigint").as("n_removed"),
+          array_join(transform(
+            sort_array(collect_list(when(col("is_boiler").isNull,
+              struct(col("i"), col("w"))))),
+            x => x.getField("w")), " ").as("kept_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      wins AS (
+        SELECT doc_id, i,
+          array_to_string(ws[$BoilerW*(i-1)+1 : $BoilerW*i], ' ') AS w
+        FROM words, LATERAL (SELECT unnest(generate_series(1,
+          CAST(ceil(len(ws) / $BoilerW.0) AS BIGINT))) AS i)),
+      boiler AS (
+        SELECT w FROM (
+          SELECT w, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY w)
+        WHERE nd >= $BoilerMinDocs)
+      SELECT wins.doc_id, COUNT(*) AS n_windows,
+        CAST(SUM(CASE WHEN b.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        COALESCE(string_agg(CASE WHEN b.w IS NULL THEN wins.w END, ' '
+          ORDER BY wins.i), '') AS kept_text
+      FROM wins LEFT JOIN boiler b ON b.w = wins.w
+      GROUP BY wins.doc_id ORDER BY wins.doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
@@ -1200,5 +1261,5 @@ object TextQueries {
     d15Repetition, d16Sample, d17ChunkPack, d18Pipeline, d19Decontaminate,
     d20StratifiedSample, d21DupClusters, d22VocabTopK, d23TfidfTop,
     d24PiiScrub, d25DedupApply, d26StopwordScrub, d27ShardShuffle,
-    d28IncrementalDedup, d29BpeTrain)
+    d28IncrementalDedup, d29BpeTrain, d30BoilerplateScrub)
 }
