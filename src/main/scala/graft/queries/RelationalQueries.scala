@@ -1137,6 +1137,73 @@ object RelationalQueries {
     },
     Some(Q45Sql))
 
+  /** q46 — MERGEABLE quantiles, closing q31's documented exception: exact
+    * `percentile` buffers every value per group (non-mergeable at 100 TB),
+    * while a fixed-bin histogram is one partial-aggregable `groupBy` over
+    * integer counts — the sketch path every large-scale percentile system
+    * takes, here with fully deterministic arithmetic so DuckDB reproduces
+    * the ESTIMATES bit-for-bit (no float summation ambiguity: bin indexing
+    * and interpolation are single IEEE ops from integer counts). Two
+    * passes over the scan (bounds, then histogram), ONE shuffle each,
+    * ≤ nBins rows per group ever leave the mappers. Estimate error is
+    * bounded by the bin width — the q31-vs-q46 delta on the same data
+    * documents the accuracy trade explicitly. */
+  val q46HistQuantiles: GraftQuery = GraftQuery(
+    "q46_hist_quantiles",
+    "mergeable histogram quantiles: fixed-bin counts + deterministic interpolation",
+    (s, dir) => {
+      val nBins = 256
+      val li = t(s, dir, "lineitem").select(col("l_quantity").as("x"))
+      val b = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi")).head()
+      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      val w = (hi - lo) / nBins
+      val hist = li
+        .select(least(floor((col("x") - lit(lo)) / lit(w)).cast("int"),
+          lit(nBins - 1)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      val wc = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      // Map-side explode of the probe points — a crossJoin of two tiny
+      // relations would plan as a cartesian and (rightly) trip the
+      // registry-wide no-cartesian audit.
+      val probe = cum.withColumn("p", explode(array(ps.map(lit): _*)))
+        .withColumn("target", col("p") * col("n"))
+        .filter(col("cum") >= col("target"))
+      val wp = Window.partitionBy(col("p")).orderBy(col("bin"))
+      probe.withColumn("rn", row_number().over(wp))
+        .filter(col("rn") === 1)
+        .withColumn("frac",
+          (col("target") - (col("cum") - col("c"))) / col("c"))
+        .select(col("p"),
+          (lit(lo) + lit(w) * (col("bin") + col("frac"))).as("estimate"))
+        .orderBy(col("p"))
+    },
+    Some(s"""WITH b AS (
+        SELECT MIN(l_quantity) AS lo, MAX(l_quantity) AS hi,
+          (MAX(l_quantity) - MIN(l_quantity)) / 256 AS w
+        FROM lineitem),
+      hist AS (
+        SELECT LEAST(CAST(FLOOR((l_quantity - b.lo) / b.w) AS INT), 255) AS bin,
+          COUNT(*) AS c
+        FROM lineitem, b GROUP BY 1),
+      cum AS (
+        SELECT bin, c,
+          SUM(c) OVER (ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(c) OVER () AS n
+        FROM hist),
+      ps AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS p),
+      hit AS (
+        SELECT p, bin, c, cum, p * n AS target,
+          row_number() OVER (PARTITION BY p ORDER BY bin) AS rn
+        FROM cum, ps WHERE cum >= p * n)
+      SELECT p, b.lo + b.w * (bin + (target - (cum - c)) / c) AS estimate
+      FROM hit, b WHERE rn = 1 ORDER BY p"""))
+
   // NOTE: `all` must stay the LAST definition in this object — a query val
   // referenced here but defined further down is still null at object init
   // (silent, then NPEs at dispatch). SparkEntry.registry asserts against it.
@@ -1151,5 +1218,5 @@ object RelationalQueries {
     q31Percentiles, q32TpchQ3, q33MinCostSupplier, q34CubeAgg,
     q35AvgQtyRevenue, q36ExistsSubquery, q37RangeFrame, q38AsofNative,
     q39GroupingSets, q40RankFamily, q41TpchQ18, q42RecursiveCte,
-    q43LateralTopn, q44GapFill, q45FilteredAgg)
+    q43LateralTopn, q44GapFill, q45FilteredAgg, q46HistQuantiles)
 }
