@@ -635,9 +635,9 @@ object RelationalQueries {
     * bit-identical in Spark (`percentile`) and DuckDB (`quantile_cont`) —
     * arbitrary percentages on arbitrary doubles would NOT carry a hash
     * oracle. Exact percentiles need the group's values together (unlike the
-    * mergeable sketches d11/d13): one shuffle on the group key; for a
-    * 100 TB percentile you'd reach for `approx_percentile`/t-digest
-    * instead and accept a rows-only check. */
+    * mergeable sketches d11/d13): one shuffle on the group key. The
+    * mergeable 100 TB path is q46's histogram quantiles — partial-agg
+    * integer bin counts with value-checked deterministic estimates. */
   val q31Percentiles: GraftQuery = GraftQuery(
     "q31_percentiles",
     "per-group exact quartiles (percentile / quantile_cont, interpolated)",
