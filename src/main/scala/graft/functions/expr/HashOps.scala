@@ -254,10 +254,14 @@ object HashOps {
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return null
     if (i >= bytes.length || !isWs(bytes(i))) return null // exactly one ws byte
     i += 1
-    val n = w * h
-    if (bytes.length - i != n * 3) return null
+    // Width × height in LONG: readInt admits values up to ~1.6e8, so the
+    // Int product can wrap (a crafted "P6 65536 65536" header with an empty
+    // payload would pass a wrapped length check and skip quarantine, and
+    // other wrap values could run the pixel loop past the array).
+    val n = w.toLong * h
+    if ((bytes.length - i).toLong != n * 3L) return null
     var sr = 0L; var sg = 0L; var sb = 0L
-    var p = 0
+    var p = 0L
     while (p < n) {
       sr += bytes(i) & 0xff; sg += bytes(i + 1) & 0xff; sb += bytes(i + 2) & 0xff
       i += 3; p += 1

@@ -121,6 +121,17 @@ object AsOfJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case other => throw new IllegalArgumentException(
           s"${AsOfMark.name} join must be left_outer (or optimizer-converted inner), got $other")
       }
+      // Extra ON conjuncts are only sound to hoist above the join when the
+      // join is (optimizer-converted) INNER: there Filter-above ≡ ON. For a
+      // still-outer join, ON semantics are "null-pad the left row when the
+      // predicate fails", which a post-Filter would silently turn into
+      // "drop the left row" — refuse rather than mis-execute a hand-written
+      // `LEFT JOIN ... ON graft_asof(...) AND p` (the GraftPlans.asOf entry
+      // path never produces this shape).
+      if (emitUnmatched && rest.nonEmpty)
+        throw new IllegalArgumentException(
+          s"${AsOfMark.name} left_outer join does not support extra ON conjuncts " +
+            s"(${rest.mkString(", ")}); apply them as a WHERE filter or use an inner join")
       val m = marks.head.asInstanceOf[AsOfMark]
       val asof = AsOfJoinPlan(l, r, m.leftKey, m.rightKey, m.leftTime, m.rightTime,
         m.tiebreak, emitUnmatched)

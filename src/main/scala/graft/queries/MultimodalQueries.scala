@@ -173,8 +173,7 @@ object MultimodalQueries {
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val nodes = docs(s, dir).select(col("doc_id").as("id"))
-      val labels = graft.operators.ConnectedComponents.label(nodes, edges,
-        shufflePartitions = Some(8))
+      val labels = graft.operators.ConnectedComponents.label(nodes, edges)
       val sizes = labels.groupBy(col("cluster"))
         .agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "cluster")

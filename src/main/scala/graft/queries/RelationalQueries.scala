@@ -1155,39 +1155,53 @@ object RelationalQueries {
       val nBins = 256
       val li = t(s, dir, "lineitem").select(col("l_quantity").as("x"))
       val b = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi")).head()
-      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
-      val w = (hi - lo) / nBins
-      val hist = li
-        .select(least(floor((col("x") - lit(lo)) / lit(w)).cast("int"),
-          lit(nBins - 1)).as("bin"))
-        .groupBy(col("bin")).agg(count(lit(1)).as("c"))
-      val wc = Window.orderBy(col("bin"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hist
-        .withColumn("cum", sum(col("c")).over(wc))
-        .withColumn("n", sum(col("c")).over(Window.partitionBy()))
-      val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
-      // Map-side explode of the probe points — a crossJoin of two tiny
-      // relations would plan as a cartesian and (rightly) trip the
-      // registry-wide no-cartesian audit.
-      val probe = cum.withColumn("p", explode(array(ps.map(lit): _*)))
-        .withColumn("target", col("p") * col("n"))
-        .filter(col("cum") >= col("target"))
-      val wp = Window.partitionBy(col("p")).orderBy(col("bin"))
-      probe.withColumn("rn", row_number().over(wp))
-        .filter(col("rn") === 1)
-        .withColumn("frac",
-          (col("target") - (col("cum") - col("c"))) / col("c"))
-        .select(col("p"),
-          (lit(lo) + lit(w) * (col("bin") + col("frac"))).as("estimate"))
-        .orderBy(col("p"))
+      // Degenerate inputs (ADVICE r8): empty table → null bounds (getDouble
+      // would NPE); all-equal values → zero bin width (division yields
+      // NaN/Inf bins). Empty → empty result; hi == lo → w = 0 and bin 0, so
+      // every estimate collapses to lo. The oracle mirrors both guards.
+      if (b.isNullAt(0))
+        li.filter(lit(false))
+          .select(lit(0.0).as("p"), lit(0.0).as("estimate"))
+      else {
+        val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+        val w = if (hi > lo) (hi - lo) / nBins else 0.0
+        val binCol =
+          if (w == 0.0) lit(0)
+          else least(floor((col("x") - lit(lo)) / lit(w)).cast("int"), lit(nBins - 1))
+        val hist = li
+          .select(binCol.as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+        val wc = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist
+          .withColumn("cum", sum(col("c")).over(wc))
+          .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+        val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+        // Map-side explode of the probe points — a crossJoin of two tiny
+        // relations would plan as a cartesian and (rightly) trip the
+        // registry-wide no-cartesian audit.
+        val probe = cum.withColumn("p", explode(array(ps.map(lit): _*)))
+          .withColumn("target", col("p") * col("n"))
+          .filter(col("cum") >= col("target"))
+        val wp = Window.partitionBy(col("p")).orderBy(col("bin"))
+        probe.withColumn("rn", row_number().over(wp))
+          .filter(col("rn") === 1)
+          .withColumn("frac",
+            (col("target") - (col("cum") - col("c"))) / col("c"))
+          .select(col("p"),
+            (lit(lo) + lit(w) * (col("bin") + col("frac"))).as("estimate"))
+          .orderBy(col("p"))
+      }
     },
     Some(s"""WITH b AS (
         SELECT MIN(l_quantity) AS lo, MAX(l_quantity) AS hi,
-          (MAX(l_quantity) - MIN(l_quantity)) / 256 AS w
+          CASE WHEN MAX(l_quantity) > MIN(l_quantity)
+               THEN (MAX(l_quantity) - MIN(l_quantity)) / 256
+               ELSE CAST(0.0 AS DOUBLE) END AS w
         FROM lineitem),
       hist AS (
-        SELECT LEAST(CAST(FLOOR((l_quantity - b.lo) / b.w) AS INT), 255) AS bin,
+        SELECT CASE WHEN b.w = 0 THEN 0
+          ELSE LEAST(CAST(FLOOR((l_quantity - b.lo) / b.w) AS INT), 255) END AS bin,
           COUNT(*) AS c
         FROM lineitem, b GROUP BY 1),
       cum AS (

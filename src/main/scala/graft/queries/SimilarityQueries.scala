@@ -877,8 +877,7 @@ object SimilarityQueries {
       // every edge are present — exactly what min-label propagation needs.
       val edges = cand.select(col("vec_id").as("src"), col("nid").as("dst"))
       val nodes = Tables.load(s, dir, "embeddings").select(col("vec_id").as("id"))
-      val labels = graft.operators.ConnectedComponents.label(nodes, edges,
-        shufflePartitions = Some(8))
+      val labels = graft.operators.ConnectedComponents.label(nodes, edges)
       val sizes = labels.groupBy(col("cluster"))
         .agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "cluster")

@@ -699,8 +699,7 @@ object TextQueries {
       val nodes = docs(s, dir).select(col("doc_id").as("id"))
       // Shuffle width sized to the candidate graph (hundreds of edges at
       // harness scale), not the CPU count; a 100 TB corpus passes thousands.
-      val labels = graft.operators.ConnectedComponents.label(nodes, edges,
-        shufflePartitions = Some(8))
+      val labels = graft.operators.ConnectedComponents.label(nodes, edges)
       val sizes = labels.groupBy(col("cluster"))
         .agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "cluster")
@@ -896,8 +895,7 @@ object TextQueries {
       val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val nodes = docs(s, dir).select(col("doc_id").as("id"))
-      val labels = graft.operators.ConnectedComponents.label(nodes, edges,
-        shufflePartitions = Some(8))
+      val labels = graft.operators.ConnectedComponents.label(nodes, edges)
       val sizes = labels.groupBy(col("cluster"))
         .agg(count(lit(1)).as("cluster_size"))
       labels.filter(col("id") === col("cluster"))
