@@ -88,7 +88,7 @@ class AnnRecallSpec extends SparkSpec {
       tops.intersect(got.getOrElse(id, Set.empty)).size.toDouble / tops.size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.8, s"e07 corpus-wide mean recall@3 $mean < 0.8 (measured 0.93)")
+    assert(mean >= 0.8, s"e07 corpus-wide mean recall@3 $mean < 0.8 (measured 0.876)")
   }
 
   test("fixture embedding dimensionality matches SimilarityQueries.Dim") {
