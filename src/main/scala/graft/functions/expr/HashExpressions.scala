@@ -200,6 +200,22 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** d10's per-band sign-LSH bucket (see [[HashOps.signLshBucket]]). Band
+    * index and planes-per-band ride as constructor constants so the whole
+    * bucket computation is one codegen'd JVM call. */
+  case class SignLshBucket(child: Expression, band: Int, ppb: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.signLshBucket(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], band, ppb)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.expr.HashOps.signLshBucket($c, $band, $ppb)")
+    override protected def withNewChildInternal(newChild: Expression): SignLshBucket =
+      copy(child = newChild)
+  }
+
   case class DotFold(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -236,5 +252,9 @@ object HashExpressions {
       args => QuantizeCodes(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_ppm_decode",
       args => PpmDecode(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_sign_lsh",
+      args => SignLshBucket(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 }

@@ -23,6 +23,34 @@ object HashOps {
   private val A = PortableHash.A.toArray
   private val B = PortableHash.B.toArray
 
+  /** Sign-LSH bucket for one band: for plane j ∈ [0, ppb), plane index
+    * p = band·ppb + j, the plane dot is the LEFT FOLD over dims i = 1..dim
+    * of ve[i] · coef(p, i) with coef = ((A(p)·i + B(p)) mod P mod 2001) −
+    * 1000 — exactly d10's declarative `aggregate`/`transform` tree and its
+    * DuckDB oracle (integer-exact coefficients, sequential double adds), so
+    * buckets stay bit-identical across engines. One tight loop per row in
+    * place of 2·ppb interpreted higher-order-function walks. */
+  def signLshBucket(v: ArrayData, band: Int, ppb: Int): Long = {
+    val dim = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < ppb) {
+      val p = band * ppb + j
+      val a = A(p)
+      val b = B(p)
+      var dot = 0.0
+      var i = 1
+      while (i <= dim) {
+        val c = ((a * i + b) % P % 2001L - 1000L).toDouble
+        dot += v.getDouble(i - 1) * c
+        i += 1
+      }
+      if (dot >= 0.0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
   /** Rolling code-point hash of the whole string (spaces included) —
     * [[graft.functions.PortableHash.stringHash]]'s tight-loop twin. */
   def stringHash(s: UTF8String): Long = {

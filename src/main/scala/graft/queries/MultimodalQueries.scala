@@ -22,10 +22,22 @@ object MultimodalQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
 
+  /** Per-(band, bucket) candidate cap for m03/m04 — the e07 discipline
+    * applied to the pHash bands: each bucket contributes at most this many
+    * index-side members, picked as a portable-hash-ordered uniform
+    * subsample, bounding candidate pairs at 4·MediaBandCap·n however
+    * degenerate the signature distribution gets (an all-identical-media
+    * corpus would otherwise make one bucket quadratic). 16-bit bands keep
+    * real occupancy tiny (measured max 3 on the fixture), so the cap is
+    * inactive at every tested scale and the Hamming ≤ 3 pigeonhole
+    * guarantee is exact until a bucket exceeds it; past that, pairs become
+    * a uniform-subsample approximation — mirrored exactly by the oracle. */
+  val MediaBandCap: Int = 256
+
   /** DuckDB CTE chain reproducing `graft_phash` signatures, their 4×16-bit
     * bands, and the banded candidate pairs (with both signatures attached) —
     * shared by the m03 (pairs) and m04 (clusters) oracles. */
-  private val phashCandSql: String = """grams AS (
+  private val phashCandSql: String = s"""grams AS (
         SELECT doc_id,
           ord(substring(text, i, 1)) AS b1,
           ord(substring(text, i + 1, 1)) AS b2
@@ -56,10 +68,21 @@ object MultimodalQueries {
           CASE bn WHEN 0 THEN sig1 & 65535 WHEN 1 THEN sig1 >> 16
                   WHEN 2 THEN sig2 & 65535 ELSE sig2 >> 16 END AS bv
         FROM sigs, LATERAL (SELECT unnest(generate_series(0, 3)) AS bn)),
+      capped AS (
+        SELECT doc_id, sig1, sig2, bn, bv FROM (
+          SELECT doc_id, sig1, sig2, bn, bv,
+            row_number() OVER (PARTITION BY bn, bv ORDER BY
+              (${graft.functions.PortableHash.A(0)} * doc_id
+                + ${graft.functions.PortableHash.B(0)})
+                % ${graft.functions.PortableHash.P}, doc_id) AS brn
+          FROM bands) WHERE brn <= $MediaBandCap),
       cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          a.sig1 AS s1a, a.sig2 AS s2a, b.sig1 AS s1b, b.sig2 AS s2b
-        FROM bands a JOIN bands b ON a.bn = b.bn AND a.bv = b.bv AND a.doc_id < b.doc_id)"""
+        SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+          GREATEST(a.doc_id, b.doc_id) AS doc_b,
+          bit_count(xor(a.sig1, b.sig1)) + bit_count(xor(a.sig2, b.sig2)) AS hamming
+        FROM bands a JOIN capped b
+          ON a.bn = b.bn AND a.bv = b.bv AND a.doc_id <> b.doc_id
+        WHERE bit_count(xor(a.sig1, b.sig1)) + bit_count(xor(a.sig2, b.sig2)) <= 3)"""
 
   /** m01 — binary payload metadata: byte length, content digest, head-bytes
     * hex sample, and the deterministic fake "decode" fields. */
@@ -118,9 +141,11 @@ object MultimodalQueries {
     * 4×16-bit LSH bands for candidate generation (pigeonhole: any pair
     * within Hamming 3 shares at least one of 4 bands), exact Hamming ≤ 3
     * verification via `bit_count(xor)` confined to band collisions.
-    * Candidate work is Σ bucket², never corpus²; the signature scan is one
-    * map-side whole-stage-codegen projection — the d10 shape applied to
-    * opaque media bytes. */
+    * Candidate work is Σ bucket² per band with each bucket capped at
+    * [[MediaBandCap]] members (inactive at tested scales — see its doc),
+    * never corpus²; the signature scan is one map-side
+    * whole-stage-codegen projection — the d10 shape applied to opaque
+    * media bytes. */
   val m03PhashNeardup: GraftQuery = GraftQuery(
     "m03_phash_neardup",
     "perceptual-hash near-dup pairs over binary payload: 4x16-bit bands + Hamming <= 3",
@@ -134,24 +159,33 @@ object MultimodalQueries {
           col("sig1").bitwiseAND(lit(65535L)), shiftright(col("sig1"), 16),
           col("sig2").bitwiseAND(lit(65535L)), shiftright(col("sig2"), 16)))
           .as(Seq("bn", "bv")))
-      val right = bands.select(col("bn"), col("bv"), col("doc_id").as("doc_b"),
-        col("sig1").as("s1b"), col("sig2").as("s2b"))
+      // Index side capped per bucket (uniform hash-ordered subsample); the
+      // probe side stays full and pairs are canonicalized least/greatest,
+      // so a pair survives if EITHER endpoint is in the other's subsample —
+      // the same symmetric-union shape as e07's capped probe.
+      val capW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bn"), col("bv"))
+        .orderBy(((lit(graft.functions.PortableHash.A(0)) * col("doc_id")
+          + lit(graft.functions.PortableHash.B(0)))
+          % lit(graft.functions.PortableHash.P)).asc, col("doc_id"))
+      val right = bands.withColumn("brn", row_number().over(capW))
+        .filter(col("brn") <= MediaBandCap)
+        .select(col("bn"), col("bv"), col("doc_id").as("doc_b"),
+          col("sig1").as("s1b"), col("sig2").as("s2b"))
       bands.join(right, Seq("bn", "bv"))
-        .filter(col("doc_id") < col("doc_b"))
-        .select(col("doc_id").as("doc_a"), col("doc_b"),
-          col("sig1"), col("sig2"), col("s1b"), col("s2b"))
-        .distinct()
+        .filter(col("doc_id") =!= col("doc_b"))
         .withColumn("hamming",
           expr("bit_count(sig1 ^ s1b) + bit_count(sig2 ^ s2b)"))
         .filter(col("hamming") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .select(least(col("doc_id"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_id"), col("doc_b")).as("doc_b"),
+          col("hamming").cast("int").as("hamming"))
+        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some(s"""WITH $phashCandSql
-      SELECT doc_a, doc_b,
-        CAST(bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) AS INT) AS hamming
+      SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
       FROM cand
-      WHERE bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) <= 3
       ORDER BY doc_a, doc_b"""))
 
   /** m04 — media dedup CLUSTERING: m03's pHash near-dup pairs promoted to
@@ -183,8 +217,7 @@ object MultimodalQueries {
     },
     Some(s"""WITH RECURSIVE $phashCandSql,
       pairs AS (
-        SELECT doc_a, doc_b FROM cand
-        WHERE bit_count(xor(s1a, s1b)) + bit_count(xor(s2a, s2b)) <= 3),
+        SELECT doc_a, doc_b FROM cand),
       edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION ALL

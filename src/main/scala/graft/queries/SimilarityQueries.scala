@@ -66,16 +66,6 @@ object SimilarityQueries {
         FROM scored)
       WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
-  /** Integer hyperplane coefficient for (plane p, 1-based dim i), drawn from
-    * the portable hash family: ((A(p)·i + B(p)) mod P) mod 2001 − 1000 ∈
-    * [−1000, 1000]. Integer-exact in both engines (d10's sign-LSH buckets). */
-  private def coef(p: Int, i1: org.apache.spark.sql.Column) =
-    (((lit(PortableHash.A(p)) * i1 + lit(PortableHash.B(p))) % lit(PortableHash.P))
-      % lit(2001L) - lit(1000L)).cast("double")
-
-  private def coefSql(p: Int): String =
-    s"CAST((((${PortableHash.A(p)} * i + ${PortableHash.B(p)}) % ${PortableHash.P}) % 2001) - 1000 AS DOUBLE)"
-
   /** IVF parameters for the QUERY-SET ANN family (e02/e04/e05/e06): `NList`
     * coarse centroids, queries probe the `NProbe` nearest lists. At sf0.01
     * (500 vectors) this measures recall@5 = 0.925 vs exact e01 while
@@ -205,65 +195,99 @@ object SimilarityQueries {
         FROM scored)
       WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
-  /** d10 — embedding-cosine near-duplicate pairs: sign-LSH buckets (4
-    * planes → 16 buckets), bucket equi-join on vec_id < vec_id, exact
-    * cosine verification at ≥ 0.35. Sign-LSH is the right family HERE —
-    * near-duplicates have high cosine, so full sign agreement is likely —
-    * whereas e02's top-k search over weakly-correlated vectors needed IVF.
-    * Candidate work is Σ bucket², not corpus²; no crossJoin. */
+  /** Bands for d10's sign-LSH. Multiple bands restore the recall a deeper
+    * single bucket key gives up (a near-dup pair collides when ALL planes
+    * of ANY band agree — d07's MinHash band pattern applied to sign-LSH). */
+  val LshBands: Int = 2
+
+  /** Planes per band for d10, derived from the corpus size: the smallest
+    * p ∈ [4, 16] with 32·2^p ≥ n, so expected bucket occupancy stays ≤ ~32
+    * and candidate work ≈ LshBands·32·n — linear — instead of the r8 fixed
+    * 16-bucket n²/16 (VERDICT r8 #2). Pure integer arithmetic, so both
+    * engines derive the identical count. Capped at 16 planes (LshBands·16
+    * ≤ the 32-member portable hash family). */
+  def lshPlanes(n: Long): Int = {
+    var p = 4
+    while (p < 16 && (32L << p) < n) p += 1
+    p
+  }
+
+  /** d10 — embedding-cosine near-duplicate pairs: banded sign-LSH buckets
+    * ([[LshBands]] bands × [[lshPlanes]] planes each, plane count derived
+    * from the corpus size), per-band bucket equi-join, exact cosine
+    * verification at ≥ 0.35, distinct across bands (both bands compute
+    * bit-identical cosines, so the dedup is exact). Sign-LSH is the right
+    * family HERE — near-duplicates have high cosine, so full sign
+    * agreement is likely — whereas e02's top-k search over
+    * weakly-correlated vectors needed IVF. Candidate work is Σ bucket² per
+    * band with occupancy pinned ≤ ~32 by construction; no crossJoin. */
   val d10EmbeddingNeardup: GraftQuery = GraftQuery(
     "d10_embedding_neardup",
-    "embedding-cosine near-dup pairs: 4-plane LSH buckets + exact cosine >= 0.35",
+    "embedding-cosine near-dup pairs: banded size-derived sign-LSH buckets + exact cosine >= 0.35",
     (s, dir) => {
-      val planes = 4
       val prepared = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("ve"))
         .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
-        .withColumn("bucket",
-          (0 until planes).map { p =>
-            val dot = aggregate(
-              transform(col("ve"), (x, i) => x * coef(p, i + lit(1))),
-              lit(0.0), foldAdd)
-            when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
-          }.reduce(_ + _))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val b = prepared.select(col("bucket"), col("vec_id").as("vid_b"),
+      val ppb = lshPlanes(prepared.count())
+      // One native codegen'd call per band (HashOps.signLshBucket) — the
+      // declarative aggregate/transform tree runs interpreted and its cost
+      // grows with ppb; value semantics are identical (spec-pinned).
+      def bucket(b: Int) =
+        call_function("graft_sign_lsh", col("ve"), lit(b), lit(ppb))
+      val banded = prepared.select(col("vec_id"), col("ve"), col("nrm"),
+        posexplode(array((0 until LshBands).map(bucket): _*)).as(Seq("bn", "bv")))
+      val right = banded.select(col("bn"), col("bv"), col("vec_id").as("vid_b"),
         col("ve").as("ve_b"), col("nrm").as("nrm_b"))
-      prepared.join(b, Seq("bucket"))
+      banded.join(right, Seq("bn", "bv"))
         .filter(col("vec_id") < col("vid_b"))
         .withColumn("cosine",
           call_function("graft_dot", col("ve"), col("ve_b"))
             / (col("nrm") * col("nrm_b")))
         .filter(col("cosine") >= 0.35)
         .select(col("vec_id").as("vec_a"), col("vid_b").as("vec_b"), col("cosine"))
+        .distinct()
         .orderBy(col("vec_a"), col("vec_b"))
     },
     Some {
-      val planes = 4
-      val bucketSql = (0 until planes).map { p =>
-        s"CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-          s"list_transform(generate_series(1, len(ve)), i -> ve[i] * ${coefSql(p)})), " +
-          s"(a, b) -> a + b) >= 0 THEN ${1L << p} ELSE 0 END"
-      }.mkString("(", " + ", ")")
+      val cos = (a: String, b: String, na: String, nb: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)
+           / ($na * $nb)"""
       s"""WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
         FROM embeddings),
       n AS (
         SELECT vec_id, ve,
           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS nrm,
-          $bucketSql AS bucket
-        FROM v)
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          list_transform(list_zip(a.ve, b.ve), p -> p[1] * p[2])), (x, y) -> x + y)
-          / (a.nrm * b.nrm) AS cosine
-      FROM n a JOIN n b USING (bucket)
+            list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS nrm
+        FROM v),
+      params AS (
+        SELECT COALESCE(
+          (SELECT MIN(p) FROM (SELECT unnest(generate_series(4, 16)) AS p)
+           WHERE 32 * (CAST(1 AS BIGINT) << p) >= (SELECT COUNT(*) FROM v)),
+          16) AS ppb,
+          ${PortableHash.aSql} AS pa, ${PortableHash.bSql} AS pb),
+      banded AS (
+        SELECT n.vec_id, n.ve, n.nrm, bs.bn,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(0, params.ppb - 1), j ->
+              CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(generate_series(1, len(n.ve)), i -> n.ve[i] *
+                    CAST((((params.pa[bs.bn * params.ppb + j + 1] * i
+                      + params.pb[bs.bn * params.ppb + j + 1])
+                      % ${PortableHash.P}) % 2001) - 1000 AS DOUBLE))),
+                  (x, y) -> x + y) >= 0
+              THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+            (x, y) -> x + y) AS bv
+        FROM n, params,
+          (SELECT unnest(generate_series(0, ${LshBands - 1})) AS bn) bs)
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        ${cos("a.ve", "b.ve", "a.nrm", "b.nrm")} AS cosine
+      FROM banded a JOIN banded b ON a.bn = b.bn AND a.bv = b.bv
       WHERE a.vec_id < b.vec_id
-        AND list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-          list_transform(list_zip(a.ve, b.ve), p -> p[1] * p[2])), (x, y) -> x + y)
-          / (a.nrm * b.nrm) >= 0.35
+        AND ${cos("a.ve", "b.ve", "a.nrm", "b.nrm")} >= 0.35
       ORDER BY vec_a, vec_b"""
     })
 

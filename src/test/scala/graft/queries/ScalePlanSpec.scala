@@ -234,4 +234,54 @@ class ScalePlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("similarity index parameters grow with the corpus (VERDICT r8 #1/#2)") {
+    // e07/e08's IVF list count: sqrt growth with a floor of 16, so probe
+    // candidates stay <= GraphNProbe * min(n/NList, CandCap) * n — linear.
+    assert(SimilarityQueries.graphNList(0) == 16)
+    assert(SimilarityQueries.graphNList(500) == 23)
+    assert(SimilarityQueries.graphNList(5000) == 71)
+    assert(SimilarityQueries.graphNList(50000) == 224)
+    assert(SimilarityQueries.graphNList(5000000) == 2237)
+    // d10's planes per band: smallest p in [4, 16] with 32*2^p >= n, so
+    // expected bucket occupancy stays ~<= 32 whatever the corpus size.
+    assert(SimilarityQueries.lshPlanes(0) == 4)
+    assert(SimilarityQueries.lshPlanes(500) == 4)
+    assert(SimilarityQueries.lshPlanes(5000) == 8)
+    assert(SimilarityQueries.lshPlanes(50000) == 11)
+    assert(SimilarityQueries.lshPlanes(Long.MaxValue) == 16) // hash-family cap
+    assert(SimilarityQueries.LshBands * 16 <=
+      graft.functions.PortableHash.A.length)
+    // Monotone: a bigger corpus never gets a smaller index.
+    val ns = Seq(1L, 100L, 1000L, 10000L, 100000L, 10000000L)
+    assert(ns.map(SimilarityQueries.graphNList) == ns.map(SimilarityQueries.graphNList).sorted)
+    assert(ns.map(SimilarityQueries.lshPlanes) == ns.map(SimilarityQueries.lshPlanes).sorted)
+  }
+
+  test("native sign-LSH bucket matches the declarative aggregate/transform tree") {
+    import org.apache.spark.sql.functions._
+    val P = graft.functions.PortableHash.P
+    def coef(p: Int, i1: org.apache.spark.sql.Column) =
+      (((lit(graft.functions.PortableHash.A(p)) * i1
+        + lit(graft.functions.PortableHash.B(p))) % lit(P))
+        % lit(2001L) - lit(1000L)).cast("double")
+    val ppb = 8
+    def declBucket(b: Int) = (0 until ppb).map { j =>
+      val p = b * ppb + j
+      val dot = aggregate(
+        transform(col("ve"), (x, i) => x * coef(p, i + lit(1))),
+        lit(0.0), (a, x) => a + x)
+      when(dot >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val ve = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ve"))
+    val diff = ve.select(
+        declBucket(0).as("d0"), declBucket(1).as("d1"),
+        call_function("graft_sign_lsh", col("ve"), lit(0), lit(ppb)).as("n0"),
+        call_function("graft_sign_lsh", col("ve"), lit(1), lit(ppb)).as("n1"))
+      .filter(col("d0") =!= col("n0") || col("d1") =!= col("n1"))
+      .count()
+    assert(diff == 0L)
+  }
 }
