@@ -61,7 +61,13 @@ object Bench {
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
 
+    // Optional comma-separated name filter (exact names or prefixes) so a
+    // caller — e.g. BenchAB — can time a subset without paying for the
+    // whole registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(p => n == p || n.startsWith(p))))
+    require(names.nonEmpty, s"SPARK_GRAFT_ONLY matched no queries: $only")
     val scaleDirOk = scaleDir != sfDir &&
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(scaleDir))
     runOnce(names.head, sfDir) // warmup: JVM + codegen + parquet footer caches
@@ -92,6 +98,12 @@ object Bench {
     // sketch parquet is pre-built untimed, same methodology as the primary.
     val scaleUpFactor = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_FACTOR", "10").toInt
     val scaleUpDir = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_DIR", "derived/x10")
+    // Median-of-N at the scale point too (default 3, VERDICT r8 #6): the r8
+    // single-shot 10x timings put five sub-second queries at 16-26x slopes
+    // that could not be told apart from first-run codegen + page-cache
+    // noise; medians make the slope column trustworthy.
+    val scaleUpReps =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALEUP_REPS", "3").toInt)
     val dataPath = names.filter(n =>
       !n.matches("s\\d\\d_.*") && !n.startsWith("k0") && n != "c01_multiplex_parse")
     val scaleUp: Seq[(String, (Double, Option[String]))] =
@@ -101,7 +113,10 @@ object Bench {
           ScaleUp.ensure(spark, sfDir, scaleUpDir, scaleUpFactor)
           if (dataPath.contains("d07_minhash_pairs"))
             runOnce("d07_minhash_pairs", scaleUpDir) // untimed sketch build
-          dataPath.map(n => n -> runOnce(n, scaleUpDir))
+          dataPath.map { n =>
+            val runs = (1 to scaleUpReps).map(_ => runOnce(n, scaleUpDir))
+            n -> (median(runs.map(_._1)), runs.flatMap(_._2).headOption)
+          }
         } catch {
           case e: Throwable =>
             Seq("_scaleup_build" -> (0.0, Some(
@@ -140,7 +155,7 @@ object Bench {
         val serr = scaleUp.collect { case (k, (_, Some(e))) =>
           s"${jstr(k)}:${jstr(e)}"
         }.mkString("{", ",", "}")
-        s""","scale_up":{"dir":${jstr(scaleUpDir)},"factor":$scaleUpFactor,"queries":$sq,"err":$serr}"""
+        s""","scale_up":{"dir":${jstr(scaleUpDir)},"factor":$scaleUpFactor,"reps":$scaleUpReps,"queries":$sq,"err":$serr}"""
       }
     val total = results.map(_._2._1).sum
     val json =
