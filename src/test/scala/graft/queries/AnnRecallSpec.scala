@@ -4,11 +4,11 @@ import graft.SparkSpec
 
 /** Recall floor for the approximate path (VERDICT r3/r5 carry): e02's IVF
   * ANN must find most of what e01's exact scan finds, or the "scale path"
-  * is a speed-up to a wrong answer. Measured at sf0.01 with (NList=16,
-  * NProbe=4): e02 0.925, e04 0.90, e05 0.90. The queries are fully
-  * deterministic on the fixture, so the 0.8 floor (VERDICT r7 #3's target)
-  * has real headroom — a drop below it means a semantic regression, not
-  * noise. */
+  * is a speed-up to a wrong answer. Measured at sf0.01 with the derived
+  * parameters (n=500 → NList 23, NProbe 5): e02 0.95, e04 0.925, e05
+  * 0.925. The queries are fully deterministic on the fixture, so the 0.8
+  * floor (VERDICT r7 #3's target) has real headroom — a drop below it
+  * means a semantic regression, not noise. */
 class AnnRecallSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
