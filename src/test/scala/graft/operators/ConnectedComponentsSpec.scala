@@ -40,4 +40,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = run(Seq(1L, 2L), Seq.empty)
     assert(got == Map(1L -> 1L, 2L -> 2L))
   }
+
+  test("long chain converges in O(log diameter) rounds (pointer jumping)") {
+    // A 200-node path has diameter 199: plain propagation needs 199 rounds,
+    // far past maxIter = 16. Pointer jumping halves label distance each
+    // round (~log2(199) ≈ 8), so this converges — and to the right labels.
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 200L)
+    val n = ids.toDF("id")
+    val e0 = ids.init.map(i => (i, i + 1)).toDF("src", "dst")
+    val e = e0.union(e0.select($"dst", $"src"))
+    val got = ConnectedComponents.label(n, e, maxIter = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ids.map(_ -> 1L).toMap)
+  }
 }
