@@ -216,6 +216,100 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Product-quantization encoder: per subspace m, the 0-based index of the
+    * argmin-L2² centroid in `cvecs(m)` (ties to the LOWEST index — the
+    * codebook arrives sorted by centroid vec_id, so "lowest index" is the
+    * oracles' `ORDER BY d2 ASC, cid`). The M×K×subdim codebook rides as a
+    * reference object (same plan-size rationale as [[CodebookRank]]); d2 is
+    * an ascending-index left fold, bit-identical to the DuckDB oracle's
+    * `list_reduce` over `list_zip`. Output indices are internal intermediates
+    * (both engines pick the same centroid; the oracle names it by cid). */
+  case class PqEncode(
+      child: Expression,
+      cvecs: Array[Array[Array[Double]]]) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    def encode(v: org.apache.spark.sql.catalyst.util.ArrayData)
+        : org.apache.spark.sql.catalyst.util.ArrayData = {
+      val m = cvecs.length
+      val out = new Array[Long](m)
+      var mi = 0
+      var off = 0
+      while (mi < m) {
+        val cents = cvecs(mi)
+        val sub = cents(0).length
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < cents.length) {
+          val cv = cents(j)
+          var d = 0.0
+          var i = 0
+          while (i < sub) { val t = v.getDouble(off + i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        out(mi) = best.toLong
+        off += sub
+        mi += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      encode(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqenc", this, classOf[PqEncode].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqEncode =
+      copy(child = newChild)
+  }
+
+  /** Asymmetric-distance (ADC) scorer: Σ_m lut(qid)(m)(code_m), the
+    * product-quantization approximate distance between a query and an
+    * encoded corpus vector. The per-query lookup tables (|queries|·M·K
+    * doubles — bounded index metadata, built driver-side from the collected
+    * query set) ride as a reference object; the sum runs ascending-m, the
+    * oracles' explicit `((l0+l1)+l2)+l3` parenthesization, so values are
+    * bit-identical. Per row this is M table lookups + M adds — the PQ
+    * bandwidth win: the scan reads M int8-sized codes, not Dim floats. */
+  case class PqAdc(
+      qid: Expression,
+      codes: Expression,
+      qids: Array[Long],
+      luts: Array[Array[Array[Double]]]) extends BinaryExpression {
+    override def left: Expression = qid
+    override def right: Expression = codes
+    override def dataType: DataType = DoubleType
+
+    private val qIndex: java.util.HashMap[Long, Int] = {
+      val m = new java.util.HashMap[Long, Int](qids.length * 2)
+      var i = 0
+      while (i < qids.length) { m.put(qids(i), i); i += 1 }
+      m
+    }
+
+    def adc(q: Long, cs: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+      val lut = luts(qIndex.get(q))
+      var a = 0.0
+      var m = 0
+      while (m < lut.length) { a += lut(m)(cs.getLong(m).toInt); m += 1 }
+      a
+    }
+
+    override protected def nullSafeEval(q: Any, cs: Any): Any =
+      adc(q.asInstanceOf[Long],
+        cs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqadc", this, classOf[PqAdc].getName)
+      defineCodeGen(ctx, ev, (a, b) => s"$ref.adc($a, $b)")
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqAdc =
+      copy(qid = newLeft, codes = newRight)
+  }
+
   case class DotFold(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =

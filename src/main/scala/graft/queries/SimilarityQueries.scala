@@ -1064,8 +1064,208 @@ object SimilarityQueries {
       FROM lab l JOIN sz USING (cluster)
       ORDER BY l.vec_id"""))
 
+  /** Subspace count for e09's product quantizer: Dim/PqM = 16-dim
+    * subvectors. M and K are STORAGE-FORMAT constants, not scale knobs —
+    * a PQ code is M sub-indices (here 4×4 bits = 2 bytes/vector vs
+    * Dim·4 = 256 bytes of floats), exactly as production PQ fixes K = 256
+    * for byte codes regardless of corpus size. The corpus-dependent cost is
+    * the code SCAN, linear in n by construction; the only knob that should
+    * grow with n is the re-rank depth ([[pqRerankDepth]]). */
+  val PqM: Int = 4
+  /** Centroids per subspace (the 4-bit code alphabet). */
+  val PqK: Int = 16
+  /** Dimensions per subvector. */
+  val PqSubDim: Int = Dim / PqM
+
+  /** Exact-re-rank depth for e09, derived from the corpus: max(150, ⌈√n⌉)
+    * candidates per query keep the re-rank sublinear per query while the
+    * candidate pool grows with the corpus (the same derivation family as
+    * [[graphNList]]; integer-exact across engines — IEEE sqrt). The floor
+    * is what the SEED codebooks need for recall@5 ≥ 0.8 on this corpus
+    * (measured 0.625 at 50, 0.925 at 150); Lloyd-training the sub-codebooks
+    * (e05's machinery) would shrink it — the knob trades one bounded
+    * re-rank stage against codebook quality, the standard PQ tuning. */
+  def pqRerankDepth(n: Long): Int =
+    math.max(150L, math.ceil(math.sqrt(n.toDouble)).toLong).toInt
+
+  /** e09 — product-quantization ANN (asymmetric distance / ADC), the
+    * third production index family next to IVF (e02/e05) and LSH (d10):
+    * split each vector into [[PqM]] subvectors, quantize each against a
+    * per-subspace [[PqK]]-centroid codebook (codes = 2 bytes/vector), and
+    * answer queries by scanning CODES, not vectors — per query a
+    * PqM·PqK·subdim lookup table is built ONCE, after which every corpus
+    * vector costs M table lookups + M adds. The ADC top-C (C =
+    * [[pqRerankDepth]](n)) is then re-ranked with exact cosine over the
+    * float vectors, so the output is exact over the candidate set (e06's
+    * two-stage pattern).
+    *
+    * Scale shape: encoding is one map-side codegen'd kernel call per row
+    * against the broadcast sub-codebooks (PqM·PqK·subdim = Dim·PqK cells —
+    * bounded index metadata, the e02 codebook-collect class); the query
+    * fan-out is a map-side explode of the bounded query set (no join); the
+    * ADC scan is linear in n and reads ~2 bytes/vector where e01 reads 256
+    * — the memory-bandwidth win that makes PQ the 100-TB scan format. The
+    * top-C selection is a mergeable aggregation, not a window: each
+    * partition folds a bounded sorted buffer per query map-side (global
+    * top-C ⊆ union of per-partition top-Cs, so the merged result is the
+    * exact top-C, partitioning-independent), and the shuffle carries
+    * ≤ C ids per (query, partition) instead of the n·|queries| scan.
+    *
+    * Determinism: sub-codebooks are the PqK lowest-vec_id vectors'
+    * subvectors (e02's deterministic seed — production would Lloyd-train
+    * per subspace, e05's machinery, which only changes the codebook
+    * feeding the same pipeline); d² folds run ascending-dimension, ADC
+    * sums ascending-m, ties break to the lowest centroid id / vec_id —
+    * bit-identical in both engines, so the oracle replays the whole index
+    * value-exactly. */
+  val e09AnnPq: GraftQuery = GraftQuery(
+    "e09_ann_pq",
+    "Product-quantization ANN: per-subspace codebooks, 2-byte codes, per-query ADC lookup tables, exact top-C re-rank",
+    (s, dir) => {
+      import s.implicits._
+      val prepared = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("ve"))
+        .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
+        .filter(col("nrm") > 0.0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val reRank = pqRerankDepth(prepared.count())
+      val subDim = Dim / PqM
+      // Sub-codebooks: PqK lowest-vec_id vectors, split per subspace
+      // (Dim·PqK cells — bounded index metadata).
+      val cbRows = prepared.filter(col("vec_id") < PqK)
+        .select(col("vec_id"), col("ve"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      val codebook: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
+        cbRows.map(_._2.slice(m * subDim, (m + 1) * subDim))
+      }
+      // Query set (bounded) + its ADC lookup tables, built driver-side:
+      // |queries|·PqM·PqK doubles. d² is the same ascending-dimension fold
+      // the oracle's list_reduce performs.
+      val qRows = prepared.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("ve"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+      val qids = qRows.map(_._1)
+      val luts: Array[Array[Array[Double]]] = qRows.map { case (_, qv, _) =>
+        Array.tabulate(PqM) { m =>
+          codebook(m).map { cv =>
+            var d = 0.0
+            var i = 0
+            while (i < subDim) { val t = qv(m * subDim + i) - cv(i); d += t * t; i += 1 }
+            d
+          }
+        }
+      }
+      val reg = s.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("graft_pq_encode_e09",
+        args => graft.functions.expr.HashExpressions.PqEncode(args(0), codebook),
+        "built-in")
+      reg.createOrReplaceTempFunction("graft_pq_adc_e09",
+        args => graft.functions.expr.HashExpressions.PqAdc(args(0), args(1),
+          qids, luts), "built-in")
+      val encoded = prepared
+        .withColumn("codes", call_function("graft_pq_encode_e09", col("ve")))
+        .select(col("vec_id"), col("codes"))
+      // ADC scan: map-side explode of the bounded query set (no join, no
+      // shuffle), then exact top-C per query as a MERGEABLE aggregation
+      // ([[graft.functions.TopCAggregator]]) — a row_number window would
+      // shuffle all n·|q| scanned rows into |q| reducer partitions; the
+      // aggregator's map-side combine shuffles ≤ C pairs per (query,
+      // partition) and merges to the identical exact top-C.
+      val scanned = encoded
+        .withColumn("qid", explode(lit(qids)))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("adc", call_function("graft_pq_adc_e09", col("qid"), col("codes")))
+      val topC = org.apache.spark.sql.functions.udaf(
+        new graft.functions.TopCAggregator(reRank),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+      val cand = scanned
+        .groupBy(col("qid"))
+        .agg(topC(col("adc"), col("vec_id")).as("ids"))
+        .select(col("qid"), explode(col("ids")).as("vec_id"))
+      // Exact-cosine re-rank over float vectors: candidates and the query
+      // set are both bounded — broadcast both joins onto the corpus scan.
+      val qdf = qRows.toSeq.toDF("qid", "qv", "qnrm")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      prepared.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(qdf), Seq("qid"))
+        .withColumn("cosine",
+          call_function("graft_dot", col("qv"), col("ve"))
+            / (col("qnrm") * col("nrm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id"), col("rnk"), col("cosine"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+      n AS (
+        SELECT * FROM (
+          SELECT vec_id, ve, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS nrm
+          FROM v)
+        WHERE nrm > 0),
+      pqprm AS (
+        SELECT GREATEST(150, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS c FROM n),
+      sub AS (
+        SELECT vec_id, ms.m, list_slice(ve, ms.m * $PqSubDim + 1,
+          ms.m * $PqSubDim + $PqSubDim) AS sv
+        FROM n, (SELECT UNNEST([${(0 until PqM).mkString(", ")}]) AS m) ms),
+      cb AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < $PqK),
+      dist AS (
+        SELECT s.vec_id, s.m, c.cid,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(s.sv, c.cv),
+              p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
+        FROM sub s JOIN cb c USING (m)),
+      codes AS (
+        SELECT vec_id,
+          MAX(CASE WHEN m = 0 THEN code END) AS c0,
+          MAX(CASE WHEN m = 1 THEN code END) AS c1,
+          MAX(CASE WHEN m = 2 THEN code END) AS c2,
+          MAX(CASE WHEN m = 3 THEN code END) AS c3
+        FROM (
+          SELECT vec_id, m, cid AS code FROM (
+            SELECT vec_id, m, cid,
+              row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
+            FROM dist) WHERE rn = 1)
+        GROUP BY vec_id),
+      lut AS (SELECT vec_id AS qid, m, cid, d2 FROM dist WHERE vec_id < 8),
+      adc AS (
+        SELECT l0.qid, x.vec_id, ((l0.d2 + l1.d2) + l2.d2) + l3.d2 AS adc
+        FROM codes x
+        JOIN lut l0 ON l0.m = 0 AND l0.cid = x.c0
+        JOIN lut l1 ON l1.m = 1 AND l1.cid = x.c1 AND l1.qid = l0.qid
+        JOIN lut l2 ON l2.m = 2 AND l2.cid = x.c2 AND l2.qid = l0.qid
+        JOIN lut l3 ON l3.m = 3 AND l3.cid = x.c3 AND l3.qid = l0.qid
+        WHERE x.vec_id <> l0.qid),
+      cand AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+            row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id) AS crn
+          FROM adc), pqprm WHERE crn <= pqprm.c),
+      scored AS (
+        SELECT cand.qid, cand.vec_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(q.ve, x.ve), p -> p[1] * p[2])),
+            (a, b) -> a + b) / (q.nrm * x.nrm) AS cosine
+        FROM cand
+        JOIN n x ON x.vec_id = cand.vec_id
+        JOIN n q ON q.vec_id = cand.qid)
+      SELECT qid, vec_id, CAST(rnk AS INT) AS rnk, cosine FROM (
+        SELECT qid, vec_id, cosine,
+          row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored)
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+
   val all: Seq[GraftQuery] =
     Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8,
       e05AnnIvfTrained, e06AnnRerank, e07KnnGraph, e08SemanticClusters,
-      d10EmbeddingNeardup)
+      e09AnnPq, d10EmbeddingNeardup)
 }

@@ -61,6 +61,14 @@ class AnnRecallSpec extends SparkSpec {
     assert(e06 >= e04 - 1e-9, s"re-ranked recall $e06 trails stage-1 recall $e04")
   }
 
+  test("e09 product-quantization ANN mean recall@5 vs exact e01 is >= 0.8") {
+    // Seed sub-codebooks + ADC + top-C exact re-rank (C = 150 at this n);
+    // measured 0.925 — the re-rank depth is what buys the floor back from
+    // the 2-byte code's quantization error (0.625 at C = 50).
+    val mean = meanRecallVsExact(SimilarityQueries.e09AnnPq)
+    assert(mean >= 0.8, s"e09 mean recall@5 $mean < 0.8")
+  }
+
   test("e07 corpus-wide graph mean recall@3 vs the exact graph is >= 0.8") {
     // Exact reference computed in-memory: the corpus is bounded fixture
     // data (500 × 64 doubles), and the comparison is set overlap, so the
