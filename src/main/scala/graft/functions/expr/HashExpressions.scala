@@ -2,7 +2,7 @@ package graft.functions.expr
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the sketch hot path.
   *
@@ -308,6 +308,36 @@ object HashExpressions {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): PqAdc =
       copy(qid = newLeft, codes = newRight)
+  }
+
+  /** Membership probe against a serialized Bloom filter — the map-side
+    * runtime-filter primitive (q48): the build side's key set rides as a
+    * compact byte image (serialized once driver-side, deserialized lazily
+    * per executor), and the probe is a handful of hash-bit tests inside
+    * whole-stage codegen. `mightContain` admits false positives, never
+    * false negatives, so a bloom-pruned scan followed by an exact join is
+    * result-identical to the unpruned join — the bloom only cuts the rows
+    * that reach the shuffle. This is the explicit form of the planner's
+    * injected runtime bloom filter, for build sides the optimizer cannot
+    * see (an external index, a pre-computed key manifest). */
+  case class BloomContains(child: Expression, bloomBytes: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+
+    @transient private lazy val bloom =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+
+    def contains(v: Long): Boolean = bloom.mightContainLong(v)
+
+    override protected def nullSafeEval(input: Any): Any =
+      contains(input.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloom", this, classOf[BloomContains].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.contains($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BloomContains =
+      copy(child = newChild)
   }
 
   case class DotFold(left: Expression, right: Expression) extends BinaryExpression {

@@ -1264,6 +1264,50 @@ object RelationalQueries {
       SELECT p, b.lo + b.w * (bin + (target - (cum - c)) / c) AS estimate
       FROM hit, b WHERE rn = 1 ORDER BY p"""))
 
+  /** q48 — runtime-filter semi join: a broadcast Bloom filter of the build
+    * side's keys prunes the fact scan BEFORE any shuffle, then an exact
+    * semi join removes the Bloom's false positives — result-identical to
+    * the plain semi join (the oracle is exactly that), cheaper by however
+    * many fact rows the filter rejects map-side. This is the explicit form
+    * of Spark's injected runtime bloom filter, for build sides the
+    * optimizer cannot see (an external index, a key manifest from another
+    * system). At 100 TB the shape is the point: the build side here is a
+    * filtered dimension (bounded — its count and ~1.2 bytes/key bloom are
+    * driver-safe), the probe is a codegen'd bit test on the scan
+    * ([[graft.functions.expr.HashExpressions.BloomContains]]), and the
+    * only rows that reach the semi-join shuffle are the ≈1% false
+    * positives plus the true matches. */
+  val q48BloomSemiJoin: GraftQuery = GraftQuery(
+    "q48_bloom_semi_join",
+    "Bloom-pruned semi join: broadcast bloom rejects fact rows map-side, exact semi join scrubs false positives",
+    (s, dir) => {
+      val part = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#13")
+        .select(col("p_partkey"))
+      val bloom = part.stat.bloomFilter("p_partkey",
+        math.max(part.count(), 1L), 0.01)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bos.toByteArray
+      }
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bloom_q48",
+        args => graft.functions.expr.HashExpressions.BloomContains(args.head, bytes),
+        "built-in")
+      val li = t(s, dir, "lineitem")
+        .filter(call_function("graft_bloom_q48", col("l_partkey")))
+      li.join(part, li("l_partkey") === part("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_partkey"))
+    },
+    Some(s"""SELECT l_partkey, COUNT(*) AS n_lines,
+        ${dsumSql("l_quantity")} AS sum_qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13')
+      GROUP BY l_partkey ORDER BY l_partkey"""))
+
   // NOTE: `all` must stay the LAST definition in this object — a query val
   // referenced here but defined further down is still null at object init
   // (silent, then NPEs at dispatch). SparkEntry.registry asserts against it.
@@ -1279,5 +1323,5 @@ object RelationalQueries {
     q35AvgQtyRevenue, q36ExistsSubquery, q37RangeFrame, q38AsofNative,
     q39GroupingSets, q40RankFamily, q41TpchQ18, q42RecursiveCte,
     q43LateralTopn, q44GapFill, q45FilteredAgg, q46HistQuantiles,
-    q47IterHierarchy)
+    q47IterHierarchy, q48BloomSemiJoin)
 }

@@ -1252,6 +1252,60 @@ object TextQueries {
       FROM wins LEFT JOIN boiler b ON b.w = wins.w
       GROUP BY wins.doc_id ORDER BY wins.doc_id"""))
 
+  /** KMV sketch size for d31: estimator relative error ≈ 1/√(k-2) ≈ 13%. */
+  private val KmvK = 64
+
+  /** d31 — KMV (k-minimum-values) distinct-count sketch per language: the
+    * cardinality estimator a 100-TB profiler runs where COUNT(DISTINCT) is
+    * unaffordable. Built on [[PortableHash]] token hashes so both engines
+    * see the identical hash set; the sketch itself is
+    * [[graft.functions.KmvAggregator]] — set-semantics bottom-k, so NO
+    * dedup shuffle precedes it: one groupBy with map-side combine, the
+    * shuffle carrying ≤ k values per (lang, partition) whatever the corpus
+    * size (contrast COUNT(DISTINCT x), whose expand+dedup shuffles every
+    * distinct value). The k-th smallest distinct hash h_k is a uniform
+    * order statistic over the hash range P, so (k-1)·P/h_k estimates the
+    * distinct count; below k distinct values the sketch is exhaustive and
+    * the count exact. Everything is a deterministic function of the input
+    * SET, so the oracle replays the sketch bit-exactly (its window
+    * formulation materializes the distinct hashes — affordable
+    * single-threaded at gate scale; the Spark side never does). */
+  val d31KmvDistinct: GraftQuery = GraftQuery(
+    "d31_kmv_distinct",
+    s"KMV distinct-token sketch per language (k=$KmvK bottom hashes, mergeable, (k-1)P/h_k estimator)",
+    (s, dir) => {
+      val kmv = udaf(new graft.functions.KmvAggregator(KmvK),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+      docs(s, dir)
+        .select(col("lang"),
+          explode(call_function("graft_token_hashes", col("text"))).as("h"))
+        .groupBy(col("lang"))
+        .agg(kmv(col("h")).as("mins"))
+        .select(col("lang"),
+          size(col("mins")).as("n_sketch"),
+          when(size(col("mins")) < KmvK, lit(null).cast("long"))
+            .otherwise(element_at(col("mins"), KmvK)).as("kth_min"),
+          when(size(col("mins")) < KmvK, size(col("mins")).cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) * lit(P.toDouble)
+              / element_at(col("mins"), KmvK)).as("est_distinct"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH th AS (
+        SELECT lang, UNNEST(${tokenHashesSql("text")}) AS h FROM documents),
+      d AS (SELECT DISTINCT lang, h FROM th),
+      r AS (
+        SELECT lang, h,
+          row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+          COUNT(*) OVER (PARTITION BY lang) AS nd
+        FROM d)
+      SELECT lang,
+        CAST(LEAST(nd, $KmvK) AS INT) AS n_sketch,
+        MAX(CASE WHEN rn = $KmvK THEN h END) AS kth_min,
+        CASE WHEN nd < $KmvK THEN CAST(nd AS DOUBLE)
+             ELSE CAST(${KmvK - 1} AS DOUBLE) * $P
+                  / MAX(CASE WHEN rn = $KmvK THEN h END) END AS est_distinct
+      FROM r GROUP BY lang, nd ORDER BY lang"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
@@ -1259,5 +1313,5 @@ object TextQueries {
     d15Repetition, d16Sample, d17ChunkPack, d18Pipeline, d19Decontaminate,
     d20StratifiedSample, d21DupClusters, d22VocabTopK, d23TfidfTop,
     d24PiiScrub, d25DedupApply, d26StopwordScrub, d27ShardShuffle,
-    d28IncrementalDedup, d29BpeTrain, d30BoilerplateScrub)
+    d28IncrementalDedup, d29BpeTrain, d30BoilerplateScrub, d31KmvDistinct)
 }
