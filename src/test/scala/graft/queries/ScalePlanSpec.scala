@@ -284,4 +284,29 @@ class ScalePlanSpec extends SparkSpec {
       .count()
     assert(diff == 0L)
   }
+
+  test("q48's bloom prune sits on the fact side BELOW the semi join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val lp = RelationalQueries.q48BloomSemiJoin
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.nonEmpty, lp.toString)
+    // The runtime filter must survive optimization as a Filter on the
+    // probe (left) subtree — pruning before the shuffle is the point.
+    assert(joins.exists(_.left.collect {
+      case f: Filter if f.condition.exists(
+        _.isInstanceOf[graft.functions.expr.HashExpressions.BloomContains]) => f
+    }.nonEmpty), lp.toString)
+  }
+
+  test("d31's sketch aggregates in one pass — no COUNT(DISTINCT) Expand") {
+    val plan = TextQueries.d31KmvDistinct
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // A count-distinct formulation would plan an Expand + double shuffle;
+    // the KMV aggregator must keep the single partial->final agg shape.
+    assert(!plan.contains("Expand"), plan)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+  }
 }
