@@ -157,9 +157,15 @@ object Bench {
         }.mkString("{", ",", "}")
         s""","scale_up":{"dir":${jstr(scaleUpDir)},"factor":$scaleUpFactor,"reps":$scaleUpReps,"queries":$sq,"err":$serr}"""
       }
-    val total = results.map(_._2._1).sum
+    // Headline total sums only non-erroring queries — a time-to-analysis-
+    // error is not a runtime, and blending it in makes round-over-round
+    // totals incomparable (ADVICE r9). errored_count makes the omission
+    // visible in the artifact itself.
+    val ok = results.filter(_._2._2.isEmpty)
+    val total = ok.map(_._2._1).sum
+    val nErr = results.size - ok.size
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$errs,"reps":$reps,"sf":"$sfDir"$scal$scup}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errored_count":$nErr,"queries":$qs,"err":$errs,"reps":$reps,"sf":"$sfDir"$scal$scup}"""
     println(json)
     // The round artifact is captured from a stdout tail that has truncated
     // the JSON two rounds running (VERDICT r7 missing #1). Also write the
@@ -171,5 +177,11 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () } // file write must never fail the bench
     spark.stop()
+    // A run with erroring queries is a red run: exit non-zero so the driver
+    // records it as such instead of rc:0 over a broken artifact (ADVICE r9).
+    if (nErr > 0) {
+      System.err.println(s"[bench] $nErr queries errored at $sfDir")
+      sys.exit(1)
+    }
   }
 }
