@@ -147,6 +147,82 @@ object HashExpressions {
       copy(vec = newLeft, nrm = newRight)
   }
 
+  /** Two-level coarse ranking for the corpus-wide graph (e07/e08): the
+    * first `nSuper` centroids (lowest cid — the codebook arrives cid-sorted)
+    * double as SUPER-centroids; every centroid is branch-assigned to its
+    * nearest super driver-side (`branchOf`), and a vector ranks only the
+    * members of its `superProbe` nearest branches instead of the whole
+    * codebook. With NList = √n and NSuper = ⌈√NList⌉ = n^¼ this cuts
+    * assignment from n·√n dots (the r9 flagged O(n^1.5) term) to
+    * n·(n^¼ + superProbe·avgBranch) ≈ O(n^1.25) — the two-level IVF
+    * routing production coarse quantizers use.
+    *
+    * Output contract matches [[CodebookRank]]: centroid ids of the SEARCHED
+    * set ordered by (−cos, cid); element 1 is the assignment, the first
+    * NProbe the probe lists. Every super's own centroid is a member of its
+    * branch (cos(s,s)=1 is maximal), so the searched set has ≥ superProbe
+    * members. Fold order ascending-dimension, ties to the lowest cid — the
+    * oracles replay both levels with the identical keys, so the searched
+    * set, assignment, and probe lists are bit-identical across engines. */
+  case class TwoLevelCodebookRank(
+      vec: Expression,
+      nrm: Expression,
+      cids: Array[Long],
+      cvecs: Array[Array[Double]],
+      cnrms: Array[Double],
+      nSuper: Int,
+      superProbe: Int,
+      branchOf: Array[Int]) extends BinaryExpression {
+    override def left: Expression = vec
+    override def right: Expression = nrm
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    // branch index (super position 0..nSuper-1) -> member centroid positions
+    @transient private lazy val members: Array[Array[Int]] = {
+      val bs = Array.fill(nSuper)(List.newBuilder[Int])
+      var j = 0
+      while (j < branchOf.length) { bs(branchOf(j)) += j; j += 1 }
+      bs.map(_.result().toArray)
+    }
+
+    private def negCos(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                       n: Double, j: Int): Double = {
+      val cv = cvecs(j)
+      var dot = 0.0
+      var i = 0
+      while (i < cv.length) { dot += v.getDouble(i) * cv(i); i += 1 }
+      -(dot / (n * cnrms(j)))
+    }
+
+    def rank(v: org.apache.spark.sql.catalyst.util.ArrayData, n: Double)
+        : org.apache.spark.sql.catalyst.util.ArrayData = {
+      // Level 1: rank the supers (positions 0..nSuper-1 ARE centroids).
+      val negs = new Array[Double](nSuper)
+      var j = 0
+      while (j < nSuper) { negs(j) = negCos(v, n, j); j += 1 }
+      val superOrder = Array.range(0, nSuper).sortBy(j => (negs(j), cids(j)))
+      // Level 2: rank the union of the top-superProbe branches' members.
+      val cand = Array.range(0, superProbe).flatMap(r => members(superOrder(r)))
+      val negc = cand.map(negCos(v, n, _))
+      val order = Array.range(0, cand.length)
+        .sortBy(i => (negc(i), cids(cand(i))))
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        order.map(i => cids(cand(i))))
+    }
+
+    override protected def nullSafeEval(v: Any, n: Any): Any =
+      rank(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        n.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cbrank2", this,
+        classOf[TwoLevelCodebookRank].getName)
+      defineCodeGen(ctx, ev, (a, b) => s"$ref.rank($a, $b)")
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): TwoLevelCodebookRank =
+      copy(vec = newLeft, nrm = newRight)
+  }
+
   case class QuantizeCodes(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     override protected def nullSafeEval(input: Any): Any =
