@@ -932,17 +932,62 @@ object SimilarityQueries {
     *
     * Every stage is linear in n with keyed equi-join shuffles only — the
     * IVF analogue of d07's LSH band join. */
-  private def listPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def listPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+                        trained: Boolean = true) = {
     val prepared = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("ve"))
       .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nList = graphNList(prepared.count())
-    val codebook = prepared.filter(col("vec_id") < nList)
+    val seed = prepared.filter(col("vec_id") < nList)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
+    // Lloyd-train the coarse codebook (VERDICT r9 next #6 — e05's
+    // integer-exact discipline): assignments run over the int8 CODES so the
+    // per-(list, dim) centroid sums are exact int64 arithmetic —
+    // order-independent, hence bit-identical across engines and
+    // partitionings — and each mean is one deterministic IEEE division.
+    // Training assigns through the SAME two-level router as the final
+    // ranking (branches recomputed from the evolving centroids each round,
+    // exactly what the oracle replays), so no Lloyd round re-introduces the
+    // O(n^1.5) flat scan. The final ranking scores the FLOAT vectors
+    // against the trained centroids — cosine is scale-invariant, so
+    // qv-space centroid directions rank ve directions directly.
+    val codebook = if (!trained) seed else {
+      val quant = prepared
+        .withColumn("qv", call_function("graft_quantize", col("ve")))
+        .withColumn("qnrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
+        .filter(col("qnrm") > 0.0)
+        .select(col("vec_id"), col("qv"), col("qnrm"))
+      var cb = quant.filter(col("vec_id") < nList)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1)
+      for (it <- 1 to NIter) {
+        val assigned = quant.withColumn("list",
+          element_at(cbRank2(s, s"e07t$it", cb, col("qv"), col("qnrm")), 1))
+        val cells = assigned
+          .select(col("list"), posexplode(col("qv")).as(Seq("pos", "x")))
+          .groupBy(col("list"), col("pos"))
+          .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
+          .collect()
+        val byList = cells.groupBy(_.getLong(0))
+        cb = cb.map { case old @ (cid, _, _) =>
+          byList.get(cid) match {
+            case Some(rows) =>
+              val cnt = rows.head.getLong(3).toDouble
+              val mean = rows.sortBy(_.getInt(1))
+                .map(_.getLong(2).toDouble / cnt).toSeq
+              val nrm = math.sqrt(mean.map(x => x * x).foldLeft(0.0)(_ + _))
+              if (nrm > 0.0) (cid, mean, nrm) else old
+            case None => old
+          }
+        }
+      }
+      cb
+    }
     val probing = prepared.withColumn("list",
       explode(slice(cbRank2(s, "e07", codebook, col("ve"), col("nrm")),
         1, GraphNProbe)))
@@ -999,17 +1044,83 @@ object SimilarityQueries {
     pairs0.union(symmetrize(hopScored)).distinct()
   }
 
-  /** Oracle CTE chain computing the same derived-NList assignment, capped
-    * probe pairs, and NN-descent refinement round. */
-  private val listPairsSql: String =
+  /** Oracle CTE chain replaying the full index build value-exactly:
+    * int8 quantization, the integer-exact two-level Lloyd loop (branch +
+    * super + within-branch assignment per round, exact int64 centroid
+    * sums), then the float-vector two-level ranking against the trained
+    * codebook, capped probe pairs, and the NN-descent refinement round. */
+  private val listPairsSql: String = {
+    val dot = (a: String, b: String) =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"""
+    val sq = (a: String) =>
+      s"""sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform($a, x -> x * x)), (x, y) -> x + y))"""
+    // One two-level Lloyd round: branch the previous centroids, route each
+    // code through its sprobe nearest branches, assign within, rebuild
+    // centroids from exact integer sums (empty/degenerate lists keep the
+    // previous centroid) — e05's iterSql with the two-level router.
+    def iterSql(i: Int): String = {
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s""",
+      cbr$i AS (
+        SELECT cid, sid FROM (
+          SELECT c.cid, s.cid AS sid,
+            row_number() OVER (PARTITION BY c.cid ORDER BY
+              ${dot("c.cqv", "s.cqv")} / (c.cnrm * s.cnrm) DESC, s.cid) AS brn
+          FROM $prev c, $prev s, params WHERE s.cid < params.nsuper) rb
+        WHERE rb.brn = 1),
+      vsr$i AS (
+        SELECT vec_id, sid FROM (
+          SELECT x.vec_id, s.cid AS sid,
+            row_number() OVER (PARTITION BY x.vec_id ORDER BY
+              ${dot("x.qv", "s.cqv")} / (x.qnrm * s.cnrm) DESC, s.cid) AS srn
+          FROM n8 x, $prev s, params WHERE s.cid < params.nsuper) rs, params
+        WHERE rs.srn <= params.sprobe),
+      a$i AS (
+        SELECT vec_id, qv, list FROM (
+          SELECT x.vec_id, x.qv, b.cid AS list,
+            row_number() OVER (PARTITION BY x.vec_id ORDER BY
+              ${dot("x.qv", "c.cqv")} / (x.qnrm * c.cnrm) DESC, b.cid) AS crn
+          FROM vsr$i v JOIN cbr$i b ON v.sid = b.sid
+          JOIN n8 x ON x.vec_id = v.vec_id
+          JOIN $prev c ON c.cid = b.cid) rr
+        WHERE rr.crn = 1),
+      m$i AS (
+        SELECT list AS cid, g.i,
+          CAST(SUM(CAST(qv[g.i] AS BIGINT)) AS BIGINT) AS s, COUNT(*) AS cnt
+        FROM a$i, (SELECT unnest(generate_series(1, $Dim)) AS i) g
+        GROUP BY list, g.i),
+      mm$i AS (
+        SELECT cid, cqv, ${sq("cqv")} AS cnrm
+        FROM (SELECT cid,
+                list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) AS cqv
+              FROM m$i GROUP BY cid)),
+      c$i AS (
+        SELECT p.cid,
+          CASE WHEN m.cid IS NULL OR m.cnrm = 0 THEN p.cqv ELSE m.cqv END AS cqv,
+          CASE WHEN m.cid IS NULL OR m.cnrm = 0 THEN p.cnrm ELSE m.cnrm END AS cnrm
+        FROM $prev p LEFT JOIN mm$i m USING (cid))"""
+    }
+    val cT = s"c$NIter"
     s"""v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
         FROM embeddings),
       n AS (
+        SELECT vec_id, ve, ${sq("ve")} AS nrm FROM v),
+      q0 AS (
         SELECT vec_id, ve,
-          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS nrm
+          CASE WHEN list_max(list_transform(ve, x -> abs(x))) > 0
+               THEN CAST(127.0 AS DOUBLE) / list_max(list_transform(ve, x -> abs(x)))
+               ELSE CAST(0.0 AS DOUBLE) END AS scale
         FROM v),
+      qz AS (
+        SELECT vec_id, list_transform(ve, x ->
+          CAST(CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DOUBLE)) AS qv
+        FROM q0),
+      n8 AS (
+        SELECT * FROM (SELECT vec_id, qv, ${sq("qv")} AS qnrm FROM qz)
+        WHERE qnrm > 0),
       params AS (
         SELECT nlist,
           GREATEST(4, CAST(CEIL(SQRT(nlist)) AS BIGINT)) AS nsuper,
@@ -1017,38 +1128,32 @@ object SimilarityQueries {
             $GraphNProbe) AS sprobe
         FROM (SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
           AS nlist FROM n)),
-      -- two-level coarse quantizer: branch of each centroid = its nearest
-      -- super (the first nsuper centroids), ties to the lowest sid
-      cbr AS (
+      c0 AS (SELECT vec_id AS cid, qv AS cqv, qnrm AS cnrm FROM n8, params
+        WHERE vec_id < params.nlist)${(1 to NIter).map(iterSql).mkString},
+      -- trained two-level routing of the FLOAT vectors: branch the trained
+      -- centroids, route each vector through its sprobe nearest branches,
+      -- rank only their member centroids
+      cbrF AS (
         SELECT cid, sid FROM (
-          SELECT c.vec_id AS cid, s.vec_id AS sid,
-            row_number() OVER (PARTITION BY c.vec_id ORDER BY
-              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                list_transform(list_zip(c.ve, s.ve), p -> p[1] * p[2])),
-                (a, b) -> a + b) / (c.nrm * s.nrm) DESC, s.vec_id) AS brn
-          FROM n c, n s, params
-          WHERE c.vec_id < params.nlist AND s.vec_id < params.nsuper) rb
+          SELECT c.cid, s.cid AS sid,
+            row_number() OVER (PARTITION BY c.cid ORDER BY
+              ${dot("c.cqv", "s.cqv")} / (c.cnrm * s.cnrm) DESC, s.cid) AS brn
+          FROM $cT c, $cT s, params WHERE s.cid < params.nsuper) rb
         WHERE rb.brn = 1),
-      -- each vector's sprobe nearest branches
-      vsr AS (
+      vsrF AS (
         SELECT vec_id, sid FROM (
-          SELECT x.vec_id, s.vec_id AS sid,
+          SELECT x.vec_id, s.cid AS sid,
             row_number() OVER (PARTITION BY x.vec_id ORDER BY
-              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                list_transform(list_zip(x.ve, s.ve), p -> p[1] * p[2])),
-                (a, b) -> a + b) / (x.nrm * s.nrm) DESC, s.vec_id) AS srn
-          FROM n x, n s, params WHERE s.vec_id < params.nsuper) rs, params
+              ${dot("x.ve", "s.cqv")} / (x.nrm * s.cnrm) DESC, s.cid) AS srn
+          FROM n x, $cT s, params WHERE s.cid < params.nsuper) rs, params
         WHERE rs.srn <= params.sprobe),
-      -- rank only the probed branches' member centroids
       ranked AS (
         SELECT x.vec_id, x.ve, x.nrm, b.cid,
           row_number() OVER (PARTITION BY x.vec_id ORDER BY
-            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-              list_transform(list_zip(x.ve, c.ve), p -> p[1] * p[2])),
-              (a, b) -> a + b) / (x.nrm * c.nrm) DESC, b.cid) AS crn
-        FROM vsr v JOIN cbr b ON v.sid = b.sid
+            ${dot("x.ve", "c.cqv")} / (x.nrm * c.cnrm) DESC, b.cid) AS crn
+        FROM vsrF v JOIN cbrF b ON v.sid = b.sid
         JOIN n x ON x.vec_id = v.vec_id
-        JOIN n c ON c.vec_id = b.cid),
+        JOIN $cT c ON c.cid = b.cid),
       asg AS (SELECT vec_id, ve, nrm, cid AS list FROM ranked WHERE crn = 1),
       capped AS (
         SELECT vec_id, ve, nrm, list FROM (
@@ -1096,6 +1201,17 @@ object SimilarityQueries {
           SELECT vec_id, nid, cosine FROM hops
           UNION ALL
           SELECT nid AS vec_id, vec_id AS nid, cosine FROM hops))"""
+  }
+
+  /** Mark every non-recursive CTE `AS MATERIALIZED` (DuckDB planner hint;
+    * value-neutral). Under e08's `WITH RECURSIVE`, DuckDB stops
+    * auto-materializing multiply-referenced CTEs, and the trained-codebook
+    * chain references each Lloyd round's output ~5× — un-materialized, the
+    * re-expansion is exponential in chain depth (measured: >10 min vs 1.6 s
+    * at sf0.01). The recursive `reach` member itself cannot be materialized
+    * and is excluded. */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("\\b(?!reach\\b)(\\w+) AS \\(", "$1 AS MATERIALIZED (")
 
   /** e07 — corpus-wide k-NN GRAPH (neighbors for EVERY vector, not just a
     * query set — the structure semantic dedup, clustering, and
@@ -1107,24 +1223,29 @@ object SimilarityQueries {
     * Vectors none of whose candidates survive emit no rows (the IVF recall
     * tradeoff, reproduced identically by the oracle; AnnRecallSpec floors
     * the measured graph recall). */
+  /** e07's plan, parameterized on codebook training — the production query
+    * runs trained; AnnRecallSpec builds both to assert trained ≥ seeded. */
+  private[queries] def knnGraphFrame(s: org.apache.spark.sql.SparkSession,
+                                     dir: String, trained: Boolean) = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nid"))
+    listPairs(s, dir, trained)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnK)
+      .select(col("vec_id"), col("nid"), col("rnk"), col("cosine"))
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
   val e07KnnGraph: GraftQuery = GraftQuery(
     "e07_knn_graph",
-    s"corpus-wide top-$KnnK neighbor graph: √n-list IVF probe + capped lists + NN-descent round (linear)",
-    (s, dir) => {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cosine").desc, col("nid"))
-      listPairs(s, dir)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= KnnK)
-        .select(col("vec_id"), col("nid"), col("rnk"), col("cosine"))
-        .orderBy(col("vec_id"), col("rnk"))
-    },
-    Some(s"""WITH $listPairsSql
+    s"corpus-wide top-$KnnK neighbor graph: trained two-level IVF probe + capped lists + NN-descent round (linear)",
+    (s, dir) => knnGraphFrame(s, dir, trained = true),
+    Some(materializeCtes(s"""WITH $listPairsSql
       SELECT vec_id, nid, CAST(rnk AS INT) AS rnk, cosine FROM (
         SELECT vec_id, nid, cosine,
           row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nid) AS rnk
         FROM pairs)
-      WHERE rnk <= $KnnK ORDER BY vec_id, rnk"""))
+      WHERE rnk <= $KnnK ORDER BY vec_id, rnk""")))
 
   /** e08 — SEMANTIC dedup clusters: the d21 discipline (pairs → connected
     * components → canonical per group) applied to embedding space instead
@@ -1150,7 +1271,7 @@ object SimilarityQueries {
           (col("id") === col("cluster")).cast("int").as("is_canonical"))
         .orderBy(col("vec_id"))
     },
-    Some(s"""WITH RECURSIVE $listPairsSql,
+    Some(materializeCtes(s"""WITH RECURSIVE $listPairsSql,
       edges AS (SELECT vec_id AS src, nid AS dst FROM pairs
         WHERE cosine >= $SemTau),
       reach AS (
@@ -1162,7 +1283,7 @@ object SimilarityQueries {
       SELECT l.vec_id, l.cluster, sz.cluster_size,
         CAST(l.vec_id = l.cluster AS INT) AS is_canonical
       FROM lab l JOIN sz USING (cluster)
-      ORDER BY l.vec_id"""))
+      ORDER BY l.vec_id""")))
 
   /** Subspace count for e09's product quantizer: Dim/PqM = 16-dim
     * subvectors. M and K are STORAGE-FORMAT constants, not scale knobs —

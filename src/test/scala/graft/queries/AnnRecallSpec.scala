@@ -69,7 +69,7 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.8, s"e09 mean recall@5 $mean < 0.8")
   }
 
-  test("e07 corpus-wide graph mean recall@3 vs the exact graph is >= 0.8") {
+  test("e07 corpus-wide graph holds the recall floor and training does not trail the seed") {
     // Exact reference computed in-memory: the corpus is bounded fixture
     // data (500 × 64 doubles), and the comparison is set overlap, so the
     // reference's float-sum order does not matter.
@@ -89,14 +89,23 @@ class AnnRecallSpec extends SparkSpec {
         .map { case (oid, ov) => (oid, cos(v, ov)) }.toSeq
         .sortBy { case (oid, c) => (-c, oid) }.take(3).map(_._1).toSet
     }
-    val got = SimilarityQueries.e07KnnGraph.run(spark, dir)
-      .select("vec_id", "nid").collect()
-      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
-    val recalls = exact.map { case (id, tops) =>
-      tops.intersect(got.getOrElse(id, Set.empty)).size.toDouble / tops.size
+    def graphRecall(trained: Boolean): Double = {
+      val got = SimilarityQueries.knnGraphFrame(spark, dir, trained)
+        .select("vec_id", "nid").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+      val recalls = exact.map { case (id, tops) =>
+        tops.intersect(got.getOrElse(id, Set.empty)).size.toDouble / tops.size
+      }
+      recalls.sum / recalls.size
     }
-    val mean = recalls.sum / recalls.size
-    assert(mean >= 0.8, s"e07 corpus-wide mean recall@3 $mean < 0.8 (measured 0.876)")
+    val trained = graphRecall(trained = true)
+    val seeded = graphRecall(trained = false)
+    assert(trained >= 0.8, s"e07 trained mean recall@3 $trained < 0.8 (measured 0.929)")
+    // The point of Lloyd-training the coarse codebook (VERDICT r9 next #6):
+    // it must not be WORSE than the lowest-vec_id seed it starts from
+    // (measured: seeded 0.876 → trained 0.929 on this fixture).
+    assert(trained >= seeded - 1e-9,
+      s"trained codebook recall $trained trails seeded $seeded")
   }
 
   test("fixture embedding dimensionality matches SimilarityQueries.Dim") {
