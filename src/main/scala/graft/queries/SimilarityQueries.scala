@@ -1285,18 +1285,32 @@ object SimilarityQueries {
       FROM lab l JOIN sz USING (cluster)
       ORDER BY l.vec_id""")))
 
-  /** Subspace count for e09's product quantizer: Dim/PqM = 16-dim
-    * subvectors. M and K are STORAGE-FORMAT constants, not scale knobs —
-    * a PQ code is M sub-indices (here 4×4 bits = 2 bytes/vector vs
-    * Dim·4 = 256 bytes of floats), exactly as production PQ fixes K = 256
-    * for byte codes regardless of corpus size. The corpus-dependent cost is
-    * the code SCAN, linear in n by construction; the only knob that should
-    * grow with n is the re-rank depth ([[pqRerankDepth]]). */
-  val PqM: Int = 4
-  /** Centroids per subspace (the 4-bit code alphabet). */
-  val PqK: Int = 16
-  /** Dimensions per subvector. */
-  val PqSubDim: Int = Dim / PqM
+  /** Subspace count for e09's product quantizer, derived from the embedding
+    * dimensionality: 16-dim subvectors (the FAISS-default granularity), so
+    * M = Dim/16. A PQ code is M sub-indices — the storage format follows
+    * the vector shape, not the corpus size. */
+  def pqM(dim: Int): Int = math.max(2, dim / 16)
+
+  /** Centroids per subspace, derived from the corpus through the same
+    * family as [[graphNList]]: K = min(256, max(16, ⌈√NList⌉)) = n^¼,
+    * capped at 256 so a code cell never exceeds one byte (the production
+    * PQ byte-code format). At the driver gate scales this evaluates to the
+    * r9 fixed 16, so the derivation is backward-consistent; sqrt is
+    * IEEE-correctly-rounded, so both engines derive identical values. */
+  def pqK(n: Long): Int =
+    math.min(256, math.max(16,
+      math.ceil(math.sqrt(graphNList(n).toDouble)).toInt))
+
+  /** Global fixed-point scale (2^20) for deterministic sub-codebook
+    * training: fxp(x) = floor(x·2^20 + 0.5) maps every coordinate to an
+    * integer-valued double, so per-(subspace, code, dim) centroid sums are
+    * exact int64 arithmetic — order-independent, hence partitioning- and
+    * engine-independent — and each mean is one IEEE division (e05's int8
+    * discipline, at a UNIFORM scale so PQ's L2 geometry is preserved to
+    * 2⁻²⁰ instead of per-vector-rescaled). Range check: |x| ≤ 0.6 on this
+    * corpus → |fxp| ≤ 2²⁰; squared-distance folds stay ≤ 2⁴⁶ (exact in
+    * doubles), int64 sums overflow only past ~10¹³ rows per cell. */
+  val FxpScale: Double = 1048576.0
 
   /** Exact-re-rank depth for e09, derived from the corpus: max(150, ⌈√n⌉)
     * candidates per query keep the re-rank sublinear per query while the
@@ -1311,18 +1325,27 @@ object SimilarityQueries {
 
   /** e09 — product-quantization ANN (asymmetric distance / ADC), the
     * third production index family next to IVF (e02/e05) and LSH (d10):
-    * split each vector into [[PqM]] subvectors, quantize each against a
-    * per-subspace [[PqK]]-centroid codebook (codes = 2 bytes/vector), and
-    * answer queries by scanning CODES, not vectors — per query a
-    * PqM·PqK·subdim lookup table is built ONCE, after which every corpus
-    * vector costs M table lookups + M adds. The ADC top-C (C =
-    * [[pqRerankDepth]](n)) is then re-ranked with exact cosine over the
-    * float vectors, so the output is exact over the candidate set (e06's
-    * two-stage pattern).
+    * split each vector into [[pqM]] subvectors, quantize each against a
+    * per-subspace Lloyd-TRAINED [[pqK]]-centroid codebook (codes = M
+    * sub-indices ≤ 1 byte each), and answer queries by scanning CODES, not
+    * vectors — per query a M·K·subdim lookup table is built ONCE, after
+    * which every corpus vector costs M table lookups + M adds. The ADC
+    * top-C (C = [[pqRerankDepth]](n)) is then re-ranked with exact cosine
+    * over the float vectors, so the output is exact over the candidate set
+    * (e06's two-stage pattern).
     *
-    * Scale shape: encoding is one map-side codegen'd kernel call per row
-    * against the broadcast sub-codebooks (PqM·PqK·subdim = Dim·PqK cells —
-    * bounded index metadata, the e02 codebook-collect class); the query
+    * Training (VERDICT r9 next #6 — the r9 codebook was the PqK
+    * lowest-vec_id rows, brittle on clustered data): [[NIter]] Lloyd rounds
+    * per subspace over the [[FxpScale]] fixed-point image of the vectors.
+    * Assignment is the same argmin-d² kernel as encoding; the centroid
+    * update's per-(subspace, code, dim) sums are exact int64 arithmetic,
+    * so every round is order-independent and bit-identical across engines
+    * (the e05 discipline); empty clusters keep their previous centroid.
+    *
+    * Scale shape: training adds NIter bounded passes (assign = map-side
+    * kernel, update = one partial-aggregable groupBy to M·K·subdim = Dim·K
+    * cells — bounded index metadata); encoding is one map-side codegen'd
+    * kernel call per row against the broadcast sub-codebooks; the query
     * fan-out is a map-side explode of the bounded query set (no join); the
     * ADC scan is linear in n and reads ~2 bytes/vector where e01 reads 256
     * — the memory-bandwidth win that makes PQ the 100-TB scan format. The
@@ -1332,17 +1355,16 @@ object SimilarityQueries {
     * exact top-C, partitioning-independent), and the shuffle carries
     * ≤ C ids per (query, partition) instead of the n·|queries| scan.
     *
-    * Determinism: sub-codebooks are the PqK lowest-vec_id vectors'
-    * subvectors (e02's deterministic seed — production would Lloyd-train
-    * per subspace, e05's machinery, which only changes the codebook
-    * feeding the same pipeline); d² folds run ascending-dimension, ADC
-    * sums ascending-m, ties break to the lowest centroid id / vec_id —
-    * bit-identical in both engines, so the oracle replays the whole index
-    * value-exactly. */
-  val e09AnnPq: GraftQuery = GraftQuery(
-    "e09_ann_pq",
-    "Product-quantization ANN: per-subspace codebooks, 2-byte codes, per-query ADC lookup tables, exact top-C re-rank",
-    (s, dir) => {
+    * Determinism: fxp maps every coordinate to an integer-valued double;
+    * d² folds run ascending-dimension over those integers (exact ≤ 2⁴⁶),
+    * ADC sums ascending-m, ties break to the lowest centroid id / vec_id,
+    * and training sums are exact int64 — bit-identical in both engines, so
+    * the oracle replays the whole index build value-exactly. */
+  /** e09's plan, parameterized on sub-codebook training — the production
+    * query runs trained; AnnRecallSpec builds both to assert trained ≥
+    * seeded. */
+  private[queries] def annPqFrame(s: org.apache.spark.sql.SparkSession,
+                                  dir: String, trained: Boolean) = {
       import s.implicits._
       val prepared = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -1350,21 +1372,61 @@ object SimilarityQueries {
         .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
         .filter(col("nrm") > 0.0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val reRank = pqRerankDepth(prepared.count())
-      val subDim = Dim / PqM
-      // Sub-codebooks: PqK lowest-vec_id vectors, split per subspace
-      // (Dim·PqK cells — bounded index metadata).
-      val cbRows = prepared.filter(col("vec_id") < PqK)
+      val n = prepared.count()
+      val reRank = pqRerankDepth(n)
+      val m = pqM(Dim)
+      val k = pqK(n)
+      val subDim = Dim / m
+      // Fixed-point image: integer-valued doubles, the training/encode space.
+      val fxCol = transform(col("ve"),
+        x => floor(x * lit(FxpScale) + lit(0.5)).cast("long").cast("double"))
+      val fxp = prepared.select(col("vec_id"), fxCol.as("fv"))
+      def fxpOf(v: Array[Double]): Array[Double] =
+        v.map(x => math.floor(x * FxpScale + 0.5))
+      // Seed sub-codebooks: the k lowest-vec_id rows' fxp subvectors
+      // (Dim·k cells — bounded index metadata), then NIter integer-exact
+      // Lloyd rounds per subspace.
+      val cbRows = prepared.filter(col("vec_id") < k)
         .select(col("vec_id"), col("ve"))
         .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .map(r => (r.getLong(0), fxpOf(r.getSeq[Double](1).toArray)))
         .sortBy(_._1)
-      val codebook: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
-        cbRows.map(_._2.slice(m * subDim, (m + 1) * subDim))
+      var codebook: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+        cbRows.map(_._2.slice(mi * subDim, (mi + 1) * subDim))
+      }
+      val reg = s.sessionState.functionRegistry
+      for (it <- 1 to NIter if trained) {
+        val cbIt = codebook
+        reg.createOrReplaceTempFunction(s"graft_pq_train_e09_$it",
+          args => graft.functions.expr.HashExpressions.PqEncode(args(0), cbIt),
+          "built-in")
+        // Exact per-(subspace, code, dim) integer sums — the
+        // order-independent step that makes each round deterministic.
+        val cells = fxp
+          .withColumn("codes", call_function(s"graft_pq_train_e09_$it", col("fv")))
+          .select(col("fv"), posexplode(col("codes")).as(Seq("m", "code")))
+          .select(col("m"), col("code"),
+            posexplode(slice(col("fv"), col("m") * lit(subDim) + lit(1),
+              lit(subDim))).as(Seq("i", "x")))
+          .groupBy(col("m"), col("code"), col("i"))
+          .agg(sum(col("x").cast("long")).as("s"), count(lit(1)).as("cnt"))
+          .collect()
+        val byKey = cells.map(r =>
+          ((r.getInt(0), r.getLong(1).toInt, r.getInt(2)),
+            (r.getLong(3), r.getLong(4)))).toMap
+        codebook = Array.tabulate(m) { mi =>
+          Array.tabulate(k) { ki =>
+            if (!byKey.contains((mi, ki, 0))) codebook(mi)(ki) // empty: keep
+            else Array.tabulate(subDim) { i =>
+              val (sm, cnt) = byKey((mi, ki, i))
+              sm.toDouble / cnt.toDouble
+            }
+          }
+        }
       }
       // Query set (bounded) + its ADC lookup tables, built driver-side:
-      // |queries|·PqM·PqK doubles. d² is the same ascending-dimension fold
-      // the oracle's list_reduce performs.
+      // |queries|·m·k doubles. d² is the same ascending-dimension fold the
+      // oracle's list_reduce performs, over the query's fxp image.
       val qRows = prepared.filter(col("vec_id") < 8)
         .select(col("vec_id"), col("ve"), col("nrm"))
         .collect()
@@ -1372,24 +1434,24 @@ object SimilarityQueries {
         .sortBy(_._1)
       val qids = qRows.map(_._1)
       val luts: Array[Array[Array[Double]]] = qRows.map { case (_, qv, _) =>
-        Array.tabulate(PqM) { m =>
-          codebook(m).map { cv =>
+        val qf = fxpOf(qv)
+        Array.tabulate(m) { mi =>
+          codebook(mi).map { cv =>
             var d = 0.0
             var i = 0
-            while (i < subDim) { val t = qv(m * subDim + i) - cv(i); d += t * t; i += 1 }
+            while (i < subDim) { val t = qf(mi * subDim + i) - cv(i); d += t * t; i += 1 }
             d
           }
         }
       }
-      val reg = s.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("graft_pq_encode_e09",
         args => graft.functions.expr.HashExpressions.PqEncode(args(0), codebook),
         "built-in")
       reg.createOrReplaceTempFunction("graft_pq_adc_e09",
         args => graft.functions.expr.HashExpressions.PqAdc(args(0), args(1),
           qids, luts), "built-in")
-      val encoded = prepared
-        .withColumn("codes", call_function("graft_pq_encode_e09", col("ve")))
+      val encoded = fxp
+        .withColumn("codes", call_function("graft_pq_encode_e09", col("fv")))
         .select(col("vec_id"), col("codes"))
       // ADC scan: map-side explode of the bounded query set (no join, no
       // shuffle), then exact top-C per query as a MERGEABLE aggregation
@@ -1422,8 +1484,54 @@ object SimilarityQueries {
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("vec_id"), col("rnk"), col("cosine"))
         .orderBy(col("qid"), col("rnk"))
-    },
-    Some(s"""WITH v AS (
+  }
+
+  val e09AnnPq: GraftQuery = GraftQuery(
+    "e09_ann_pq",
+    "Product-quantization ANN: Lloyd-trained per-subspace codebooks, byte codes, per-query ADC lookup tables, exact top-C re-rank",
+    (s, dir) => annPqFrame(s, dir, trained = true),
+    Some {
+      val m = pqM(Dim)
+      val subDim = Dim / m
+      val d2 = (a: String, b: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip($a, $b),
+                p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"""
+      // One Lloyd round per subspace, unrolled: argmin-d² assignment
+      // against cb{i-1}, exact integer per-(m, code, dim) sums, empty
+      // clusters keep the previous centroid.
+      def iterSql(i: Int): String = {
+        val prev = s"cb${i - 1}"
+        s""",
+        dist$i AS (
+          SELECT s.vec_id, s.m, s.sv, c.cid, ${d2("s.sv", "c.cv")} AS d2
+          FROM sub s JOIN $prev c USING (m)),
+        a$i AS (
+          SELECT vec_id, m, sv, cid AS code FROM (
+            SELECT vec_id, m, sv, cid,
+              row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
+            FROM dist$i) WHERE rn = 1),
+        m$i AS (
+          SELECT m, code, g.i,
+            CAST(SUM(CAST(sv[g.i] AS BIGINT)) AS BIGINT) AS s, COUNT(*) AS cnt
+          FROM a$i, (SELECT unnest(generate_series(1, $subDim)) AS i) g
+          GROUP BY m, code, g.i),
+        mm$i AS (
+          SELECT m, code AS cid,
+            list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY i) AS cv
+          FROM m$i GROUP BY m, code),
+        cb$i AS (
+          SELECT p.cid, p.m, COALESCE(t.cv, p.cv) AS cv
+          FROM $prev p LEFT JOIN mm$i t ON t.m = p.m AND t.cid = p.cid)"""
+      }
+      val cT = s"cb$NIter"
+      val adcJoins = (1 until m).map(mi =>
+        s"JOIN lut l$mi ON l$mi.m = $mi AND l$mi.cid = x.c$mi AND l$mi.qid = l0.qid")
+        .mkString("\n        ")
+      val adcSum = (1 until m).foldLeft("l0.d2")((acc, mi) => s"($acc + l$mi.d2)")
+      val codePivot = (0 until m).map(mi =>
+        s"MAX(CASE WHEN m = $mi THEN code END) AS c$mi").mkString(",\n          ")
+      s"""WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
         FROM embeddings),
       n AS (
@@ -1432,25 +1540,28 @@ object SimilarityQueries {
             list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS nrm
           FROM v)
         WHERE nrm > 0),
-      pqprm AS (
-        SELECT GREATEST(150, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS c FROM n),
+      params AS (
+        SELECT c, LEAST(256, GREATEST(16, CAST(CEIL(SQRT(nlist)) AS BIGINT))) AS pqk
+        FROM (SELECT GREATEST(150, CAST(CEIL(SQRT(cnt)) AS BIGINT)) AS c,
+                     GREATEST(16, CAST(CEIL(SQRT(cnt)) AS BIGINT)) AS nlist
+              FROM (SELECT COUNT(*) AS cnt FROM n))),
+      fx AS (
+        SELECT vec_id, list_transform(ve, x ->
+          CAST(CAST(floor(x * $FxpScale + CAST(0.5 AS DOUBLE)) AS BIGINT)
+            AS DOUBLE)) AS fv
+        FROM n),
       sub AS (
-        SELECT vec_id, ms.m, list_slice(ve, ms.m * $PqSubDim + 1,
-          ms.m * $PqSubDim + $PqSubDim) AS sv
-        FROM n, (SELECT UNNEST([${(0 until PqM).mkString(", ")}]) AS m) ms),
-      cb AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < $PqK),
+        SELECT vec_id, ms.m, list_slice(fv, ms.m * $subDim + 1,
+          ms.m * $subDim + $subDim) AS sv
+        FROM fx, (SELECT UNNEST([${(0 until m).mkString(", ")}]) AS m) ms),
+      cb0 AS (SELECT vec_id AS cid, m, sv AS cv FROM sub, params
+        WHERE vec_id < params.pqk)${(1 to NIter).map(iterSql).mkString},
       dist AS (
-        SELECT s.vec_id, s.m, c.cid,
-          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-            list_transform(list_zip(s.sv, c.cv),
-              p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d2
-        FROM sub s JOIN cb c USING (m)),
+        SELECT s.vec_id, s.m, c.cid, ${d2("s.sv", "c.cv")} AS d2
+        FROM sub s JOIN $cT c USING (m)),
       codes AS (
         SELECT vec_id,
-          MAX(CASE WHEN m = 0 THEN code END) AS c0,
-          MAX(CASE WHEN m = 1 THEN code END) AS c1,
-          MAX(CASE WHEN m = 2 THEN code END) AS c2,
-          MAX(CASE WHEN m = 3 THEN code END) AS c3
+          $codePivot
         FROM (
           SELECT vec_id, m, cid AS code FROM (
             SELECT vec_id, m, cid,
@@ -1459,18 +1570,16 @@ object SimilarityQueries {
         GROUP BY vec_id),
       lut AS (SELECT vec_id AS qid, m, cid, d2 FROM dist WHERE vec_id < 8),
       adc AS (
-        SELECT l0.qid, x.vec_id, ((l0.d2 + l1.d2) + l2.d2) + l3.d2 AS adc
+        SELECT l0.qid, x.vec_id, $adcSum AS adc
         FROM codes x
         JOIN lut l0 ON l0.m = 0 AND l0.cid = x.c0
-        JOIN lut l1 ON l1.m = 1 AND l1.cid = x.c1 AND l1.qid = l0.qid
-        JOIN lut l2 ON l2.m = 2 AND l2.cid = x.c2 AND l2.qid = l0.qid
-        JOIN lut l3 ON l3.m = 3 AND l3.cid = x.c3 AND l3.qid = l0.qid
+        $adcJoins
         WHERE x.vec_id <> l0.qid),
       cand AS (
         SELECT qid, vec_id FROM (
           SELECT qid, vec_id,
             row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id) AS crn
-          FROM adc), pqprm WHERE crn <= pqprm.c),
+          FROM adc), params WHERE crn <= params.c),
       scored AS (
         SELECT cand.qid, cand.vec_id,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1483,7 +1592,8 @@ object SimilarityQueries {
         SELECT qid, vec_id, cosine,
           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
         FROM scored)
-      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+      WHERE rnk <= 5 ORDER BY qid, rnk"""
+    })
 
   val all: Seq[GraftQuery] =
     Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8,
