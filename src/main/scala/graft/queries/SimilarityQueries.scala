@@ -23,16 +23,17 @@ object SimilarityQueries {
   private val foldAdd: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
     org.apache.spark.sql.Column = (a, x) => a + x
 
-  /** Brute-force cosine top-5 for query vectors vec_id < 8. */
+  /** Brute-force cosine top-5 for the derived query set. */
   val e01CosineKnn: GraftQuery = GraftQuery(
     "e01_cosine_knn",
     "brute-force cosine top-5 (deterministic left-fold dot products)",
     (s, dir) => {
       val v = Tables.load(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("ve"))
+      val qsz = annQuerySetSize(v.count())
       val n = v.withColumn("nrm",
         sqrt(call_function("graft_dot", col("ve"), col("ve"))))
-      val q = broadcast(n.filter(col("vec_id") < 8)
+      val q = broadcast(n.filter(col("vec_id") < qsz)
         .select(col("vec_id").as("qid"), col("ve").as("qv"), col("nrm").as("qnrm")))
       val scored = n.crossJoin(q)
         .filter(col("vec_id") =!= col("qid"))
@@ -53,7 +54,11 @@ object SimilarityQueries {
           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS nrm
         FROM v),
-      q AS (SELECT vec_id AS qid, ve AS qv, nrm AS qnrm FROM n WHERE vec_id < 8),
+      params AS (
+        SELECT GREATEST(8, GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) // 16) AS qs
+        FROM v),
+      q AS (SELECT vec_id AS qid, ve AS qv, nrm AS qnrm FROM n, params
+        WHERE vec_id < params.qs),
       scored AS (
         SELECT q.qid, n.vec_id,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -77,6 +82,15 @@ object SimilarityQueries {
   def queryNProbe(nList: Int): Int =
     math.max(4, math.ceil(math.sqrt(nList.toDouble)).toInt)
 
+  /** Query-set size for the e-family ANN benchmarks, derived from the
+    * corpus through the same family as every other index parameter: max(8,
+    * [[graphNList]](n)/16) — the workload grows with the index granularity
+    * (√n/16 queries ≈ 2k at a 10⁹-vector corpus) instead of pinning the
+    * r2–r9 literal 8. Integer arithmetic end-to-end (BIGINT floor division
+    * in the oracles), and backward-consistent: every committed bench scale
+    * (n ≤ 20k) still evaluates to exactly 8. */
+  def annQuerySetSize(n: Long): Int = math.max(8, graphNList(n) / 16)
+
   /** Oracle CTE pair deriving the query-set ANN parameters from the same
     * corpus count the Spark side uses: nlist = [[graphNList]](COUNT(*) FROM
     * `src`), np = [[queryNProbe]](nlist). */
@@ -85,7 +99,8 @@ object SimilarityQueries {
         SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS nlist
         FROM $src),
       params AS (
-        SELECT nlist, GREATEST(4, CAST(CEIL(SQRT(nlist)) AS BIGINT)) AS np
+        SELECT nlist, GREATEST(4, CAST(CEIL(SQRT(nlist)) AS BIGINT)) AS np,
+          GREATEST(8, nlist // 16) AS qs
         FROM p0)"""
 
   /** Centroid ids ordered by (−cosine, cid) against a collected codebook —
@@ -146,8 +161,10 @@ object SimilarityQueries {
       // Index build: size the codebook from the corpus (√n lists — r8's
       // fixed 16 took no account of n; VERDICT r8 missing #1) and collect
       // it (√n·Dim cells — bounded metadata, not data-plane traffic).
-      val nList = graphNList(prepared.count())
+      val nTotal = prepared.count()
+      val nList = graphNList(nTotal)
       val nProbe = queryNProbe(nList)
+      val qsz = annQuerySetSize(nTotal)
       val codebook = prepared.filter(col("vec_id") < nList)
         .select(col("vec_id"), col("ve"), col("nrm"))
         .collect()
@@ -155,7 +172,7 @@ object SimilarityQueries {
         .sortBy(_._1)
       val assigned = prepared.withColumn("list",
         element_at(cbRank(s, "e02", codebook, col("ve"), col("nrm")), 1))
-      val probes = prepared.filter(col("vec_id") < 8)
+      val probes = prepared.filter(col("vec_id") < qsz)
         .select(col("vec_id").as("qid"), col("ve").as("qv"), col("nrm").as("qnrm"))
         .withColumn("list",
           explode(slice(cbRank(s, "e02", codebook, col("qv"), col("qnrm")),
@@ -198,7 +215,7 @@ object SimilarityQueries {
         SELECT qid, qv, qnrm, cid AS list FROM (
           SELECT vec_id AS qid, ve AS qv, nrm AS qnrm, cid,
             row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-          FROM cc WHERE vec_id < 8), params WHERE crn <= params.np),
+          FROM cc WHERE vec_id < (SELECT qs FROM params)), params WHERE crn <= params.np),
       scored AS (
         SELECT p.qid, a.vec_id,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -397,15 +414,17 @@ object SimilarityQueries {
         // The quantized table IS the stored index at scale — materialize it
         // once; it feeds the codebook collect, the assignment, and the probes.
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nList = graphNList(quant.count())
+      val nTotal = quant.count()
+      val nList = graphNList(nTotal)
       val nProbe = queryNProbe(nList)
+      val qsz = annQuerySetSize(nTotal)
       val codebook = quant.filter(col("vec_id") < nList)
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
         .sortBy(_._1)
       val assigned = quant.withColumn("list",
         element_at(cbRank(s, "e04", codebook, col("qv"), col("qnrm")), 1))
-      val probes = quant.filter(col("vec_id") < 8)
+      val probes = quant.filter(col("vec_id") < qsz)
         .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qnrm").as("pnrm"))
         .withColumn("list",
           explode(slice(cbRank(s, "e04", codebook, col("pv"), col("pnrm")),
@@ -460,7 +479,7 @@ object SimilarityQueries {
         SELECT qid, pv, pnrm, cid AS list FROM (
           SELECT vec_id AS qid, qv AS pv, qnrm AS pnrm, cid,
             row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-          FROM cc WHERE vec_id < 8), params WHERE crn <= params.np),
+          FROM cc WHERE vec_id < (SELECT qs FROM params)), params WHERE crn <= params.np),
       scored AS (
         SELECT p.qid, a.vec_id,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -524,8 +543,10 @@ object SimilarityQueries {
       // Seed codebook: the graphNList(n) lowest-vec_id codes (e02's
       // codebook — here just the k-means init; training replaces every
       // centroid with its list's exact-integer mean).
-      val nList = graphNList(quant.count())
+      val nTotal = quant.count()
+      val nList = graphNList(nTotal)
       val nProbe = queryNProbe(nList)
+      val qsz = annQuerySetSize(nTotal)
       var codebook = quant.filter(col("vec_id") < nList)
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
@@ -557,7 +578,7 @@ object SimilarityQueries {
       // e04's probe pipeline, fed by the trained codebook.
       val assigned = quant.withColumn("list",
         element_at(cbRank(s, "e05", codebook, col("qv"), col("qnrm")), 1))
-      val probes = quant.filter(col("vec_id") < 8)
+      val probes = quant.filter(col("vec_id") < qsz)
         .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qnrm").as("pnrm"))
         .withColumn("list",
           explode(slice(cbRank(s, "e05", codebook, col("pv"), col("pnrm")),
@@ -646,7 +667,7 @@ object SimilarityQueries {
         SELECT qid, pv, pnrm, cid AS list FROM (
           SELECT vec_id AS qid, qv AS pv, qnrm AS pnrm, cid,
             row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-          FROM ccF WHERE vec_id < 8), params WHERE crn <= params.np),
+          FROM ccF WHERE vec_id < (SELECT qs FROM params)), params WHERE crn <= params.np),
       scored AS (
         SELECT p.qid, a.vec_id,
           ${dot("p.pv", "a.qv")} / (p.pnrm * a.qnrm) AS qcos
@@ -692,15 +713,17 @@ object SimilarityQueries {
         .filter(col("qnrm") > 0.0)
         .select(col("vec_id"), col("qv"), col("qnrm"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nList = graphNList(quant.count())
+      val nTotal = quant.count()
+      val nList = graphNList(nTotal)
       val nProbe = queryNProbe(nList)
+      val qsz = annQuerySetSize(nTotal)
       val codebook = quant.filter(col("vec_id") < nList)
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
         .sortBy(_._1)
       val assigned = quant.withColumn("list",
         element_at(cbRank(s, "e06", codebook, col("qv"), col("qnrm")), 1))
-      val probes = quant.filter(col("vec_id") < 8)
+      val probes = quant.filter(col("vec_id") < qsz)
         .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qnrm").as("pnrm"))
         .withColumn("list",
           explode(slice(cbRank(s, "e06", codebook, col("pv"), col("pnrm")),
@@ -719,7 +742,7 @@ object SimilarityQueries {
       val fv = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), ve.as("fe"))
         .withColumn("fnrm", sqrt(call_function("graft_dot", col("fe"), col("fe"))))
-      val qf = broadcast(fv.filter(col("vec_id") < 8)
+      val qf = broadcast(fv.filter(col("vec_id") < qsz)
         .select(col("vec_id").as("qid"), col("fe").as("qfe"),
           col("fnrm").as("qfnrm")))
       val w2 = Window.partitionBy(col("qid"))
@@ -772,7 +795,7 @@ object SimilarityQueries {
         SELECT qid, pv, pnrm, cid AS list FROM (
           SELECT vec_id AS qid, qv AS pv, qnrm AS pnrm, cid,
             row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-          FROM cc WHERE vec_id < 8), params WHERE crn <= params.np),
+          FROM cc WHERE vec_id < (SELECT qs FROM params)), params WHERE crn <= params.np),
       scored AS (
         SELECT p.qid, a.vec_id,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1427,7 +1450,7 @@ object SimilarityQueries {
       // Query set (bounded) + its ADC lookup tables, built driver-side:
       // |queries|·m·k doubles. d² is the same ascending-dimension fold the
       // oracle's list_reduce performs, over the query's fxp image.
-      val qRows = prepared.filter(col("vec_id") < 8)
+      val qRows = prepared.filter(col("vec_id") < annQuerySetSize(n))
         .select(col("vec_id"), col("ve"), col("nrm"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
@@ -1541,7 +1564,8 @@ object SimilarityQueries {
           FROM v)
         WHERE nrm > 0),
       params AS (
-        SELECT c, LEAST(256, GREATEST(16, CAST(CEIL(SQRT(nlist)) AS BIGINT))) AS pqk
+        SELECT c, LEAST(256, GREATEST(16, CAST(CEIL(SQRT(nlist)) AS BIGINT))) AS pqk,
+          GREATEST(8, nlist // 16) AS qs
         FROM (SELECT GREATEST(150, CAST(CEIL(SQRT(cnt)) AS BIGINT)) AS c,
                      GREATEST(16, CAST(CEIL(SQRT(cnt)) AS BIGINT)) AS nlist
               FROM (SELECT COUNT(*) AS cnt FROM n))),
@@ -1568,7 +1592,7 @@ object SimilarityQueries {
               row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid) AS rn
             FROM dist) WHERE rn = 1)
         GROUP BY vec_id),
-      lut AS (SELECT vec_id AS qid, m, cid, d2 FROM dist WHERE vec_id < 8),
+      lut AS (SELECT vec_id AS qid, m, cid, d2 FROM dist, params WHERE vec_id < params.qs),
       adc AS (
         SELECT l0.qid, x.vec_id, $adcSum AS adc
         FROM codes x

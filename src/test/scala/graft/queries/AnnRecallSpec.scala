@@ -99,6 +99,9 @@ class AnnRecallSpec extends SparkSpec {
     assert(graphNList(500) == 23 && graphNList(4000000) == 2000)
     assert(graphSuperProbe(5) == 5 && graphSuperProbe(64) == GraphNProbe)
     assert(pqRerankDepth(500) == 150 && pqRerankDepth(4000000) == 2000)
+    // Query set: 8 at every committed bench scale, then grows as √n/16.
+    assert(annQuerySetSize(500) == 8 && annQuerySetSize(20000) == 8)
+    assert(annQuerySetSize(1000000) == 62)
   }
 
   test("e07 corpus-wide graph holds the recall floor and training does not trail the seed") {
