@@ -52,9 +52,11 @@ object ConnectedComponents {
     * 1000-executor cluster inherits its own shuffle width instead of a
     * local-mode tuning constant (VERDICT r8 minor), and a latency-sensitive
     * local run can still dial it down via conf. The session conf is restored
-    * afterwards. Checkpoints are lazy: the convergence aggregate is the one
-    * action that materializes each round — eager checkpointing would run
-    * every round twice.
+    * afterwards. Checkpoints are EAGER: lazy per-round checkpoints did not
+    * reliably pin their blocks, so each round silently recomputed the whole
+    * round history (~2.6× growth per round — e08's 24-round component
+    * measured 502 s in round 24 alone); the eager form costs one cheap
+    * extra job per round and bounds every round at its own work.
     *
     * @param nodes one column `id` (bigint), the full vertex set
     * @param edges two columns `src`, `dst` (bigint), directed; pass both
@@ -68,8 +70,18 @@ object ConnectedComponents {
     val spark = nodes.sparkSession
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
     try {
+      // EAGER localCheckpoint, not persist: persist caches the BLOCKS but
+      // keeps the logical plan, so every round's join re-analyzes and
+      // re-optimizes the whole upstream pipeline inside the
+      // InMemoryRelation — measured 5.3 s/round of pure Catalyst work when
+      // e08 feeds its trained-index candidate pipeline in as edges
+      // (24 rounds = 127 s of planning for 2 850 edges). An eager
+      // checkpoint truncates the lineage to materialized blocks once,
+      // making each round's plan O(round body); a LAZY checkpoint here
+      // re-computed the upstream pipeline per round instead (measured 5×
+      // worse than persist).
       val e = edges.select(col("src"), col("dst"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
       // Derived default width: ~RowsPerPartition graph rows per shuffle
       // partition, capped by the session width. Counting e here just moves
       // the persist materialization ahead of round 1 (same total work) and
@@ -84,11 +96,14 @@ object ConnectedComponents {
         .getOrElse(derived)
       spark.conf.set("spark.sql.shuffle.partitions", width)
       var labels = nodes.select(col("id"), col("id").as("cluster"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       var prevSum = labels.agg(sum(col("cluster"))).head.getLong(0)
       var converged = false
       var iter = 0
+      val logRounds =
+        spark.conf.getOption("spark.graft.cc.logRounds").contains("true")
       while (!converged && iter < maxIter) {
+        val tRound = System.nanoTime()
         val msgs = e.join(labels, e("src") === labels("id"))
           .select(col("dst").as("id"), col("cluster"))
         // Pointer-jumping shortcut (path halving): every node also adopts
@@ -101,15 +116,34 @@ object ConnectedComponents {
             labels.select(col("id").as("cluster"), col("cluster").as("c2")),
             Seq("cluster"))
           .select(col("l.id").as("id"), col("c2").as("cluster"))
-        val next = labels.select(col("id"), col("cluster")).union(msgs)
+        // EAGER per-round checkpoint: with eager = false the blocks were
+        // not reliably reused and every round recomputed the full history —
+        // round time multiplied ~2.6× per round (round 24 alone measured
+        // 502 s on e08's 24-round component). The eager checkpoint is one
+        // extra cheap job per round and caps each round at its own work.
+        val ck = labels.select(col("id"), col("cluster")).union(msgs)
           .union(jumped)
           .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
+        // Reset the loop-carried stats: localCheckpoint PRESERVES the source
+        // plan's statistics into its LogicalRDD, and the size-only join
+        // estimate is a PRODUCT of child sizeInBytes — so the label table's
+        // BigInt sizeInBytes SQUARES every round (bit length doubles), and
+        // from ~round 17 the driver spends exponentially growing time in
+        // BigInteger.multiplyToomCook3 inside stats estimation (jstack'd;
+        // e08's 24-round component measured 81 s in round 24 alone, ~2.7×
+        // per round — on ≤5k rows). Rebuilding the frame from the
+        // checkpointed RDD drops the inherited stats back to the default
+        // constant, so every round's planning is O(plan), not O(2^round).
+        val next = spark.createDataFrame(ck.rdd, ck.schema)
         val nextSum = next.agg(sum(col("cluster"))).head.getLong(0)
         converged = nextSum == prevSum
         prevSum = nextSum
         labels = next
         iter += 1
+        if (logRounds)
+          Console.err.println(
+            f"[cc] round $iter: ${(System.nanoTime() - tRound) / 1e9}%.2f s")
       }
       e.unpersist()
       if (spark.conf.getOption("spark.graft.cc.logRounds").contains("true"))
