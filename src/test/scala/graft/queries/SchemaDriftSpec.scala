@@ -72,6 +72,39 @@ class SchemaDriftSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported physical type"))
   }
 
+  test("every table loads with its contract schema on every testdata dir") {
+    // The generic form of the events.ts lesson: if the driver regenerates
+    // ANY table with a different physical encoding, this names the table
+    // and column in seconds instead of erroring dozens of queries at gate
+    // time. The expected types are the LOGICAL contract after Tables.load
+    // normalization (timestamps session-local, embeddings float arrays).
+    val contract = Map(
+      "region" -> "r_regionkey:int,r_name:string",
+      "nation" -> "n_nationkey:int,n_name:string,n_regionkey:int",
+      "customer" -> "c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string",
+      "supplier" -> "s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double",
+      "part" -> "p_partkey:bigint,p_name:string,p_brand:string,p_type:string,p_size:int,p_retailprice:double",
+      "orders" -> "o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp,o_orderpriority:string",
+      "lineitem" -> ("l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int," +
+        "l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double," +
+        "l_returnflag:string,l_linestatus:string,l_shipdate:timestamp"),
+      "events" -> "event_id:bigint,ts:timestamp,user_id:bigint,event_type:string,value:double,props:string",
+      "documents" -> "doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint",
+      "embeddings" -> "vec_id:bigint,embedding:array<float>,label:int")
+    val sfDirs = new java.io.File("/root/testdata").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("sf")).map(_.toString)
+    for (dir <- sfDirs; name <- Tables.names) {
+      val got = Tables.load(spark, dir, name).schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+      // Timestamp columns may legitimately arrive NTZ (naive micros) —
+      // under the pinned UTC session both read identically, so the
+      // contract accepts either for non-events tables; events.ts is
+      // normalized by Tables.load and must be exactly TIMESTAMP.
+      val norm = got.replace(":timestamp_ntz", ":timestamp")
+      assert(norm === contract(name), s"dir=$dir table=$name got=$got")
+    }
+  }
+
   test("events.ts loads as TIMESTAMP on every driver testdata dir") {
     val sfDirs = new java.io.File("/root/testdata").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("sf")).map(_.toString)
