@@ -1040,20 +1040,23 @@ object SimilarityQueries {
           struct(col("nid").as("vec_id"), col("vec_id").as("nid"),
             col("cosine")))).as("p"))
         .select(col("p.vec_id"), col("p.nid"), col("p.cosine"))
-    // pairs0 feeds three consumers (the top-K graph, the hop expansion via
-    // g, and the final union); the repeated subtree is identical, so
-    // ReuseExchange shares its shuffles across branches (persisting it
-    // measured slower — cache write cost exceeds the reuse win).
+    // pairs0 feeds the top-K graph, the hop expansion, and the consumers'
+    // final merges; the repeated subtree is identical, so ReuseExchange
+    // shares its shuffles across branches (persisting it measured slower —
+    // cache write cost exceeds the reuse win). Its distinct is required:
+    // the probe join emits one copy of a pair per shared probed list, and
+    // a duplicate would occupy two ranks in the top-K windows.
     val pairs0 = symmetrize(raw).distinct()
     // NN-descent round: expand through the seeded top-K graph. The hop
     // table is ≤ KnnK² rows per vector; cosines for hop pairs found by the
     // probe too are bit-identical (commutative IEEE products, same fold
-    // order), so the final distinct collapses them exactly.
+    // order), so the consumers' distincts collapse them exactly.
     val wG = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nid"))
-    val g = pairs0.withColumn("rnk", row_number().over(wG))
+    val g3 = pairs0.withColumn("rnk", row_number().over(wG))
       .filter(col("rnk") <= KnnK)
-      .select(col("vec_id"), col("nid"))
+      .select(col("vec_id"), col("nid"), col("cosine"))
+    val g = g3.select(col("vec_id"), col("nid"))
     val hop = g.as("a").join(g.as("b"), col("a.nid") === col("b.vec_id"))
       .filter(col("a.vec_id") =!= col("b.nid"))
       .select(col("a.vec_id").as("vec_id"), col("b.nid").as("nid"))
@@ -1064,7 +1067,14 @@ object SimilarityQueries {
         col("nrm").as("nnrm")), Seq("nid"))
       .withColumn("cosine", cosine)
       .select(col("vec_id"), col("nid"), col("cosine"))
-    pairs0.union(symmetrize(hopScored)).distinct()
+    // Return the parts, NOT distinct(pairs0 ∪ hops): materializing that
+    // union costs a second corpus-pair-sized shuffle (30M rows at the 10×
+    // point). Each consumer merges exactly with small data instead:
+    // top-K(pairs0 ∪ hops) = top-K(distinct(top-K(pairs0) ∪ hops)) since a
+    // pair outside pairs0's top-K only ranks lower in the union, and a
+    // τ-filter commutes with distinct — both algebraic identities, so the
+    // oracles' distinct-union formulation is value-identical.
+    (pairs0, g3, symmetrize(hopScored))
   }
 
   /** Oracle CTE chain replaying the full index build value-exactly:
@@ -1250,9 +1260,13 @@ object SimilarityQueries {
     * runs trained; AnnRecallSpec builds both to assert trained ≥ seeded. */
   private[queries] def knnGraphFrame(s: org.apache.spark.sql.SparkSession,
                                      dir: String, trained: Boolean) = {
+    val (_, g3, hopsSym) = listPairs(s, dir, trained)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nid"))
-    listPairs(s, dir, trained)
+    // Exact merge on small data (see listPairs): probe-side candidates are
+    // pre-cut to their per-vector top-K, so this window ranks KnnK·n + hop
+    // rows instead of the full candidate volume.
+    g3.union(hopsSym).distinct()
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= KnnK)
       .select(col("vec_id"), col("nid"), col("rnk"), col("cosine"))
@@ -1281,7 +1295,12 @@ object SimilarityQueries {
     "e08_semantic_clusters",
     s"semantic dedup clusters: IVF-bucketed cosine edges (τ=$SemTau) + connected components",
     (s, dir) => {
-      val cand = listPairs(s, dir).filter(col("cosine") >= SemTau)
+      // τ-filter before the cross-leg dedup (filter commutes with
+      // distinct): the merge shuffles only surviving edges, not the full
+      // candidate volume.
+      val (pairs0, _, hopsSym) = listPairs(s, dir)
+      val cand = pairs0.filter(col("cosine") >= SemTau)
+        .union(hopsSym.filter(col("cosine") >= SemTau)).distinct()
       // listPairs candidates are already symmetrized, so both directions of
       // every edge are present — exactly what min-label propagation needs.
       val edges = cand.select(col("vec_id").as("src"), col("nid").as("dst"))
