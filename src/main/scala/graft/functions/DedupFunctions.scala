@@ -43,6 +43,15 @@ object DedupFunctions {
       s"i -> ${foldHashSql(s"($thExpr)[i:i+${k - 1}]")})) " +
       s"ELSE CAST([] AS BIGINT[]) END"
 
+  /** DuckDB fragment for the POSITIONAL (non-distinct) k-shingle hashes the
+    * native `graft_shingle_hashes_all` expression computes — same k-step
+    * fold as [[hashedShingles]], duplicates kept in window order. */
+  def positionalShinglesSql(thExpr: String, k: Int): String =
+    s"CASE WHEN len($thExpr) >= $k THEN " +
+      s"list_transform(generate_series(1, len($thExpr) - ${k - 1}), " +
+      s"i -> ${foldHashSql(s"($thExpr)[i:i+${k - 1}]")}) " +
+      s"ELSE CAST([] AS BIGINT[]) END"
+
   /** Distinct word k-shingles as strings (for exact-Jaccard verification).
     * Takes an already-materialized token ARRAY column, never raw text — an
     * inlined tokenizer subtree would be re-evaluated once per lambda

@@ -53,6 +53,17 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  case class ShingleHashesAll(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.shingleHashesAll(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.expr.HashOps.shingleHashesAll($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashesAll =
+      copy(child = newChild)
+  }
+
   case class MinhashSig(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = true)
     override protected def nullSafeEval(input: Any): Any =
@@ -435,6 +446,9 @@ object HashExpressions {
       args => TokenHashes(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes",
       args => ShingleHashes(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_hashes_all",
+      args => ShingleHashesAll(args.head,
         args(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       args => MinhashSig(args.head), "built-in")

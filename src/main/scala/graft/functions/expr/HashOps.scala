@@ -86,6 +86,28 @@ object HashOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** POSITIONAL k-window folds over a token-hash array — one hash per
+    * window start, duplicates kept in order (d32's substring-duplication
+    * scoring needs the occurrence multiset, where [[shingleHashes]]'s
+    * distinct set is what MinHash wants). */
+  def shingleHashesAll(th: ArrayData, k: Int): ArrayData = {
+    val n = th.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        h = (h * 31 + th.getLong(i + j)) % P
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct k-window folds over a token-hash array (first occurrence
     * kept). */
   def shingleHashes(th: ArrayData, k: Int): ArrayData = {

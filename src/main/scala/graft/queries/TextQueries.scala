@@ -1306,6 +1306,111 @@ object TextQueries {
                   / MAX(CASE WHEN rn = $KmvK THEN h END) END AS est_distinct
       FROM r GROUP BY lang, nd ORDER BY lang"""))
 
+  /** Gram length for d32's substring-duplication scoring. 8 tokens is long
+    * enough that a shared gram implies copied text rather than a common
+    * phrase on this corpus, short enough that every ≥10-token document
+    * contributes windows (Lee et al. 2107.06499 use 50 BPE tokens at web
+    * scale; the discipline — positional n-gram match, not whole-document
+    * hash — is the same). */
+  val DupGramK: Int = 8
+
+  /** d32 — exact SUBSTRING-level duplication scoring (the Lee et al.
+    * "Deduplicating Training Data" discipline): for every document, the
+    * fraction of its positional [[DupGramK]]-token windows whose gram also
+    * occurs in at least one OTHER document. Where d01 removes only
+    * whole-document copies, this finds partially-copied text — boilerplate
+    * paragraphs, quoted passages, template prose — the signal used to strip
+    * duplicated SPANS from a training corpus.
+    *
+    * Scale design: the suffix-array step of the paper becomes a keyed
+    * equi-aggregation the engine can shuffle-partition — per-position gram
+    * hashes are one native codegen call on the scan
+    * (`graft_shingle_hashes_all`, O(tokens·k) int ops/doc), then (doc, gram)
+    * occurrence counts (one shuffle, map-side combine), gram→doc-count (one
+    * shuffle on the 64-bit gram key, uniform), a keyed join back, and a
+    * final per-doc rollup. Everything is linear in total token count; no
+    * pair join exists anywhere (contrast d07's candidate pairs — this
+    * operator never materializes document pairs at all). */
+  val d32SubstringDup: GraftQuery = GraftQuery(
+    "d32_substring_dup",
+    s"substring-duplication score: fraction of positional $DupGramK-gram occurrences shared across documents",
+    (s, dir) => {
+      val th = docs(s, dir).select(col("doc_id"),
+        call_function("graft_token_hashes", col("text")).as("th"))
+      val pos = th.select(col("doc_id"),
+        explode(call_function("graft_shingle_hashes_all", col("th"),
+          lit(DupGramK))).as("gh"))
+      val perDocGram = pos.groupBy(col("doc_id"), col("gh"))
+        .agg(count(lit(1)).as("cnt"))
+      val gramDocs = perDocGram.groupBy(col("gh"))
+        .agg(count(lit(1)).as("n_docs"))
+      val per = perDocGram.join(gramDocs, Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_grams"),
+          sum(when(col("n_docs") >= 2, col("cnt")).otherwise(lit(0L)))
+            .as("n_dup_grams"))
+      docs(s, dir).select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+          (col("n_dup_grams").cast("double") / col("n_grams")).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH th AS (
+        SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents),
+      pos AS (
+        SELECT doc_id, UNNEST(${positionalShinglesSql("th", DupGramK)}) AS gh
+        FROM th),
+      pdg AS (SELECT doc_id, gh, COUNT(*) AS cnt FROM pos GROUP BY doc_id, gh),
+      gd AS (SELECT gh, COUNT(*) AS n_docs FROM pdg GROUP BY gh),
+      per AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+          CAST(SUM(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_grams
+        FROM pdg JOIN gd USING (gh) GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(per.n_grams, 0) AS n_grams,
+        COALESCE(per.n_dup_grams, 0) AS n_dup_grams,
+        CAST(per.n_dup_grams AS DOUBLE) / per.n_grams AS dup_frac
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+      ORDER BY doc_id"""))
+
+  /** d33 — domain-MIXTURE reweighting: the sampling-weight table a training
+    * run reads to hit a target source mixture. Per source: document/token
+    * counts, the realized token share, and the per-document sampling weight
+    * that equalizes expected token contribution across sources
+    * (target = uniform over the [[col(source)]] domain; weight_s =
+    * target_share / realized_share, so E[tokens drawn from s] ∝ 1/S).
+    *
+    * Scale design: one partial-aggregating shuffle on `source` (the domain
+    * is bounded — sources are operational labels, not data-cardinality
+    * keys), then window totals over the S-row aggregate — driver-sized by
+    * construction. Token counts stay exact int64; the share and weight are
+    * each a single IEEE division of exact longs, so the oracle reproduces
+    * them bit-for-bit. */
+  val d33MixtureWeights: GraftQuery = GraftQuery(
+    "d33_mixture_weights",
+    "domain-mixture reweighting: per-source token share and uniform-target sampling weight",
+    (s, dir) => {
+      val whole = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+        .withColumn("token_share",
+          col("n_tokens").cast("double") / sum(col("n_tokens")).over(whole))
+        .withColumn("sample_weight",
+          (lit(1.0) / count(lit(1)).over(whole)) / col("token_share"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH per AS (
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(len(${tokensSql("text")})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source)
+      SELECT source, n_docs, n_tokens,
+        CAST(n_tokens AS DOUBLE) / (SUM(n_tokens) OVER ()) AS token_share,
+        (CAST(1 AS DOUBLE) / (COUNT(*) OVER ()))
+          / (CAST(n_tokens AS DOUBLE) / (SUM(n_tokens) OVER ())) AS sample_weight
+      FROM per ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
@@ -1313,5 +1418,6 @@ object TextQueries {
     d15Repetition, d16Sample, d17ChunkPack, d18Pipeline, d19Decontaminate,
     d20StratifiedSample, d21DupClusters, d22VocabTopK, d23TfidfTop,
     d24PiiScrub, d25DedupApply, d26StopwordScrub, d27ShardShuffle,
-    d28IncrementalDedup, d29BpeTrain, d30BoilerplateScrub, d31KmvDistinct)
+    d28IncrementalDedup, d29BpeTrain, d30BoilerplateScrub, d31KmvDistinct,
+    d32SubstringDup, d33MixtureWeights)
 }

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Semantic pins for the round-10 training-pipeline additions: d32
+  * substring-duplication scoring, d33 mixture reweighting, e10 multi-probe
+  * LSH range search. The DuckDB oracles prove cross-engine value equality;
+  * these tests prove the values mean what the operator claims (the oracle
+  * would happily replay a wrong formula on both engines).
+  */
+class TrainingOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("graft_shingle_hashes_all is positional: length n-k+1, superset-of-distinct") {
+    Tables.prepare(spark)
+    val df = spark.createDataFrame(Seq((1L, "a b a b a b"))).toDF("id", "text")
+      .select(call_function("graft_token_hashes", col("text")).as("th"))
+      .select(
+        call_function("graft_shingle_hashes_all", col("th"), lit(2)).as("all2"),
+        call_function("graft_shingle_hashes", col("th"), lit(2)).as("dist2"))
+    val row = df.collect().head
+    val all2 = row.getSeq[Long](0)
+    val dist2 = row.getSeq[Long](1)
+    // 6 tokens, k=2 → 5 positional windows but only 2 distinct grams
+    // ("a b" and "b a") — positional keeps the multiset.
+    assert(all2.length == 5, s"expected 5 positional 2-grams, got ${all2.length}")
+    assert(dist2.length == 2)
+    assert(all2.toSet == dist2.toSet)
+  }
+
+  test("d32 equals an independent in-memory recomputation of cross-doc gram duplication") {
+    val d32 = TextQueries.d32SubstringDup.run(spark, dir)
+      .select("doc_id", "n_grams", "n_dup_grams").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Truth: positional gram hashes per doc via the expression, then the
+    // dup rollup recomputed in plain Scala — an independent implementation
+    // of the aggregation the operator runs distributed.
+    val grams = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes_all",
+          call_function("graft_token_hashes", col("text")),
+          lit(TextQueries.DupGramK)).as("gs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val docsPerGram = grams.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.length }
+    grams.foreach { case (id, gs) =>
+      val nd = gs.count(g => docsPerGram(g) >= 2).toLong
+      assert(d32(id) == ((gs.length.toLong, nd)),
+        s"doc $id: got ${d32(id)}, recomputed (${gs.length}, $nd)")
+    }
+    // The signal is non-trivial and discriminative on this corpus.
+    assert(d32.values.exists(_._2 > 0), "no cross-document duplication found")
+    assert(d32.values.exists { case (ng, nd) => nd < ng },
+      "every doc scored fully duplicated")
+  }
+
+  test("d33: shares sum to 1 and weights equalize expected token mass per source") {
+    val rows = TextQueries.d33MixtureWeights.run(spark, dir).collect()
+    val shares = rows.map(_.getAs[Double]("token_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9, s"shares sum ${shares.sum}")
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val target = total / rows.length
+    rows.foreach { r =>
+      val mass = r.getAs[Long]("n_tokens") * r.getAs[Double]("sample_weight")
+      assert(math.abs(mass - target) < 1e-6 * target,
+        s"source ${r.getString(0)}: reweighted mass $mass != uniform target $target")
+    }
+  }
+
+  test("e10: results are a subset of brute-force range matches with recall >= 0.5") {
+    val got = SimilarityQueries.e10RangeSearch.run(spark, dir)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Brute-force τ-range truth over the same derived query set.
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val n = vecs.length
+    val qsz = SimilarityQueries.annQuerySetSize(n)
+    val nrm = vecs.map { case (_, v) => math.sqrt(v.map(x => x * x).sum) }.toArray
+    val byId = vecs.toMap
+    val ids = vecs.map(_._1)
+    val truth = (for {
+      qi <- ids.indices if ids(qi) < qsz
+      xi <- ids.indices if ids(xi) != ids(qi)
+      dot = byId(ids(qi)).zip(byId(ids(xi))).map { case (a, b) => a * b }.sum
+      if dot / (nrm(qi) * nrm(xi)) >= SimilarityQueries.RangeTau
+    } yield (ids(qi), ids(xi))).toSet
+    assert(truth.nonEmpty, "fixture has no τ-range matches")
+    assert(got.subsetOf(truth),
+      s"e10 returned ${got.diff(truth).size} pairs below τ or out of query set")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.5, s"multi-probe range recall $recall < 0.5 (${got.size}/${truth.size})")
+  }
+}
