@@ -1411,6 +1411,119 @@ object TextQueries {
           / (CAST(n_tokens AS DOUBLE) / (SUM(n_tokens) OVER ())) AS sample_weight
       FROM per ORDER BY source"""))
 
+  /** d35 — LEAKAGE-SAFE train/eval split: assign every document to a side
+    * by the portable hash of its near-dup CLUSTER id (d21's connected
+    * components over the LSH candidate graph), not of the document itself.
+    * A per-document hash split leaks — near-duplicates of a training
+    * document land in eval and inflate every metric; splitting on the
+    * cluster key guarantees all members of a duplication cluster travel
+    * together (the decontamination discipline d19 applies to external
+    * benchmarks, applied to the corpus's own split). 90/10 via d16's
+    * hash-bucket formula on the cluster id.
+    *
+    * Scale: the cluster labels are d21's pointer-jumping CC (log-diameter
+    * rounds, keyed shuffles); the split itself is one map-side hash on the
+    * label — no shuffle beyond what the labels cost. */
+  val d35LeakageSafeSplit: GraftQuery = GraftQuery(
+    "d35_leakage_safe_split",
+    "leakage-safe 90/10 split: hash-bucket the near-dup cluster id so dup clusters never straddle the split",
+    (s, dir) => {
+      import graft.functions.PortableHash.{A, B, P}
+      val cand = lshCandidates(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val nodes = docs(s, dir).select(col("doc_id").as("id"))
+      val labels = graft.operators.ConnectedComponents.label(nodes, edges)
+      val bucket = ((lit(A(0)) * (col("cluster") % lit(P)) + lit(B(0)))
+        % lit(P)) % lit(100L)
+      labels
+        .select(col("id").as("doc_id"), col("cluster"),
+          when(bucket < 90, lit("train")).otherwise(lit("eval")).as("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.functions.PortableHash.{A, B, P}
+      s"""WITH RECURSIVE $lshCandidatesSql,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM cand),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS reach FROM documents
+        UNION
+        SELECT r.id, e.dst AS reach FROM reach r JOIN edges e ON r.reach = e.src),
+      lab AS (
+        SELECT id AS doc_id, MIN(reach) AS cluster FROM reach GROUP BY id)
+      SELECT doc_id, cluster,
+        CASE WHEN ((${A(0)} * (cluster % $P) + ${B(0)}) % $P) % 100 < 90
+             THEN 'train' ELSE 'eval' END AS split
+      FROM lab ORDER BY doc_id"""
+    })
+
+  /** HLL register count for d34 (m = 64 → standard error 1.04/√64 ≈ 13%,
+    * the same accuracy class as d31's K=64 KMV — the two sketches are
+    * deliberately comparable). */
+  private val HllM = 64
+
+  /** d34 — HyperLogLog-style register sketch per language: the OTHER
+    * mergeable cardinality estimator (Flajolet et al. 2007), kept next to
+    * d31's KMV because their scale trade-offs differ — HLL state is a
+    * CONSTANT 64 bytes per key (one 5-bit register max per bucket, merge =
+    * elementwise max, fully commutative) where KMV carries k hash values;
+    * at 100 TB per-key-constant state is what a wide rollup wants.
+    *
+    * Scale shape: registers form directly under groupBy(lang, reg) MAX —
+    * map-side combine reduces every partition to ≤ m rows per key before
+    * the shuffle, then the m-row register table folds to the estimate.
+    * Everything is integer arithmetic until the final harmonic sum, whose
+    * terms are exact powers of two with ≤ 31 bits of spread — every
+    * partial sum is exactly representable, so Σ2^(−M_j) is
+    * order-independent and the oracle replays the estimate bit-exactly
+    * (the ln-based small-range correction is deliberately omitted: ln is
+    * not cross-engine bit-portable; the raw estimator is the contract, and
+    * the emitted n_regs is exactly what a consumer needs to apply linear
+    * counting below 2.5·m — TrainingOpsSpec does).
+    * Register index = hash mod m, rank = leading-zero count of the
+    * remaining 24 hash bits + 1, computed portably as 25 − bitlength via
+    * each engine's minimal-width `bin()`. */
+  val d34HllDistinct: GraftQuery = GraftQuery(
+    "d34_hll_distinct",
+    s"HLL register sketch per language (m=$HllM, portable bitlength rank, raw harmonic estimator)",
+    (s, dir) => {
+      val regs = docs(s, dir)
+        .select(col("lang"),
+          explode(call_function("graft_token_hashes", col("text"))).as("h"))
+        .select(col("lang"), pmod(col("h"), lit(HllM)).as("reg"),
+          expr(s"h div $HllM").as("q"))
+        .withColumn("rho",
+          when(col("q") === 0, lit(25L))
+            .otherwise(lit(25L) - length(bin(col("q")))))
+        .groupBy(col("lang"), col("reg"))
+        .agg(max(col("rho")).as("m"))
+      regs.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("int").as("n_regs"),
+          sum(expr("cast(1 as double) / shiftleft(1L, cast(m as int))"))
+            .as("s_present"))
+        .select(col("lang"), col("n_regs"),
+          (lit(0.709) * lit(HllM) * lit(HllM)
+            / ((lit(HllM.toDouble) - col("n_regs")) + col("s_present")))
+            .as("est_distinct"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH th AS (
+        SELECT lang, UNNEST(${tokenHashesSql("text")}) AS h FROM documents),
+      r AS (SELECT lang, h % $HllM AS reg, h // $HllM AS q FROM th),
+      rho AS (
+        SELECT lang, reg,
+          MAX(CASE WHEN q = 0 THEN 25 ELSE 25 - length(bin(q)) END) AS m
+        FROM r GROUP BY lang, reg)
+      SELECT lang, CAST(COUNT(*) AS INT) AS n_regs,
+        CAST(0.709 AS DOUBLE) * $HllM * $HllM
+          / ((CAST($HllM AS DOUBLE) - COUNT(*))
+             + SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << m))) AS est_distinct
+      FROM rho GROUP BY lang ORDER BY lang"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
@@ -1419,5 +1532,5 @@ object TextQueries {
     d20StratifiedSample, d21DupClusters, d22VocabTopK, d23TfidfTop,
     d24PiiScrub, d25DedupApply, d26StopwordScrub, d27ShardShuffle,
     d28IncrementalDedup, d29BpeTrain, d30BoilerplateScrub, d31KmvDistinct,
-    d32SubstringDup, d33MixtureWeights)
+    d32SubstringDup, d33MixtureWeights, d34HllDistinct, d35LeakageSafeSplit)
 }

@@ -71,6 +71,52 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("d34: HLL estimate tracks the exact distinct count within sketch error") {
+    val m = 64
+    val rows = TextQueries.d34HllDistinct.run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Int]("n_regs"),
+        r.getAs[Double]("est_distinct"))).toMap
+    val exact = Tables.load(spark, dir, "documents")
+      .select(col("lang"),
+        explode(call_function("graft_token_hashes", col("text"))).as("h"))
+      .groupBy("lang").agg(countDistinct(col("h")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == exact.keySet)
+    exact.foreach { case (lang, nd) =>
+      val (nRegs, raw) = rows(lang)
+      // The operator's contract is the RAW harmonic estimator plus the
+      // register count; the standard small-range (linear-counting)
+      // correction uses ln, which is not cross-engine bit-portable, so the
+      // consumer applies it — as this test does — from n_regs.
+      val corrected =
+        if (raw <= 2.5 * m && nRegs < m) m * math.log(m.toDouble / (m - nRegs))
+        else raw
+      val rel = math.abs(corrected - nd) / nd
+      // m=64 → stderr ≈ 13%; 40% is a ±3σ envelope, generous enough to be
+      // deterministic on the fixture yet tight enough to catch a broken
+      // rank or register formula (which lands orders of magnitude off).
+      assert(rel <= 0.4, s"$lang: corrected $corrected (raw $raw, regs $nRegs) vs exact $nd (rel $rel)")
+    }
+  }
+
+  test("d35: near-dup candidate pairs never straddle the split, ratio is ~90/10") {
+    val split = TextQueries.d35LeakageSafeSplit.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // The leakage property, asserted on the PAIRS (not the clusters the
+    // operator itself derives): every LSH near-dup candidate pair must
+    // land on one side.
+    val pairs = TextQueries.d07MinhashPairs.run(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture lost its near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b),
+        s"near-dup pair ($a, $b) straddles the split: ${split(a)} vs ${split(b)}")
+    }
+    val trainFrac = split.values.count(_ == "train").toDouble / split.size
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+  }
+
   test("e10: results are a subset of brute-force range matches with recall >= 0.5") {
     val got = SimilarityQueries.e10RangeSearch.run(spark, dir)
       .select("qid", "vec_id").collect()
