@@ -1791,8 +1791,123 @@ object SimilarityQueries {
       ORDER BY qid, vec_id"""
     })
 
+  /** e11 — FILTERED ANN: e02's IVF top-5, restricted to candidates whose
+    * metadata `label` equals the query's ("search only within the query's
+    * class") — the filtered-search mode every production vector store
+    * ships, because real retrieval is almost never over the whole corpus
+    * (tenant, language, modality, license filters). The predicate applies
+    * AT THE CANDIDATE STAGE — after the probe join, before the top-k
+    * window — the post-filter strategy, WITH the probe widened by the
+    * predicate's inverse selectivity: a filter keeping fraction f of the
+    * corpus thins every probed list to f·occupancy, so holding the
+    * same-class candidate pool constant needs NProbe/f lists (capped at
+    * the full list set) — the standard filtered-search correction
+    * (unwidened, measured recall@5 here drops 0.95 → 0.575). Selectivity
+    * is the per-label count over n — integer arithmetic both engines
+    * replay. At gate scale the cap binds (10 balanced labels × NProbe 5 ≥
+    * 23 lists → exhaustive probe); at 10⁹ vectors the widened probe is
+    * 10·√NList of √n lists — still ≪ n, which is the point: the
+    * correction scales the probe with the FILTER, not the corpus. Scale
+    * shape is exactly e02's: bounded codebook collect, map-side
+    * assignment, broadcast probe join (now carrying the per-label widths
+    * from a bounded label-count aggregate), one top-k window — plus one
+    * codegen'd equality. */
+  val e11AnnFiltered: GraftQuery = GraftQuery(
+    "e11_ann_filtered",
+    "metadata-filtered IVF ANN: NProbe-list probe, candidate-stage label predicate, top-5 within the query's class",
+    (s, dir) => {
+      val prepared = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("ve"))
+        .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
+      val nTotal = prepared.count()
+      val nList = graphNList(nTotal)
+      val nProbe = queryNProbe(nList)
+      val qsz = annQuerySetSize(nTotal)
+      val codebook = prepared.filter(col("vec_id") < nList)
+        .select(col("vec_id"), col("ve"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1)
+      val assigned = prepared.withColumn("list",
+        element_at(cbRank(s, "e11", codebook, col("ve"), col("nrm")), 1))
+      // Per-label probe widths: NProbe / selectivity, integer-exact
+      // (ceil via (n + cnt - 1) div cnt), capped at the full list set.
+      val labelCounts = prepared.groupBy(col("label").as("qlabel"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("wid", least(lit(nList.toLong),
+          lit(nProbe.toLong) * expr(s"(${nTotal}L + cnt - 1) div cnt")))
+        .select(col("qlabel"), col("wid"))
+      val probes = prepared.filter(col("vec_id") < qsz)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("ve").as("qv"), col("nrm").as("qnrm"))
+        .join(broadcast(labelCounts), Seq("qlabel"))
+        .withColumn("list",
+          explode(slice(cbRank(s, "e11", codebook, col("qv"), col("qnrm")),
+            lit(1), col("wid").cast("int"))))
+      val scored = assigned.join(broadcast(probes), Seq("list"))
+        .filter(col("vec_id") =!= col("qid"))
+        .filter(col("label") === col("qlabel"))
+        .withColumn("cosine",
+          call_function("graft_dot", col("qv"), col("ve"))
+            / (col("qnrm") * col("nrm")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id"), col("label"), col("rnk"), col("cosine"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, label, ve,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS nrm
+        FROM v),
+      ${paramsSql("v")},
+      c AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM n, params
+        WHERE vec_id < params.nlist),
+      cc AS (
+        SELECT n.vec_id, n.label, n.ve, n.nrm, c.cid,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(n.ve, c.cve), p -> p[1] * p[2])), (a, b) -> a + b)
+            / (n.nrm * c.cnrm) AS ccos
+        FROM n, c),
+      assigned AS (
+        SELECT vec_id, label, ve, nrm, cid AS list FROM (
+          SELECT vec_id, label, ve, nrm, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+          FROM cc) WHERE crn = 1),
+      lc AS (
+        SELECT label AS qlabel,
+          LEAST((SELECT nlist FROM params),
+            (SELECT np FROM params)
+              * (((SELECT COUNT(*) FROM v) + COUNT(*) - 1) // COUNT(*))) AS wid
+        FROM v GROUP BY label),
+      probes AS (
+        SELECT qid, qlabel, qv, qnrm, cid AS list FROM (
+          SELECT vec_id AS qid, label AS qlabel, ve AS qv, nrm AS qnrm, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+          FROM cc WHERE vec_id < (SELECT qs FROM params)) p
+        JOIN lc USING (qlabel) WHERE p.crn <= lc.wid),
+      scored AS (
+        SELECT p.qid, a.vec_id, a.label,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(p.qv, a.ve), x -> x[1] * x[2])), (x, y) -> x + y)
+            / (p.qnrm * a.nrm) AS cosine
+        FROM probes p JOIN assigned a USING (list)
+        WHERE a.vec_id <> p.qid AND a.label = p.qlabel)
+      SELECT qid, vec_id, label, CAST(rnk AS INT) AS rnk, cosine FROM (
+        SELECT qid, vec_id, label, cosine,
+          row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+        FROM scored)
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+
   val all: Seq[GraftQuery] =
     Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8,
       e05AnnIvfTrained, e06AnnRerank, e07KnnGraph, e08SemanticClusters,
-      e09AnnPq, e10RangeSearch, d10EmbeddingNeardup)
+      e09AnnPq, e10RangeSearch, e11AnnFiltered, d10EmbeddingNeardup)
 }

@@ -51,6 +51,35 @@ class AnnRecallSpec extends SparkSpec {
     assert(e05 >= e04 - 1e-9, s"trained codebook recall $e05 trails seed codebook $e04")
   }
 
+  test("e11 filtered ANN: label predicate holds and recall vs exact filtered top-5 >= 0.8") {
+    val got = SimilarityQueries.e11AnnFiltered.run(spark, dir)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    // Exact label-filtered truth, computed independently from the raw table.
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val qsz = SimilarityQueries.annQuerySetSize(vecs.length)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val labelOf = vecs.map(v => v._1 -> v._2).toMap
+    val recalls = vecs.filter(_._1 < qsz).map { case (qid, ql, qv) =>
+      val truth = vecs.filter(v => v._1 != qid && v._2 == ql)
+        .map(v => (cos(qv, v._3), v._1)).sortBy(t => (-t._1, t._2))
+        .take(5).map(_._2).toSet
+      val found = got.getOrElse(qid, Set.empty)
+      // Every returned neighbor must satisfy the predicate.
+      found.foreach(id => assert(labelOf(id) == ql,
+        s"query $qid (label $ql) returned cross-label neighbor $id (${labelOf(id)})"))
+      truth.intersect(found).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, s"e11 mean filtered recall@5 $mean < 0.8")
+  }
+
   test("e06 two-stage re-rank holds the floor and does not trail its own stage 1") {
     // The float re-rank re-orders e04's shortlist with exact cosine; since
     // the shortlist (top-20) strictly contains the stage-1 top-5, recall
