@@ -114,6 +114,41 @@ class ScalePlanSpec extends SparkSpec {
     assert(plan.contains("phashsig") || plan.contains("graft_phash"), plan)
   }
 
+  test("d32 substring dup is keyed aggregation + gram-hash equi-join, no pair join") {
+    val plan = TextQueries.d32SubstringDup
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // The whole operator is groupBys + one equi-join on the 64-bit gram
+    // key: document PAIRS must never materialize (the point of replacing
+    // the suffix array with a keyed aggregation), so any nested-loop or
+    // cartesian shape is a defect, and the positional shingle kernel runs
+    // as the native codegen expression.
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("shinglehashesall") || plan.contains("graft_shingle_hashes_all"),
+      plan)
+  }
+
+  test("e10 range search probes via a bucket equi-join with the multi-probe explode map-side") {
+    val plan = SimilarityQueries.e10RangeSearch
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+    assert(plan.contains("Generate"), plan) // probe expansion is an explode, not a join
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("e11 filtered ANN broadcasts the widened probe table onto the list-keyed corpus") {
+    val plan = SimilarityQueries.e11AnnFiltered
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("approximate distinct (HLL sketch) lands within 5% of exact") {
     import spark.implicits._
     val df = (1 to 20000).map(i => i % 7919).toDF("v")
