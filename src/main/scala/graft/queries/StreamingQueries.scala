@@ -1135,6 +1135,49 @@ object StreamingQueries {
     },
     RelationalQueries.q38AsofNative.oracle)
 
+  private val vintageDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** c03 — SCHEMA-EVOLUTION ingest: read a table whose parquet files span
+    * two writer vintages — an old one without `event_type`, a new one with
+    * it — through `mergeSchema`, with the missing column surfacing as NULL
+    * for old-vintage rows. This is the file-level half of the drift story
+    * the catalog's `Tables.normalizeTs` handles at the type level
+    * (`SchemaDriftSpec`): real lakehouse partitions accumulate schema
+    * vintages, and an engine that requires a uniform schema across files
+    * cannot read them. The two vintages are derived deterministically from
+    * `events` (event_id parity) and written once per directory; the oracle
+    * reproduces the NULL-for-old-rows contract relationally. Scale shape:
+    * schema merge reads footers (not data) to union the schemas; the scan
+    * itself stays a pruned columnar read, and the aggregation is one
+    * partial-aggregating shuffle on the bounded event_type domain. */
+  val c03SchemaMerge: GraftQuery = GraftQuery(
+    "c03_schema_merge",
+    "schema-evolution parquet ingest: two writer vintages via mergeSchema, NULL-filled missing column",
+    (s, dir) => {
+      val path = vintageDirs.computeIfAbsent(dir, { d =>
+        val out = StreamHarness.tempDir("vintage")
+        val ev = Tables.load(s, d, "events")
+        ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .write.mode("overwrite").parquet(s"$out/v1")
+        ev.filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").parquet(s"$out/v2")
+        out
+      })
+      Tables.prepare(s)
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$path/v1", s"$path/v2")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Deterministic.dsum(col("value")).as("total_value"))
+        .orderBy(col("event_type").asc_nulls_first)
+    },
+    Some(s"""SELECT CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_type END AS event_type,
+        COUNT(*) AS n, ${graft.functions.Deterministic.dsumSql("value")} AS total_value
+      FROM events GROUP BY 1 ORDER BY event_type ASC NULLS FIRST"""))
+
   /** Sketch size for s24 — matches d31's KMV (k = 64, the same estimator
     * family and accuracy class), so the streaming and batch sketches are
     * directly comparable. */
@@ -1215,7 +1258,8 @@ object StreamingQueries {
     })
 
   val all: Seq[GraftQuery] = Seq(
-    c01MultiplexParse, c02JsonlSource, s01WarningStream, s02LatestLocationSink,
+    c01MultiplexParse, c02JsonlSource, c03SchemaMerge,
+    s01WarningStream, s02LatestLocationSink,
     s03EnrichStream, s04HistoryAppend, s05WindowCounts, k05TupleRender,
     s06ProfileUpsert, s07SalesUpsert, s08StreamDedup, s09StatefulCounter,
     s10StreamJoin, s11TopicSink, s12MapData, s13SalesLwwExact,
