@@ -1524,6 +1524,88 @@ object TextQueries {
              + SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << m))) AS est_distinct
       FROM rho GROUP BY lang ORDER BY lang"""))
 
+  /** CMS geometry for d36: depth 4 × width 512 counters. Point-estimate
+    * error is ≤ 2e/W · N with probability 1 − (1/2)^D ≈ 0.94 (Cormode &
+    * Muthukrishnan 2005); at W = 512 the noise floor per counter is N/512,
+    * so the N/[[CmsDen]] heavy-hitter threshold sits 2× above it. */
+  private val CmsD = 4
+  private val CmsW = 512L
+
+  /** Heavy-hitter threshold denominator: report tokens whose estimated
+    * count is ≥ N/256 of the corpus token mass. */
+  private val CmsDen = 256L
+
+  /** d36 — Count-Min-Sketch heavy hitters: the frequency estimator that
+    * completes the sketch family (d31 KMV and d34 HLL answer "how many
+    * distinct", q48's Bloom answers "is it present"; CMS answers "how often
+    * does each appear"). The use at 100 TB is φ-heavy-hitter extraction —
+    * boilerplate tokens, template artifacts, over-represented n-grams —
+    * without an exact corpus-wide frequency table.
+    *
+    * Scale shape, two bounded passes: (1) the sketch — [[CmsD]] bucket ids
+    * per token occurrence ([[graft.functions.PortableHash]] affine family,
+    * so both engines derive identical buckets), one groupBy(j, bucket)
+    * whose map-side combine caps the shuffle at D·W rows per partition and
+    * whose result is a CONSTANT D×W = 2048-cell table whatever the corpus
+    * size; (2) estimation — the sketch rides back as a 2048-cell literal
+    * (bounded index metadata, the ANN-codebook discipline: the collect is
+    * D·W longs, never data-plane), so per-occurrence estimates are
+    * whole-stage-codegen `element_at` lookups with NO join, and the only
+    * remaining shuffle is the distinct over surviving heavy tokens — ≤
+    * [[CmsDen]] true positives plus CMS false positives, corpus-size-
+    * independent. The total token mass N is the j=0 counter row-sum (a
+    * derived property of the sketch, not a third pass). Counters and
+    * threshold comparison are exact int64 arithmetic — the oracle replays
+    * the sketch, the minimum, and the cut bit-exactly. */
+  val d36CmsHeavy: GraftQuery = GraftQuery(
+    "d36_cms_heavy",
+    s"Count-Min-Sketch heavy hitters (D=$CmsD × W=$CmsW, est ≥ N/$CmsDen cut, sketch rides back as a literal)",
+    (s, dir) => {
+      def bucket(j: Int, h: org.apache.spark.sql.Column) =
+        ((lit(A(j)) * h + lit(B(j))) % lit(P)) % lit(CmsW)
+      // Sketch pass needs only the hashes — the native codegen kernel, no
+      // token strings materialized. The estimate pass re-derives each
+      // occurrence's hash with the scalar kernel (`graft_string_hash` =
+      // [[stringHash]] compiled; the interpreted HOF fold was 6× slower
+      // here — the r1 d07 lesson applies to every per-occurrence lambda).
+      val occ = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .withColumn("h", call_function("graft_string_hash", col("token")))
+      val sketchRows = docs(s, dir)
+        .select(explode(call_function("graft_token_hashes", col("text"))).as("h"))
+        .select(posexplode(array((0 until CmsD).map(j => bucket(j, col("h"))): _*))
+          .as(Seq("j", "b")))
+        .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+        .collect() // bounded: ≤ D·W = 2048 cells, the persisted-sketch stand-in
+      val counters = Array.fill(CmsD, CmsW.toInt)(0L)
+      sketchRows.foreach(r => counters(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+      val nTotal = counters(0).sum // every occurrence lands in exactly one j=0 cell
+      occ
+        .withColumn("est_count",
+          least((0 until CmsD).map(j =>
+            element_at(lit(counters(j)), (bucket(j, col("h")) + 1).cast("int"))): _*))
+        .filter(col("est_count") * lit(CmsDen) >= lit(nTotal))
+        .select(col("token"), col("est_count")).distinct()
+        .orderBy(col("est_count").desc, col("token"))
+    },
+    Some(s"""WITH occ AS (
+        SELECT token, ${stringHashSql("token")} AS h FROM (
+          SELECT UNNEST(${tokensSql("text")}) AS token FROM documents)),
+      fam AS (SELECT * FROM (VALUES
+          ${(0 until CmsD).map(j => s"(${j}, ${A(j)}, ${B(j)})").mkString(", ")})
+        AS t(j, a, bb)),
+      bkt AS (SELECT occ.token, fam.j,
+          ((fam.a * occ.h + fam.bb) % $P) % $CmsW AS b
+        FROM occ CROSS JOIN fam),
+      cms AS (SELECT j, b, COUNT(*) AS c FROM bkt GROUP BY j, b),
+      n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cms WHERE j = 0),
+      est AS (SELECT token, MIN(c) AS est_count
+        FROM (SELECT DISTINCT token, j, b FROM bkt) tb JOIN cms USING (j, b)
+        GROUP BY token)
+      SELECT token, est_count FROM est, n
+      WHERE est_count * $CmsDen >= n.n
+      ORDER BY est_count DESC, token"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
@@ -1532,5 +1614,6 @@ object TextQueries {
     d20StratifiedSample, d21DupClusters, d22VocabTopK, d23TfidfTop,
     d24PiiScrub, d25DedupApply, d26StopwordScrub, d27ShardShuffle,
     d28IncrementalDedup, d29BpeTrain, d30BoilerplateScrub, d31KmvDistinct,
-    d32SubstringDup, d33MixtureWeights, d34HllDistinct, d35LeakageSafeSplit)
+    d32SubstringDup, d33MixtureWeights, d34HllDistinct, d35LeakageSafeSplit,
+    d36CmsHeavy)
 }

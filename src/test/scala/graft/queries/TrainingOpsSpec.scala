@@ -142,4 +142,33 @@ class TrainingOpsSpec extends SparkSpec {
     val recall = got.size.toDouble / truth.size
     assert(recall >= 0.5, s"multi-probe range recall $recall < 0.5 (${got.size}/${truth.size})")
   }
+
+  test("d36: CMS estimates never underestimate and miss no true heavy hitter") {
+    val est = TextQueries.d36CmsHeavy.run(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Exact truth: full token frequency table (affordable at gate scale;
+    // the operator's point is that PRODUCTION never builds this).
+    val exact = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    // One-sided error: a CMS counter only ever ADDS colliding mass.
+    est.foreach { case (tok, e) =>
+      assert(e >= exact(tok), s"CMS underestimated '$tok': $e < ${exact(tok)}")
+    }
+    // No false negatives: every token with true count ≥ N/256 must appear
+    // (its estimate is ≥ its true count, so it cannot fall below the cut).
+    val trueHeavy = exact.filter { case (_, c) => c * 256 >= n }.keySet
+    assert(trueHeavy.nonEmpty, "fixture has no true heavy hitters")
+    val missed = trueHeavy.diff(est.keySet)
+    assert(missed.isEmpty, s"CMS missed true heavy hitters: $missed")
+    // Accuracy sanity at this geometry: estimates stay within the standard
+    // 2N/W additive bound for all reported tokens.
+    est.foreach { case (tok, e) =>
+      assert(e - exact(tok) <= 2 * n / 512,
+        s"'$tok' estimate $e exceeds true ${exact(tok)} by more than 2N/W")
+    }
+  }
 }
