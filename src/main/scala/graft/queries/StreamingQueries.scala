@@ -1257,6 +1257,103 @@ object StreamingQueries {
       FROM r GROUP BY cohort, nd ORDER BY cohort"""
     })
 
+  /** Metric names s25 observes, in output order. */
+  private val ObserveMetricNames = Seq("n_alerts", "n_corrupt", "n_rows", "sum_age")
+
+  /** s25 — OBSERVABLE METRICS: `Dataset.observe` data-quality counters on
+    * the wire-parse stream, surfaced through `StreamingQueryListener`
+    * progress events — the in-flight monitoring surface a production
+    * pipeline attaches alerts to (row volume, corrupt-line rate, alert
+    * rate) without a second pass over the data. The reference has no
+    * equivalent; its only visibility is `print()` (SURVEY.md §2.5 K6).
+    *
+    * Scale/correctness shape: observe's accumulators ride the batch's
+    * existing tasks (zero extra jobs, zero extra shuffles — the metrics
+    * are free at 100 TB), and every observed metric here is an exact
+    * associative integer aggregate (counts + int64 sum), so per-batch
+    * values merged across ANY micro-batch split equal the whole-feed
+    * aggregate the DuckDB oracle computes. The listener bus delivers
+    * events asynchronously — the run latches on its own runId's
+    * termination event, which the bus orders AFTER every progress event of
+    * that run, so the merge reads a complete set (no sleep-polling). The
+    * feed reuses c01's every-97th corruption so n_corrupt exercises the
+    * PERMISSIVE parse policy end-to-end. */
+  val s25ObserveMetrics: GraftQuery = GraftQuery(
+    "s25_observe_metrics",
+    "Dataset.observe + StreamingQueryListener: exact batch-merged wire metrics (rows/corrupt/alerts)",
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+      val totals = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      val done = new java.util.concurrent.CountDownLatch(1)
+      val qn = "s25_obs_" + UUID.randomUUID().toString.replace("-", "")
+      // The runId is learned from the started event, which Spark delivers
+      // SYNCHRONOUSLY before start() returns — assigning it after start()
+      // instead would race the first (async) progress event.
+      @volatile var runId: java.util.UUID = null
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+          if (e.name == qn) runId = e.runId
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          if (e.progress.runId == runId) {
+            val m = e.progress.observedMetrics.get("wire_metrics")
+            if (m != null) ObserveMetricNames.foreach { k =>
+              val v = m.getAs[Any](k) match {
+                case null => 0L
+                case l: java.lang.Long => l.longValue()
+                case i: java.lang.Integer => i.longValue()
+                case other => sys.error(s"unexpected metric type for $k: $other")
+              }
+              totals.merge(k, v, (a, b) => a + b)
+            }
+          }
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.runId == runId) done.countDown()
+      }
+      // One file per trigger over a ≥2-file backlog: the drain provably
+      // spans >1 micro-batch, so the listener's merge is non-vacuous.
+      val src = new FileStreamSource(StreamHarness.tempDir("s25-feed"),
+        maxFilesPerTrigger = Some(1))
+      feedChunks(s, dir, render =
+        when(col("event_id") % 97 === 0, Wire.fitbitLineWith(lit("bad")))
+          .otherwise(Wire.fitbitLine)).foreach(src.append)
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, StreamHarness.StreamShufflePartitions.toString)
+      s.streams.addListener(listener)
+      try {
+        val parsed = parseFitbit(src.open(s))
+          .withColumn("warning", graft.functions.HealthFunctions.warning(
+            graft.functions.HealthFunctions.roundHalfUp(col("pulse")),
+            col("age"), col("bp_cat"), criticalCats = EventCriticalCats))
+        val q = parsed
+          .observe("wire_metrics",
+            count(when(col("warning") =!= "no-use", lit(1))).as("n_alerts"),
+            count(col("_corrupt")).as("n_corrupt"),
+            count(lit(1)).as("n_rows"),
+            sum(col("age").cast("long")).as("sum_age"))
+          .writeStream.format("noop").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s25"))
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append").start()
+        q.awaitTermination()
+        require(done.await(30, java.util.concurrent.TimeUnit.SECONDS),
+          "s25: listener termination event not delivered within 30 s")
+      } finally {
+        s.streams.removeListener(listener)
+        prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+      }
+      val rows = ObserveMetricNames.map(k => (k, totals.getOrDefault(k, 0L)))
+      s.createDataFrame(rows).toDF("metric", "value").orderBy(col("metric"))
+    },
+    Some(s"""SELECT 'n_alerts' AS metric, COUNT(CASE
+          WHEN event_id % 97 <> 0 AND $WarningSql <> 'no-use' THEN 1 END) AS value
+        FROM events
+      UNION ALL SELECT 'n_corrupt', COUNT(CASE WHEN event_id % 97 = 0 THEN 1 END)
+        FROM events
+      UNION ALL SELECT 'n_rows', COUNT(*) FROM events
+      UNION ALL SELECT 'sum_age', CAST(SUM(user_id % 60 + 18) AS BIGINT) FROM events
+      ORDER BY metric"""))
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, c02JsonlSource, c03SchemaMerge,
     s01WarningStream, s02LatestLocationSink,
@@ -1265,5 +1362,5 @@ object StreamingQueries {
     s10StreamJoin, s11TopicSink, s12MapData, s13SalesLwwExact,
     s14DedupWatermark, s15TwsCounter, s16SessionStream, s17ChainedAgg,
     s18OuterStreamJoin, s19AvailableNow, s20DualSink, s21Scd2History,
-    s22TemporalJoin, s23AsofStream, s24StreamSketch)
+    s22TemporalJoin, s23AsofStream, s24StreamSketch, s25ObserveMetrics)
 }

@@ -178,4 +178,40 @@ class StreamingE2ESpec extends SparkSpec {
     val got = spark.table(qn).orderBy("user_id").collect().map(_.getString(0)).toSeq
     assert(got == Seq("u1", "u2"))
   }
+
+  test("s25 observe metrics: merged listener totals equal the batch aggregate, across >1 batch") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val dir = "/root/testdata/sf0.001"
+    // Count progress events that carried our observation while s25 runs —
+    // the cross-batch merge claim is vacuous if the drain fit one batch.
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counter = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name != null && e.progress.name.startsWith("s25_obs_") &&
+          e.progress.observedMetrics.containsKey("wire_metrics") &&
+          e.progress.numInputRows > 0) { batches.incrementAndGet(); () }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(counter)
+    val got =
+      try graft.queries.StreamingQueries.s25ObserveMetrics.run(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      finally spark.streams.removeListener(counter)
+    assert(batches.get() >= 2,
+      s"observe drain fit ${batches.get()} batch(es); merge across batches untested")
+    // Truth from one batch pass over the same table.
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val n = ev.count()
+    val nCorrupt = ev.filter(col("event_id") % 97 === 0).count()
+    val sumAge = ev.select(sum(col("user_id") % 60 + 18)).head().getLong(0)
+    val nAlerts = ev.filter(col("event_id") % 97 =!= 0)
+      .withColumn("warning", graft.functions.HealthFunctions.warning(
+        graft.functions.HealthFunctions.roundHalfUp(col("value")),
+        (col("user_id") % 60 + 18).cast("int"), col("event_type"),
+        criticalCats = EventCriticalCats))
+      .filter(col("warning") =!= "no-use").count()
+    assert(got == Map("n_rows" -> n, "n_corrupt" -> nCorrupt,
+      "sum_age" -> sumAge, "n_alerts" -> nAlerts))
+  }
 }
