@@ -1308,6 +1308,63 @@ object RelationalQueries {
       WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13')
       GROUP BY l_partkey ORDER BY l_partkey"""))
 
+  /** Bits per dimension for q49's Morton key: 8+8 bits → a 16-bit key whose
+    * upper byte indexes 256 tiles of 16×16 cells. */
+  private val ZDimBits = 8
+
+  /** Morton (Z-order) interleave of two [[ZDimBits]]-bit dims — plain
+    * int64 shift/mask arithmetic so whole-stage codegen compiles it and
+    * the oracle replays it digit-for-digit. */
+  private def zKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    (0 until ZDimBits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** DuckDB fragment for [[zKey]]. */
+  private def zKeySql(x: String, y: String): String =
+    (0 until ZDimBits).map { i =>
+      s"(($x // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+        s"(($y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  /** q49 — Z-ORDER LAYOUT keys: multi-dimensional clustering for scan
+    * pruning, the lakehouse answer to "my table is sorted by time but I
+    * also filter by user". A 1-D sort bounds file min/max on ONE column;
+    * interleaving the bits of both scan dims (user bucket × 3-hour time
+    * bucket) gives a single sort key whose contiguous ranges are TILES in
+    * (x, y) — so parquet row-group min/max stats stay tight on BOTH dims
+    * and either predicate prunes. At 100 TB this is a write-path layout
+    * choice (`repartitionByRange(zkey).sortWithinPartitions(zkey)`, which
+    * [[graft.queries.ZorderLayoutSpec]] drives and measures); the query
+    * registers the key math plus the tiling contract — per 16×16 tile,
+    * occupancy and exact per-dim bounds, whose spans the layout guarantee
+    * caps at 15. Everything is integer shift/mask arithmetic, one
+    * map-side projection and one bounded groupBy (≤ 256 tile rows). */
+  val q49ZorderLayout: GraftQuery = GraftQuery(
+    "q49_zorder_layout",
+    "Z-order layout keys: bit-interleaved (user, time) Morton tiles with per-dim bounds for 2-D scan pruning",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select((col("user_id") % 256).as("x"),
+          expr("unix_millis(ts) div 10800000 % 256").as("y"))
+      ev.select(col("x"), col("y"), zKey(col("x"), col("y")).as("zkey"))
+        .groupBy(expr("zkey div 256").as("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("tile"))
+    },
+    Some(s"""WITH d AS (
+        SELECT user_id % 256 AS x,
+          (epoch_ms(ts) // 10800000) % 256 AS y
+        FROM events),
+      z AS (SELECT x, y, ${zKeySql("x", "y")} AS zkey FROM d)
+      SELECT zkey // 256 AS tile, COUNT(*) AS n,
+        MIN(x) AS min_x, MAX(x) AS max_x,
+        MIN(y) AS min_y, MAX(y) AS max_y
+      FROM z GROUP BY tile ORDER BY tile"""))
+
   // NOTE: `all` must stay the LAST definition in this object — a query val
   // referenced here but defined further down is still null at object init
   // (silent, then NPEs at dispatch). SparkEntry.registry asserts against it.
@@ -1323,5 +1380,5 @@ object RelationalQueries {
     q35AvgQtyRevenue, q36ExistsSubquery, q37RangeFrame, q38AsofNative,
     q39GroupingSets, q40RankFamily, q41TpchQ18, q42RecursiveCte,
     q43LateralTopn, q44GapFill, q45FilteredAgg, q46HistQuantiles,
-    q47IterHierarchy, q48BloomSemiJoin)
+    q47IterHierarchy, q48BloomSemiJoin, q49ZorderLayout)
 }
