@@ -143,6 +143,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"multi-probe range recall $recall < 0.5 (${got.size}/${truth.size})")
   }
 
+  test("d37 finds doc-in-doc containment that symmetric Jaccard misses") {
+    // Planted asymmetry: doc 1 is a 30-token passage, doc 2 quotes it
+    // verbatim inside ~10x unrelated prose, doc 3 is unrelated filler.
+    val quote = (1 to 30).map(i => s"q$i").mkString(" ")
+    val wrapper = (1 to 300).map(i => s"w$i").mkString(" ")
+    val filler = (1 to 100).map(i => s"f$i").mkString(" ")
+    val tmp = graft.streaming.StreamHarness.tempDir("d37-fixture")
+    spark.createDataFrame(Seq(
+      (1L, quote), (2L, s"$wrapper $quote"), (3L, filler)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.d37ContainmentDup.run(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 1, s"expected exactly the planted pair, got ${got.toSeq}")
+    val (a, b, cab, cba) = got.head
+    assert((a, b) == (1L, 2L))
+    assert(cab == 1.0, s"full quote should be fully contained, got $cab")
+    // With A fully contained (I = |A|), Jaccard = |A|/|B| = cont_b_in_a —
+    // far below d09's 0.5 threshold and in the regime where d07/d09's LSH
+    // bands essentially never collide: the MEASURE, not the threshold, is
+    // what misses doc-in-doc duplication.
+    assert(cba < 0.15, s"planted pair not in the LSH-blind regime: jaccard = $cba")
+  }
+
   test("d36: CMS estimates never underestimate and miss no true heavy hitter") {
     val est = TextQueries.d36CmsHeavy.run(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
