@@ -1906,8 +1906,119 @@ object SimilarityQueries {
         FROM scored)
       WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
+  /** Coreset size for e12: 8 centers — like [[annQuerySetSize]]'s floor,
+    * fixed because the oracle's CTE chain length is compile-time. */
+  private val CoresetK = 8
+
+  /** DuckDB fragment: deterministic left-fold dot of two DOUBLE[] columns
+    * (index order, the exact fold `graft_dot` runs). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"
+
+  /** e12 — greedy K-CENTER CORESET: diversity subset selection — the
+    * "cover the embedding space with k representatives" primitive behind
+    * coreset-based data pruning and diverse sampling of a training corpus
+    * (2-approximation of the optimal k-center cover, Gonzalez 1985). Each
+    * round adds the vector FARTHEST (cosine distance) from the selected
+    * set, then every vector is assigned to its nearest center; the output
+    * is the coreset with per-center occupancy and coverage radius — the
+    * quantities a curation pass thresholds ("cap each mode", "drop
+    * outlier modes").
+    *
+    * Scale shape: the greedy loop is [[CoresetK]] − 1 full scans (the
+    * textbook trade of greedy k-center; a k-means||-style oversampled
+    * variant would cut passes at the cost of the approximation bound), but
+    * each scan is ONE map-side distance projection against the selected
+    * centers riding as literals (bounded index metadata: ≤ K·Dim doubles
+    * collected over the whole run, the ANN-codebook discipline) and a
+    * `TakeOrderedAndProject` top-1 — no shuffle wider than one row. The
+    * left-fold dot kernel makes every distance bit-identical in DuckDB,
+    * so the oracle replays the greedy trajectory, the assignment, and the
+    * radii exactly. */
+  val e12KcenterCoreset: GraftQuery = GraftQuery(
+    "e12_kcenter_coreset",
+    s"greedy k-center coreset (K=$CoresetK): diversity cover with per-center occupancy and radius",
+    (s, dir) => {
+      val v = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ve"))
+        .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def centerDist(cv: Array[Double], cn: Double) =
+        lit(1.0) - call_function("graft_dot", col("ve"), lit(cv)) /
+          (col("nrm") * lit(cn))
+      val seed = v.orderBy(col("vec_id")).limit(1).collect().head
+      var centers = Vector(
+        (seed.getLong(0), seed.getSeq[Double](1).toArray, seed.getDouble(2)))
+      for (_ <- 1 until CoresetK) {
+        val d = centers.map { case (_, cv, cn) => centerDist(cv, cn) }
+          .reduce(least(_, _))
+        val nxt = v.select(col("vec_id"), col("ve"), col("nrm"), d.as("d"))
+          .orderBy(col("d").desc, col("vec_id")).limit(1).collect().head
+        centers = centers :+
+          ((nxt.getLong(0), nxt.getSeq[Double](1).toArray, nxt.getDouble(2)))
+      }
+      val dCols = centers.zipWithIndex.map { case ((_, cv, cn), j) =>
+        centerDist(cv, cn).as(s"d$j")
+      }
+      val withD = v.select((col("vec_id") +: dCols): _*)
+        .withColumn("dmin", least((0 until CoresetK).map(j => col(s"d$j")): _*))
+      // First center achieving the minimum wins ties — foldRight nests so
+      // j=0 is the outermost (first-checked) branch, the same CASE order
+      // the oracle uses, over bit-identical doubles.
+      val rnk = (0 until CoresetK).foldRight(lit(-1)) { (j, els) =>
+        when(col(s"d$j") === col("dmin"), lit(j)).otherwise(els)
+      }
+      val asg = withD.withColumn("rnk", rnk)
+      val centerIds = centers.zipWithIndex
+        .map { case ((cid, _, _), j) => (j, cid) }
+      val cents = s.createDataFrame(centerIds).toDF("rnk", "vec_id")
+      asg.groupBy(col("rnk"))
+        .agg(count(lit(1)).as("n_assigned"), max(col("dmin")).as("radius"))
+        .join(broadcast(cents), "rnk")
+        .select(col("rnk"), col("vec_id"), col("n_assigned"), col("radius"))
+        .orderBy(col("rnk"))
+    },
+    Some {
+      def dexpr(cAlias: String) =
+        s"1 - ${dotSql("n.ve", s"$cAlias.ve")} / (n.nrm * $cAlias.nrm)"
+      val rounds = (1 until CoresetK).map { r =>
+        val froms = (0 until r).map(j => s"c$j").mkString(", ")
+        val dists = (0 until r).map(j => dexpr(s"c$j"))
+        val least = if (dists.size == 1) dists.head
+                    else s"LEAST(${dists.mkString(", ")})"
+        s"""d$r AS (SELECT n.vec_id, n.ve, n.nrm, $least AS d FROM n, $froms),
+      c$r AS (SELECT vec_id, ve, nrm FROM d$r ORDER BY d DESC, vec_id LIMIT 1)"""
+      }.mkString(",\n      ")
+      val eCols = (0 until CoresetK).map(j => s"${dexpr(s"c$j")} AS e$j").mkString(", ")
+      val allCs = (0 until CoresetK).map(j => s"c$j").mkString(", ")
+      val leastAll = s"LEAST(${(0 until CoresetK).map(j => s"e$j").mkString(", ")})"
+      val caseRnk = (0 until CoresetK)
+        .map(j => s"WHEN e$j = dmin THEN $j").mkString("CASE ", " ", " END")
+      val centsUnion = (0 until CoresetK)
+        .map(j => s"SELECT $j AS rnk, vec_id FROM c$j").mkString(" UNION ALL ")
+      materializeCtes(s"""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, ve, sqrt(${dotSql("v.ve", "v.ve")}) AS nrm
+        FROM v),
+      c0 AS (SELECT vec_id, ve, nrm FROM n ORDER BY vec_id LIMIT 1),
+      $rounds,
+      asg AS (SELECT n.vec_id, $eCols FROM n, $allCs),
+      sel AS (SELECT vec_id, dmin, $caseRnk AS rnk FROM (
+        SELECT vec_id, ${(0 until CoresetK).map(j => s"e$j").mkString(", ")},
+          $leastAll AS dmin FROM asg)),
+      cents AS ($centsUnion)
+      SELECT sel.rnk, cents.vec_id, COUNT(*) AS n_assigned, MAX(sel.dmin) AS radius
+      FROM sel JOIN cents ON sel.rnk = cents.rnk
+      GROUP BY sel.rnk, cents.vec_id
+      ORDER BY sel.rnk""")
+    })
+
   val all: Seq[GraftQuery] =
     Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8,
       e05AnnIvfTrained, e06AnnRerank, e07KnnGraph, e08SemanticClusters,
-      e09AnnPq, e10RangeSearch, e11AnnFiltered, d10EmbeddingNeardup)
+      e09AnnPq, e10RangeSearch, e11AnnFiltered, e12KcenterCoreset,
+      d10EmbeddingNeardup)
 }

@@ -181,4 +181,43 @@ class AnnRecallSpec extends SparkSpec {
     assert(dims.toSeq == Seq(SimilarityQueries.Dim),
       s"embedding dims ${dims.toSeq} != ${SimilarityQueries.Dim}")
   }
+
+  test("e12 equals an independent in-memory greedy k-center recomputation") {
+    import org.apache.spark.sql.functions._
+    val got = SimilarityQueries.e12KcenterCoreset.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // Truth: the same greedy trajectory in plain Scala — left-fold dots in
+    // index order so distances are bit-identical to graft_dot's.
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = vecs.map { case (_, v) => math.sqrt(dot(v, v)) }
+    def dist(i: Int, j: Int): Double =
+      1.0 - dot(vecs(i)._2, vecs(j)._2) / (nrm(i) * nrm(j))
+    var centers = Vector(0) // min vec_id seed (vecs sorted by id, ids dense)
+    while (centers.size < 8) {
+      val next = vecs.indices
+        .map(i => (i, centers.map(c => dist(i, c)).min))
+        .maxBy { case (i, d) => (d, -i) } // farthest, ties to lowest id
+        ._1
+      centers = centers :+ next
+    }
+    val assign = vecs.indices.map { i =>
+      val ds = centers.map(c => dist(i, c))
+      val m = ds.min
+      ds.indexWhere(_ == m) // first center achieving the min, as the query
+    }
+    val expected = centers.zipWithIndex.map { case (c, r) =>
+      val members = assign.zipWithIndex.filter(_._1 == r).map(_._2)
+      (r, vecs(c)._1, members.size.toLong,
+        members.map(i => centers.map(cc => dist(i, cc)).min).max)
+    }
+    assert(got.toSeq == expected,
+      s"e12 mismatch:\n got ${got.toSeq}\n exp $expected")
+  }
 }
