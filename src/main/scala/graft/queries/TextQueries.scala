@@ -1710,6 +1710,147 @@ object TextQueries {
       WHERE GREATEST(cont_a_in_b, cont_b_in_a) >= $ContTau
       ORDER BY doc_a, doc_b"""))
 
+  /** d38 — corpus-trained character-BIGRAM language-model rarity score, the
+    * perplexity-proxy quality signal of a CCNet-style filtering pass
+    * (Wenzek et al. 2020 score docs against a KenLM; the same shape — "how
+    * surprising is this text under a model of the corpus" — distilled to a
+    * bigram table the engine trains itself). A doc of unusual character
+    * sequences (mojibake, hex dumps, boilerplate markup) scores high; text
+    * that looks like the corpus scores low. log-probabilities are the
+    * textbook formulation but `ln` is not cross-engine bit-portable
+    * (d23/d34 precedent), so the score is the MEAN SMOOTHED INVERSE
+    * FREQUENCY: rarity(bg) = (N+1) div (cnt(bg)+1) — integer floor
+    * division, monotone in surprisal — summed per doc in exact int64 and
+    * divided once (one IEEE division per doc), so the oracle replays every
+    * bit.
+    *
+    * Scale shape: bigram extraction is a map-side codegen'd
+    * transform+explode on the scan (no shuffle); the model is ONE
+    * partial-aggregable groupBy whose reduce side is vocab-sized (≤
+    * charset² rows, NOT corpus-sized); the corpus total N rides a window
+    * over that bounded vocab table (single-partition over ≤ charset² rows —
+    * deliberate, never corpus data); scoring re-joins the model back as a
+    * BROADCAST onto a second map-side extraction pass (re-scanning beats
+    * caching the chars-sized exploded table at 100 TB), and the per-doc agg
+    * partial-aggregates before its one shuffle on doc_id. */
+  val d38BigramLm: GraftQuery = GraftQuery(
+    "d38_bigram_lm",
+    "character-bigram LM rarity score: corpus-trained smoothed inverse frequency, integer-exact",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).filter(length(col("text")) >= 2)
+      def bigrams = d.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+          .as("bg"))
+      val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      val model = counts
+        .withColumn("n", sum(col("c")).over(w.partitionBy()))
+        .select(col("bg"), expr("(n + 1) div (c + 1)").as("rarity"))
+      bigrams.join(broadcast(model), Seq("bg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nbg"), sum(col("rarity")).as("rarity_sum"))
+        .withColumn("mean_rarity",
+          col("rarity_sum").cast("double") / col("nbg").cast("double"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+      bgt AS (
+        SELECT doc_id, substr(text, i, 2) AS bg FROM (
+          SELECT doc_id, text,
+            unnest(generate_series(1, length(text) - 1)) AS i
+          FROM d)),
+      cnt AS (SELECT bg, COUNT(*) AS c FROM bgt GROUP BY bg),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+      model AS (SELECT bg, (n + 1) // (c + 1) AS rarity FROM cnt, tot)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nbg,
+        CAST(SUM(rarity) AS BIGINT) AS rarity_sum,
+        CAST(SUM(rarity) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_rarity
+      FROM bgt JOIN model USING (bg)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** d39 — QUALITY-AWARE canonical selection per near-dup cluster: d21/d25
+    * keep MIN(doc_id) — an arbitrary member; production dedup passes keep
+    * the BEST member (RefinedWeb/FineWeb keep the longest/cleanest copy of
+    * a duplicated page, since near-dup copies differ in truncation and
+    * boilerplate). The keep rule is a TOTAL deterministic order inside each
+    * cluster — d04's quality flag first, then token count, then doc_id as
+    * the tie-break — and the output flags where it diverges from the min-id
+    * rule (the cluster label IS the component's min doc_id, so the
+    * comparison is free). Only multi-member clusters are emitted: singleton
+    * "keep yourself" rows carry no decision.
+    *
+    * Scale: cluster labels are d21's pointer-jumping CC; the quality
+    * features are map-side expression work on the scan; the rank window and
+    * the per-cluster aggregate share ONE shuffle on the cluster key (same
+    * partitioning, so the exchange is reused). */
+  val d39QualityCanonical: GraftQuery = GraftQuery(
+    "d39_quality_canonical",
+    "quality-aware dedup keep rule: best-quality member per near-dup cluster (quality flag, then length, then id)",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val cand = lshCandidates(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val nodes = docs(s, dir).select(col("doc_id").as("id"))
+      val labels = graft.operators.ConnectedComponents.label(nodes, edges)
+        .select(col("id").as("doc_id"), col("cluster"))
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val stopCnt = size(filter(toks, t => t.isin(Stopwords: _*)))
+      val scored = docs(s, dir).select(col("doc_id"), nTok.as("n_tokens"),
+        (nTok >= 20 && nTok <= 120 && stopCnt > 0).cast("int").as("is_quality"))
+      val rk = w.partitionBy(col("cluster"))
+        .orderBy(col("is_quality").desc, col("n_tokens").desc, col("doc_id").asc)
+      labels.join(scored, Seq("doc_id"))
+        .withColumn("rk", row_number().over(rk))
+        .groupBy(col("cluster"))
+        .agg(max(when(col("rk") === 1, col("doc_id"))).as("keep_id"),
+          max(when(col("rk") === 1, col("is_quality"))).as("keep_is_quality"),
+          count(lit(1)).as("n_members"),
+          sum(col("is_quality").cast("long")).as("n_quality"))
+        .filter(col("n_members") >= 2)
+        .withColumn("min_id_differs",
+          (col("keep_id") =!= col("cluster")).cast("int"))
+        .orderBy(col("cluster"))
+    },
+    Some {
+      val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE $lshCandidatesSql,
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM cand),
+      reach AS (
+        SELECT doc_id AS id, doc_id AS reach FROM documents
+        UNION
+        SELECT r.id, e.dst AS reach FROM reach r JOIN edges e ON r.reach = e.src),
+      lab AS (SELECT id AS doc_id, MIN(reach) AS cluster FROM reach GROUP BY id),
+      q AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          CAST(len(string_split(text, ' ')) BETWEEN 20 AND 120
+            AND len(list_filter(string_split(text, ' '),
+              t -> t IN ($stopList))) > 0 AS INT) AS is_quality
+        FROM documents),
+      m AS (
+        SELECT lab.cluster, q.doc_id, q.n_tokens, q.is_quality,
+          row_number() OVER (PARTITION BY lab.cluster
+            ORDER BY q.is_quality DESC, q.n_tokens DESC, q.doc_id) AS rk
+        FROM lab JOIN q USING (doc_id))
+      SELECT cluster,
+        MAX(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+        MAX(CASE WHEN rk = 1 THEN is_quality END) AS keep_is_quality,
+        CAST(COUNT(*) AS BIGINT) AS n_members,
+        CAST(SUM(is_quality) AS BIGINT) AS n_quality,
+        CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) <> cluster AS INT)
+          AS min_id_differs
+      FROM m GROUP BY cluster HAVING COUNT(*) >= 2
+      ORDER BY cluster"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
@@ -1719,5 +1860,5 @@ object TextQueries {
     d24PiiScrub, d25DedupApply, d26StopwordScrub, d27ShardShuffle,
     d28IncrementalDedup, d29BpeTrain, d30BoilerplateScrub, d31KmvDistinct,
     d32SubstringDup, d33MixtureWeights, d34HllDistinct, d35LeakageSafeSplit,
-    d36CmsHeavy, d37ContainmentDup)
+    d36CmsHeavy, d37ContainmentDup, d38BigramLm, d39QualityCanonical)
 }

@@ -195,4 +195,56 @@ class TrainingOpsSpec extends SparkSpec {
         s"'$tok' estimate $e exceeds true ${exact(tok)} by more than 2N/W")
     }
   }
+
+  test("d38 equals an independent in-memory bigram-rarity recomputation") {
+    val got = TextQueries.d38BigramLm.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // Truth: the whole model retrained in plain Scala from the raw text.
+    val texts = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.length >= 2)
+    val bgs = texts.flatMap { case (id, t) =>
+      (0 until t.length - 1).map(i => (id, t.substring(i, i + 2)))
+    }
+    val cnt = bgs.groupBy(_._2).map { case (bg, xs) => bg -> xs.length.toLong }
+    val n = bgs.length.toLong
+    val rarity = cnt.map { case (bg, c) => bg -> (n + 1) / (c + 1) }
+    val exp = bgs.groupBy(_._1).map { case (id, xs) =>
+      val rs = xs.map(x => rarity(x._2)).sum
+      id -> ((xs.length.toLong, rs, rs.toDouble / xs.length.toDouble))
+    }
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, recomputed $e")
+    }
+    // Rarity discriminates: not all docs score identically.
+    assert(got.values.map(_._3).toSet.size > 1, "constant rarity score")
+  }
+
+  test("d39 keeps the best-quality member of every multi-doc near-dup cluster") {
+    val clusters = TextQueries.d21DupClusters.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).filter(_._2.length >= 2)
+      .map { case (cl, xs) => cl -> xs.map(_._1) }
+    val qual = TextQueries.d04QualityScore.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(1)))).toMap
+    val got = TextQueries.d39QualityCanonical.run(spark, dir).collect()
+    assert(got.length == clusters.size,
+      s"${got.length} decision rows for ${clusters.size} multi-member clusters")
+    assert(clusters.nonEmpty, "no multi-member clusters at this SF")
+    got.foreach { r =>
+      val (cl, keep) = (r.getLong(0), r.getLong(1))
+      val members = clusters(cl)
+      // Keep rule: is_quality DESC, n_tokens DESC, doc_id ASC.
+      val best = members.minBy(id => (-qual(id)._1, -qual(id)._2, id))
+      assert(keep == best, s"cluster $cl: kept $keep, best-quality is $best")
+      assert(r.getLong(3) == members.length.toLong)
+      assert((r.getLong(1) != cl) == (r.getInt(5) == 1))
+    }
+    // The rule actually diverges from min-id somewhere on this corpus —
+    // otherwise the operator is d21's canonical under another name.
+    assert(got.exists(_.getInt(5) == 1), "quality keep rule never diverged from min-id")
+  }
 }
