@@ -713,21 +713,31 @@ object RelationalQueries {
     * join-back into the same pass — Q2 keeps ties, so the join-back is the
     * semantics, not a plan accident. Double equality in the join-back is
     * sound: both engines derive the value by the same IEEE division and
-    * exact MIN, so the bits agree. */
+    * exact MIN, so the bits agree.
+    *
+    * The p_size part filter is pushed BELOW the cost aggregation as a
+    * broadcast semi-join on the fact: per-(part, supp) MINs are
+    * independent across parts, so aggregating only surviving parts is
+    * value-identical to aggregating all and filtering later, and the first
+    * (and only fact-sized) shuffle carries ~1/|p_size domain| of the
+    * lineitems — the pushdown Catalyst cannot derive itself because the
+    * filter column lives in a different table than the aggregate. */
   val q33MinCostSupplier: GraftQuery = GraftQuery(
     "q33_min_cost_supplier",
-    "TPC-H Q2 shape: per-part min-cost supplier(s) via join-back, broadcast dims",
+    "TPC-H Q2 shape: per-part min-cost supplier(s) via join-back, part filter semi-joined below the agg, broadcast dims",
     (s, dir) => {
+      val parts = broadcast(t(s, dir, "part")
+        .filter(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_name")))
       val cost = t(s, dir, "lineitem")
+        .join(broadcast(parts.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "leftsemi")
         .select(col("l_partkey"), col("l_suppkey"),
           (col("l_extendedprice") / col("l_quantity")).as("uc"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("uc")).as("supply_cost"))
       val best = cost.groupBy(col("l_partkey"))
         .agg(min(col("supply_cost")).as("min_cost"))
-      val parts = broadcast(t(s, dir, "part")
-        .filter(col("p_size") === 15)
-        .select(col("p_partkey"), col("p_name")))
       val supp = broadcast(t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"))),

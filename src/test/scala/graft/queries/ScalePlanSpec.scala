@@ -166,6 +166,12 @@ class ScalePlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // The p_size filter reaches the fact BELOW the cost aggregation: a
+    // broadcast SEMI join must sit under the first HashAggregate, so the
+    // fact-sized shuffle carries only surviving parts' rows.
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && plan.substring(firstAgg).contains("LeftSemi"),
+      s"no semi join below the cost aggregate:\n$plan")
   }
 
   test("d26 heap-selects the stop list and broadcasts it back onto the tokens") {
