@@ -53,6 +53,16 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  case class BigramHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.bigramHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.expr.HashOps.bigramHashes($c)")
+    override protected def withNewChildInternal(newChild: Expression): BigramHashes =
+      copy(child = newChild)
+  }
+
   case class ShingleHashesAll(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(input: Any): Any =
@@ -450,6 +460,8 @@ object HashExpressions {
     reg.createOrReplaceTempFunction("graft_shingle_hashes_all",
       args => ShingleHashesAll(args.head,
         args(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("graft_bigram_hashes",
+      args => BigramHashes(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       args => MinhashSig(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",

@@ -86,6 +86,32 @@ object HashOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Per-position character-BIGRAM hashes: (cp_i · 31 + cp_{i+1}) mod P —
+    * the 2-character instance of [[stringHash]]'s fold, one hash per
+    * adjacent code-point pair in input order (d38's LM unit). INJECTIVE for
+    * any Unicode input (max cp·31 + cp ≈ 3.5·10⁷ < P, so the mod never
+    * wraps): grouping on the hash IS grouping on the bigram, with no string
+    * allocation per position. Shorter-than-2 input yields an empty array —
+    * the same rows DuckDB's `generate_series(1, len−1)` drops. */
+  def bigramHashes(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val cps = mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      cps += cp
+    }
+    val n = math.max(0, cps.length - 1)
+    val out = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      out(j) = (cps(j).toLong * 31L + cps(j + 1).toLong) % P
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** POSITIONAL k-window folds over a token-hash array — one hash per
     * window start, duplicates kept in order (d32's substring-duplication
     * scoring needs the occurrence multiset, where [[shingleHashes]]'s

@@ -1724,15 +1724,20 @@ object TextQueries {
     * divided once (one IEEE division per doc), so the oracle replays every
     * bit.
     *
-    * Scale shape: bigram extraction is a map-side codegen'd
-    * transform+explode on the scan (no shuffle); the model is ONE
-    * partial-aggregable groupBy whose reduce side is vocab-sized (≤
-    * charset² rows, NOT corpus-sized); the corpus total N rides a window
-    * over that bounded vocab table (single-partition over ≤ charset² rows —
-    * deliberate, never corpus data); scoring re-joins the model back as a
-    * BROADCAST onto a second map-side extraction pass (re-scanning beats
-    * caching the chars-sized exploded table at 100 TB), and the per-doc agg
-    * partial-aggregates before its one shuffle on doc_id. */
+    * Scale shape: bigram extraction is ONE native codegen kernel call per
+    * row (`graft_bigram_hashes` — the bigram is carried as its INJECTIVE
+    * code-point hash (cp₁·31+cp₂) mod P, max cp·31+cp ≈ 3.5·10⁷ < P, so
+    * grouping on the hash is grouping on the bigram with fixed-width longs
+    * instead of per-position string allocation; the r1-d07 interpreted-HOF
+    * lesson applied at design time) and explodes map-side on the scan (no
+    * shuffle); the model is ONE partial-aggregable groupBy whose reduce
+    * side is vocab-sized (≤ charset² rows, NOT corpus-sized); the corpus
+    * total N rides a window over that bounded vocab table
+    * (single-partition over ≤ charset² rows — deliberate, never corpus
+    * data); scoring re-joins the model back as a BROADCAST onto a second
+    * map-side extraction pass (re-scanning beats caching the chars-sized
+    * exploded table at 100 TB), and the per-doc agg partial-aggregates
+    * before its one shuffle on doc_id. */
   val d38BigramLm: GraftQuery = GraftQuery(
     "d38_bigram_lm",
     "character-bigram LM rarity score: corpus-trained smoothed inverse frequency, integer-exact",
@@ -1740,9 +1745,7 @@ object TextQueries {
       val w = org.apache.spark.sql.expressions.Window
       val d = docs(s, dir).filter(length(col("text")) >= 2)
       def bigrams = d.select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-          .as("bg"))
+        explode(call_function("graft_bigram_hashes", col("text"))).as("bg"))
       val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
       val model = counts
         .withColumn("n", sum(col("c")).over(w.partitionBy()))
@@ -1754,13 +1757,16 @@ object TextQueries {
           col("rarity_sum").cast("double") / col("nbg").cast("double"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH d AS (
+    Some(s"""WITH d AS (
         SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+      codes AS (
+        SELECT doc_id, list_transform(string_split(text, ''),
+          c -> CAST(ord(c) AS BIGINT)) AS cs
+        FROM d),
       bgt AS (
-        SELECT doc_id, substr(text, i, 2) AS bg FROM (
-          SELECT doc_id, text,
-            unnest(generate_series(1, length(text) - 1)) AS i
-          FROM d)),
+        SELECT doc_id, (cs[i] * 31 + cs[i + 1]) % $P AS bg FROM (
+          SELECT doc_id, cs, unnest(generate_series(1, len(cs) - 1)) AS i
+          FROM codes)),
       cnt AS (SELECT bg, COUNT(*) AS c FROM bgt GROUP BY bg),
       tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
       model AS (SELECT bg, (n + 1) // (c + 1) AS rarity FROM cnt, tot)

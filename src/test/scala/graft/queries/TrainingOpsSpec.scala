@@ -205,8 +205,13 @@ class TrainingOpsSpec extends SparkSpec {
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1))
       .filter(_._2.length >= 2)
+    // The operator carries bigrams as (cp1*31 + cp2) mod P hashes
+    // (injective below P); recompute the same unit from code points.
+    val P = graft.functions.PortableHash.P
     val bgs = texts.flatMap { case (id, t) =>
-      (0 until t.length - 1).map(i => (id, t.substring(i, i + 2)))
+      val cps = t.codePoints().toArray
+      (0 until cps.length - 1).map(i =>
+        (id, (cps(i).toLong * 31L + cps(i + 1).toLong) % P))
     }
     val cnt = bgs.groupBy(_._2).map { case (bg, xs) => bg -> xs.length.toLong }
     val n = bgs.length.toLong
