@@ -103,4 +103,22 @@ class HashExpressionsSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.trim.matches("""\*\(\d+\) Project \[tokenhashes.*""")), plan)
   }
+
+  test("graft_bigram_hashes walks code points (surrogate pairs stay whole)") {
+    import spark.implicits._
+    // "a😀b" is 4 UTF-16 chars but 3 code points → 2 bigrams; a char-unit
+    // walk would emit 3 (splitting the surrogate pair). DuckDB's
+    // string_split(text, '') is code-point-based, so this pins the oracle
+    // contract on text the ASCII corpus never exercises.
+    val cases = texts ++ Seq("a😀b", "😀", "ab")
+    val got = cases.toDF("text")
+      .select(call_function("graft_bigram_hashes", col("text")).as("bg"))
+      .collect().map(_.getSeq[Long](0))
+    cases.zip(got).foreach { case (t, bg) =>
+      val cps = t.codePoints().toArray
+      val exp = (0 until math.max(0, cps.length - 1))
+        .map(i => (cps(i).toLong * 31L + cps(i + 1).toLong) % P)
+      assert(bg == exp, s"'$t': got $bg, expected $exp")
+    }
+  }
 }
