@@ -86,13 +86,16 @@ object HashOps {
     new GenericArrayData(out.toArray)
   }
 
-  /** Per-position character-BIGRAM hashes: (cp_i · 31 + cp_{i+1}) mod P —
-    * the 2-character instance of [[stringHash]]'s fold, one hash per
-    * adjacent code-point pair in input order (d38's LM unit). INJECTIVE for
-    * any Unicode input (max cp·31 + cp ≈ 3.5·10⁷ < P, so the mod never
-    * wraps): grouping on the hash IS grouping on the bigram, with no string
-    * allocation per position. Shorter-than-2 input yields an empty array —
-    * the same rows DuckDB's `generate_series(1, len−1)` drops. */
+  /** Per-position character-BIGRAM codes: cp_i · 0x110000 + cp_{i+1} — one
+    * code per adjacent code-point pair in input order (d38's LM unit).
+    * TRULY INJECTIVE: the multiplier is the Unicode code-point alphabet
+    * size (0x110000 = 1114112 > any cp), so distinct pairs map to distinct
+    * codes — a base-1114112 two-digit number, max ≈ 1.25·10¹², comfortably
+    * int64, NO mod (a 31-multiplier fold collides unrelated pairs:
+    * "ab" = 97·31+98 = 3105 = 98·31+67 = "bC" — r10 ADVICE). Grouping on
+    * the code IS grouping on the bigram, with no string allocation per
+    * position. Shorter-than-2 input yields an empty array — the same rows
+    * DuckDB's `generate_series(1, len−1)` drops. */
   def bigramHashes(s: UTF8String): ArrayData = {
     val str = s.toString
     val cps = mutable.ArrayBuffer.empty[Int]
@@ -106,7 +109,7 @@ object HashOps {
     val out = new Array[Long](n)
     var j = 0
     while (j < n) {
-      out(j) = (cps(j).toLong * 31L + cps(j + 1).toLong) % P
+      out(j) = cps(j).toLong * 1114112L + cps(j + 1).toLong
       j += 1
     }
     new GenericArrayData(out)

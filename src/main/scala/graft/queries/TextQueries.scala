@@ -1726,10 +1726,11 @@ object TextQueries {
     *
     * Scale shape: bigram extraction is ONE native codegen kernel call per
     * row (`graft_bigram_hashes` — the bigram is carried as its INJECTIVE
-    * code-point hash (cp₁·31+cp₂) mod P, max cp·31+cp ≈ 3.5·10⁷ < P, so
-    * grouping on the hash is grouping on the bigram with fixed-width longs
-    * instead of per-position string allocation; the r1-d07 interpreted-HOF
-    * lesson applied at design time) and explodes map-side on the scan (no
+    * code-point code cp₁·0x110000 + cp₂, a base-1114112 two-digit number
+    * with the multiplier ≥ the code-point alphabet so distinct pairs map
+    * to distinct int64 codes, NO mod; grouping on the code is grouping on
+    * the bigram with fixed-width longs instead of per-position string
+    * allocation; the r1-d07 interpreted-HOF lesson applied at design time) and explodes map-side on the scan (no
     * shuffle); the model is ONE partial-aggregable groupBy whose reduce
     * side is vocab-sized (≤ charset² rows, NOT corpus-sized); the corpus
     * total N rides a window over that bounded vocab table
@@ -1764,7 +1765,7 @@ object TextQueries {
           c -> CAST(ord(c) AS BIGINT)) AS cs
         FROM d),
       bgt AS (
-        SELECT doc_id, (cs[i] * 31 + cs[i + 1]) % $P AS bg FROM (
+        SELECT doc_id, cs[i] * 1114112 + cs[i + 1] AS bg FROM (
           SELECT doc_id, cs, unnest(generate_series(1, len(cs) - 1)) AS i
           FROM codes)),
       cnt AS (SELECT bg, COUNT(*) AS c FROM bgt GROUP BY bg),

@@ -117,8 +117,33 @@ class HashExpressionsSpec extends SparkSpec {
     cases.zip(got).foreach { case (t, bg) =>
       val cps = t.codePoints().toArray
       val exp = (0 until math.max(0, cps.length - 1))
-        .map(i => (cps(i).toLong * 31L + cps(i + 1).toLong) % P)
+        .map(i => cps(i).toLong * 1114112L + cps(i + 1).toLong)
       assert(bg == exp, s"'$t': got $bg, expected $exp")
+    }
+  }
+
+  test("graft_bigram_hashes matches DuckDB's oracle fragment on non-BMP text") {
+    import spark.implicits._
+    // Constants produced by running d38's oracle fragment
+    //   list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))
+    //   → cs[i] * 1114112 + cs[i + 1]
+    // in DuckDB 1.x over these fixtures (r10 ADVICE: the generated corpora
+    // are ASCII, so oracle parity on supplementary-plane code points was
+    // untested). DuckDB's string_split(text, '') + ord() walks CODE POINTS
+    // — "a😀b" yields 2 bigrams, not the 3 a UTF-16 char walk would give —
+    // and its length() counts code points too, matching UTF8String.numChars
+    // for the length >= 2 pre-filter.
+    val duckdb = Map(
+      "a😀b" -> Seq(97L * 1114112L + 128512L, 128512L * 1114112L + 98L),
+      "ab" -> Seq(97L * 1114112L + 98L))
+    assert(duckdb("a😀b") == Seq(108197376L, 143176761442L)) // literal pin
+    assert(duckdb("ab") == Seq(108068962L))
+    val got = duckdb.keys.toSeq.toDF("text")
+      .select(col("text"),
+        call_function("graft_bigram_hashes", col("text")).as("bg"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    duckdb.foreach { case (t, exp) =>
+      assert(got(t) == exp, s"'$t': Spark ${got(t)} != DuckDB $exp")
     }
   }
 }

@@ -205,13 +205,13 @@ class TrainingOpsSpec extends SparkSpec {
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1))
       .filter(_._2.length >= 2)
-    // The operator carries bigrams as (cp1*31 + cp2) mod P hashes
-    // (injective below P); recompute the same unit from code points.
-    val P = graft.functions.PortableHash.P
+    // The operator carries bigrams as cp1*0x110000 + cp2 codes (truly
+    // injective — multiplier ≥ the code-point alphabet, no mod); recompute
+    // the same unit from code points.
     val bgs = texts.flatMap { case (id, t) =>
       val cps = t.codePoints().toArray
       (0 until cps.length - 1).map(i =>
-        (id, (cps(i).toLong * 31L + cps(i + 1).toLong) % P))
+        (id, cps(i).toLong * 1114112L + cps(i + 1).toLong))
     }
     val cnt = bgs.groupBy(_._2).map { case (bg, xs) => bg -> xs.length.toLong }
     val n = bgs.length.toLong
