@@ -20,6 +20,16 @@ import graft.functions.PortableHash
   */
 object SimilarityQueries {
 
+  /** Probe width for the corpus-wide graph (e07/e08) and the branch
+    * fan-out cap of the two-level router everywhere ([[graphSuperProbe]]).
+    * Wider than the query-set ANN's [[queryNProbe]]: graph recall is
+    * scored over ALL n vectors (not 8 easy queries) at k=3, a harsher
+    * target on this near-orthogonal corpus (AnnRecallSpec floors 0.8).
+    * Declared at the top of the object: [[paramsSql]] interpolates it into
+    * every query-set oracle, and those `val` query definitions initialize
+    * before any later-declared field. */
+  val GraphNProbe: Int = 8
+
   private val foldAdd: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
     org.apache.spark.sql.Column = (a, x) => a + x
 
@@ -93,21 +103,62 @@ object SimilarityQueries {
 
   /** Oracle CTE pair deriving the query-set ANN parameters from the same
     * corpus count the Spark side uses: nlist = [[graphNList]](COUNT(*) FROM
-    * `src`), np = [[queryNProbe]](nlist). */
+    * `src`), np = [[queryNProbe]](nlist), plus the two-level router's
+    * nsuper = [[graphNSuper]](nlist) and sprobe = [[graphSuperProbe]] —
+    * the same derivation chain the corpus-graph oracle (e07/e08) replays. */
   private def paramsSql(src: String): String =
     s"""p0 AS (
         SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS nlist
         FROM $src),
       params AS (
         SELECT nlist, GREATEST(4, CAST(CEIL(SQRT(nlist)) AS BIGINT)) AS np,
-          GREATEST(8, nlist // 16) AS qs
+          GREATEST(8, nlist // 16) AS qs,
+          GREATEST(4, CAST(CEIL(SQRT(nlist)) AS BIGINT)) AS nsuper,
+          LEAST(GREATEST(4, CAST(CEIL(SQRT(nlist)) AS BIGINT)),
+            $GraphNProbe) AS sprobe
         FROM p0)"""
 
+  /** Oracle CTE triple replaying [[cbRank2]]'s TWO-LEVEL corpus assignment
+    * for the query-set ANN family (the e07/e08 router applied to
+    * e02/e04/e05/e06/e11 — VERDICT r10 #1): `cbr$sfx` branches each
+    * centroid of `cb` to its nearest super (the first `nsuper` entries of
+    * `cb`, (−cos, cid) tie-break), `vsr$sfx` routes each vector of `src`
+    * to its `sprobe` nearest supers, `rk$sfx` ranks ONLY the routed
+    * branches' member centroids per vector — `crn = 1` is the assignment.
+    * When sprobe = nsuper (every committed gate scale: n ≤ 2000 → nsuper
+    * ≤ 7 ≤ 8) every branch is routed and the ranking degenerates to the
+    * flat (−cos, cid) order — bit-identical to the r10 flat oracle. */
+  private def twoLevelSql(sfx: String, src: String, v: String, nm: String,
+                          cb: String, cv: String, cn: String): String =
+    s"""cbr$sfx AS (
+        SELECT cid, sid FROM (
+          SELECT c.cid, s.cid AS sid,
+            row_number() OVER (PARTITION BY c.cid ORDER BY
+              ${dotSql("c." + cv, "s." + cv)} / (c.$cn * s.$cn) DESC, s.cid) AS brn
+          FROM $cb c, $cb s, params WHERE s.cid < params.nsuper) rb
+        WHERE rb.brn = 1),
+      vsr$sfx AS (
+        SELECT vec_id, sid FROM (
+          SELECT x.vec_id, s.cid AS sid,
+            row_number() OVER (PARTITION BY x.vec_id ORDER BY
+              ${dotSql("x." + v, "s." + cv)} / (x.$nm * s.$cn) DESC, s.cid) AS srn
+          FROM $src x, $cb s, params WHERE s.cid < params.nsuper) rs, params
+        WHERE rs.srn <= params.sprobe),
+      rk$sfx AS (
+        SELECT x.vec_id, b.cid,
+          row_number() OVER (PARTITION BY x.vec_id ORDER BY
+            ${dotSql("x." + v, "c." + cv)} / (x.$nm * c.$cn) DESC, b.cid) AS crn
+        FROM vsr$sfx v2 JOIN cbr$sfx b ON v2.sid = b.sid
+        JOIN $src x ON x.vec_id = v2.vec_id
+        JOIN $cb c ON c.cid = b.cid)"""
+
   /** Centroid ids ordered by (−cosine, cid) against a collected codebook —
-    * element 1 is the nearest-centroid assignment, the first `NProbe` are a
-    * query's probe lists; ties to the smallest cid, the same order as the
-    * oracles' `row_number() OVER (ORDER BY ccos DESC, cid)`. Shared by e02
-    * (float codebook) and e04/e05 (int8 codebook).
+    * the FLAT full ranking, since r11 used only on the QUERY side of the
+    * e-family (qsz = √n/16 rows × nlist = √n dots = O(n/16), linear; and
+    * e11's selectivity-widened probe can demand the full list set, which
+    * only the flat order covers). Corpus-side assignment goes through
+    * [[cbRank2]] everywhere. Ties to the smallest cid, the same order as
+    * the oracles' `row_number() OVER (ORDER BY ccos DESC, cid)`.
     *
     * One native expression holding the codebook as a reference object
     * (see [[graft.functions.expr.HashExpressions.CodebookRank]]): the r7
@@ -170,8 +221,13 @@ object SimilarityQueries {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
         .sortBy(_._1)
+      // Corpus-side assignment through the TWO-LEVEL router (VERDICT r10
+      // #1): n × (nsuper + sprobe·√nlist) dots = O(n^1.25), not the flat
+      // n × nlist = O(n^1.5). The QUERY side keeps the flat ranking — qsz
+      // = √n/16 rows × nlist = √n dots is O(n/16), linear, and the flat
+      // order probes each query's TRUE nProbe nearest lists.
       val assigned = prepared.withColumn("list",
-        element_at(cbRank(s, "e02", codebook, col("ve"), col("nrm")), 1))
+        element_at(cbRank2(s, "e02", codebook, col("ve"), col("nrm")), 1))
       val probes = prepared.filter(col("vec_id") < qsz)
         .select(col("vec_id").as("qid"), col("ve").as("qv"), col("nrm").as("qnrm"))
         .withColumn("list",
@@ -200,22 +256,21 @@ object SimilarityQueries {
       ${paramsSql("v")},
       c AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM n, params
         WHERE vec_id < params.nlist),
+      ${twoLevelSql("A", "n", "ve", "nrm", "c", "cve", "cnrm")},
+      assigned AS (
+        SELECT n.vec_id, n.ve, n.nrm, r.cid AS list
+        FROM rkA r JOIN n ON n.vec_id = r.vec_id WHERE r.crn = 1),
       cc AS (
         SELECT n.vec_id, n.ve, n.nrm, c.cid,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(list_zip(n.ve, c.cve), p -> p[1] * p[2])), (a, b) -> a + b)
             / (n.nrm * c.cnrm) AS ccos
-        FROM n, c),
-      assigned AS (
-        SELECT vec_id, ve, nrm, cid AS list FROM (
-          SELECT vec_id, ve, nrm, cid,
-            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-          FROM cc) WHERE crn = 1),
+        FROM n, c, params WHERE n.vec_id < params.qs),
       probes AS (
         SELECT qid, qv, qnrm, cid AS list FROM (
           SELECT vec_id AS qid, ve AS qv, nrm AS qnrm, cid,
             row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-          FROM cc WHERE vec_id < (SELECT qs FROM params)), params WHERE crn <= params.np),
+          FROM cc), params WHERE crn <= params.np),
       scored AS (
         SELECT p.qid, a.vec_id,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -422,8 +477,10 @@ object SimilarityQueries {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
         .sortBy(_._1)
+      // Two-level corpus assignment, flat query-side ranking — e02's
+      // routing split (O(n^1.25) corpus dots, O(n/16) query dots).
       val assigned = quant.withColumn("list",
-        element_at(cbRank(s, "e04", codebook, col("qv"), col("qnrm")), 1))
+        element_at(cbRank2(s, "e04", codebook, col("qv"), col("qnrm")), 1))
       val probes = quant.filter(col("vec_id") < qsz)
         .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qnrm").as("pnrm"))
         .withColumn("list",
@@ -464,22 +521,21 @@ object SimilarityQueries {
       ${paramsSql("n")},
       c AS (SELECT vec_id AS cid, qv AS cqv, qnrm AS cnrm FROM n, params
         WHERE vec_id < params.nlist),
+      ${twoLevelSql("A", "n", "qv", "qnrm", "c", "cqv", "cnrm")},
+      assigned AS (
+        SELECT n.vec_id, n.qv, n.qnrm, r.cid AS list
+        FROM rkA r JOIN n ON n.vec_id = r.vec_id WHERE r.crn = 1),
       cc AS (
         SELECT n.vec_id, n.qv, n.qnrm, c.cid,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(list_zip(n.qv, c.cqv), p -> p[1] * p[2])), (a, b) -> a + b)
             / (n.qnrm * c.cnrm) AS ccos
-        FROM n, c),
-      assigned AS (
-        SELECT vec_id, qv, qnrm, cid AS list FROM (
-          SELECT vec_id, qv, qnrm, cid,
-            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-          FROM cc) WHERE crn = 1),
+        FROM n, c, params WHERE n.vec_id < params.qs),
       probes AS (
         SELECT qid, pv, pnrm, cid AS list FROM (
           SELECT vec_id AS qid, qv AS pv, qnrm AS pnrm, cid,
             row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-          FROM cc WHERE vec_id < (SELECT qs FROM params)), params WHERE crn <= params.np),
+          FROM cc), params WHERE crn <= params.np),
       scored AS (
         SELECT p.qid, a.vec_id,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -551,9 +607,12 @@ object SimilarityQueries {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
         .sortBy(_._1)
-      for (_ <- 1 to NIter) {
+      // Each Lloyd round assigns through the TWO-LEVEL router (branches
+      // recomputed from the evolving centroids, e07's trainer discipline)
+      // — no training round re-introduces the O(n^1.5) flat scan.
+      for (it <- 1 to NIter) {
         val assigned = quant.withColumn("list",
-          element_at(cbRank(s, "e05", codebook, col("qv"), col("qnrm")), 1))
+          element_at(cbRank2(s, s"e05t$it", codebook, col("qv"), col("qnrm")), 1))
         // Exact per-(list, dim) integer sums: the order-independent step
         // that makes the whole loop deterministic.
         val cells = assigned
@@ -575,9 +634,10 @@ object SimilarityQueries {
           }
         }
       }
-      // e04's probe pipeline, fed by the trained codebook.
+      // e04's probe pipeline, fed by the trained codebook: two-level
+      // corpus assignment, flat query-side ranking.
       val assigned = quant.withColumn("list",
-        element_at(cbRank(s, "e05", codebook, col("qv"), col("qnrm")), 1))
+        element_at(cbRank2(s, "e05", codebook, col("qv"), col("qnrm")), 1))
       val probes = quant.filter(col("vec_id") < qsz)
         .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qnrm").as("pnrm"))
         .withColumn("list",
@@ -602,21 +662,18 @@ object SimilarityQueries {
       val sq = (a: String) =>
         s"""sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
            list_transform($a, x -> x * x)), (x, y) -> x + y))"""
-      // One Lloyd iteration, unrolled: assign against c{i-1}, exact integer
-      // per-dimension sums, rebuild centroid lists, keep previous centroid
-      // for empty/degenerate lists.
+      // One Lloyd iteration, unrolled: TWO-LEVEL assignment against c{i-1}
+      // (branch the centroids, route each code through its sprobe nearest
+      // branches, rank member centroids — the cbRank2 router, replayed),
+      // exact integer per-dimension sums, rebuild centroid lists, keep
+      // previous centroid for empty/degenerate lists.
       def iterSql(i: Int): String = {
         val prev = if (i == 1) "c0" else s"c${i - 1}"
         s""",
-        cc$i AS (
-          SELECT n.vec_id, n.qv, c.cid,
-            ${dot("n.qv", "c.cqv")} / (n.qnrm * c.cnrm) AS ccos
-          FROM n, $prev c),
+        ${twoLevelSql(s"T$i", "n", "qv", "qnrm", prev, "cqv", "cnrm")},
         a$i AS (
-          SELECT vec_id, qv, cid AS list FROM (
-            SELECT vec_id, qv, cid,
-              row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-            FROM cc$i) WHERE crn = 1),
+          SELECT n.vec_id, n.qv, r.cid AS list
+          FROM rkT$i r JOIN n ON n.vec_id = r.vec_id WHERE r.crn = 1),
         m$i AS (
           SELECT list AS cid, g.i,
             CAST(SUM(CAST(qv[g.i] AS BIGINT)) AS BIGINT) AS s, COUNT(*) AS cnt
@@ -654,20 +711,19 @@ object SimilarityQueries {
       ${paramsSql("n")},
       c0 AS (SELECT vec_id AS cid, qv AS cqv, qnrm AS cnrm FROM n, params
         WHERE vec_id < params.nlist)${(1 to NIter).map(iterSql).mkString},
+      ${twoLevelSql("F", "n", "qv", "qnrm", cT, "cqv", "cnrm")},
+      assigned AS (
+        SELECT n.vec_id, n.qv, n.qnrm, r.cid AS list
+        FROM rkF r JOIN n ON n.vec_id = r.vec_id WHERE r.crn = 1),
       ccF AS (
         SELECT n.vec_id, n.qv, n.qnrm, c.cid,
           ${dot("n.qv", "c.cqv")} / (n.qnrm * c.cnrm) AS ccos
-        FROM n, $cT c),
-      assigned AS (
-        SELECT vec_id, qv, qnrm, cid AS list FROM (
-          SELECT vec_id, qv, qnrm, cid,
-            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-          FROM ccF) WHERE crn = 1),
+        FROM n, $cT c, params WHERE n.vec_id < params.qs),
       probes AS (
         SELECT qid, pv, pnrm, cid AS list FROM (
           SELECT vec_id AS qid, qv AS pv, qnrm AS pnrm, cid,
             row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-          FROM ccF WHERE vec_id < (SELECT qs FROM params)), params WHERE crn <= params.np),
+          FROM ccF), params WHERE crn <= params.np),
       scored AS (
         SELECT p.qid, a.vec_id,
           ${dot("p.pv", "a.qv")} / (p.pnrm * a.qnrm) AS qcos
@@ -721,8 +777,9 @@ object SimilarityQueries {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
         .sortBy(_._1)
+      // Two-level corpus assignment, flat query-side ranking (e02's split).
       val assigned = quant.withColumn("list",
-        element_at(cbRank(s, "e06", codebook, col("qv"), col("qnrm")), 1))
+        element_at(cbRank2(s, "e06", codebook, col("qv"), col("qnrm")), 1))
       val probes = quant.filter(col("vec_id") < qsz)
         .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qnrm").as("pnrm"))
         .withColumn("list",
@@ -780,22 +837,21 @@ object SimilarityQueries {
       ${paramsSql("n")},
       c AS (SELECT vec_id AS cid, qv AS cqv, qnrm AS cnrm FROM n, params
         WHERE vec_id < params.nlist),
+      ${twoLevelSql("A", "n", "qv", "qnrm", "c", "cqv", "cnrm")},
+      assigned AS (
+        SELECT n.vec_id, n.qv, n.qnrm, r.cid AS list
+        FROM rkA r JOIN n ON n.vec_id = r.vec_id WHERE r.crn = 1),
       cc AS (
         SELECT n.vec_id, n.qv, n.qnrm, c.cid,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(list_zip(n.qv, c.cqv), p -> p[1] * p[2])), (a, b) -> a + b)
             / (n.qnrm * c.cnrm) AS ccos
-        FROM n, c),
-      assigned AS (
-        SELECT vec_id, qv, qnrm, cid AS list FROM (
-          SELECT vec_id, qv, qnrm, cid,
-            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-          FROM cc) WHERE crn = 1),
+        FROM n, c, params WHERE n.vec_id < params.qs),
       probes AS (
         SELECT qid, pv, pnrm, cid AS list FROM (
           SELECT vec_id AS qid, qv AS pv, qnrm AS pnrm, cid,
             row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-          FROM cc WHERE vec_id < (SELECT qs FROM params)), params WHERE crn <= params.np),
+          FROM cc), params WHERE crn <= params.np),
       scored AS (
         SELECT p.qid, a.vec_id,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -833,12 +889,6 @@ object SimilarityQueries {
     * cosine range (max pairwise ≈ 0.51), keeping only the strongest edges
     * among the probed candidates. */
   val SemTau: Double = 0.38
-
-  /** Probe width for the corpus-wide graph (e07/e08). Wider than the
-    * query-set ANN's [[queryNProbe]]: graph recall is scored over ALL n vectors
-    * (not 8 easy queries) at k=3, a harsher target on this near-orthogonal
-    * corpus (AnnRecallSpec floors 0.8). */
-  val GraphNProbe: Int = 8
 
   /** Per-(probing vector, probed list) candidate cap for the corpus-wide
     * graph: each probed list contributes at most this many members, chosen
@@ -906,7 +956,11 @@ object SimilarityQueries {
 
   /** Register + call the two-level ranking expression (see
     * [[graft.functions.expr.HashExpressions.TwoLevelCodebookRank]]) — the
-    * drop-in replacement for [[cbRank]] on the corpus-wide graph path. */
+    * corpus-side assignment router EVERYWHERE since r11 (e02/e04/e05/e06/
+    * e11 query-set family and the e07/e08 corpus graph): n × (nsuper +
+    * sprobe·nlist/nsuper) ≈ 9·n^1.25 dots instead of the flat n·√n =
+    * O(n^1.5) (VERDICT r10 #1, the engine's last superlinear data-path
+    * term). */
   private def cbRank2(s: org.apache.spark.sql.SparkSession, tag: String,
                       codebook: Array[(Long, Seq[Double], Double)],
                       vec: org.apache.spark.sql.Column,
@@ -1829,8 +1883,12 @@ object SimilarityQueries {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
         .sortBy(_._1)
+      // Two-level corpus assignment (O(n^1.25)); the QUERY side must stay
+      // flat — the selectivity-widened width can reach the FULL list set,
+      // which only the flat ranking covers, and it costs qsz·nlist =
+      // O(n/16) dots, linear.
       val assigned = prepared.withColumn("list",
-        element_at(cbRank(s, "e11", codebook, col("ve"), col("nrm")), 1))
+        element_at(cbRank2(s, "e11", codebook, col("ve"), col("nrm")), 1))
       // Per-label probe widths: NProbe / selectivity, integer-exact
       // (ceil via (n + cnt - 1) div cnt), capped at the full list set.
       val labelCounts = prepared.groupBy(col("label").as("qlabel"))
@@ -1870,17 +1928,16 @@ object SimilarityQueries {
       ${paramsSql("v")},
       c AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM n, params
         WHERE vec_id < params.nlist),
+      ${twoLevelSql("A", "n", "ve", "nrm", "c", "cve", "cnrm")},
+      assigned AS (
+        SELECT n.vec_id, n.label, n.ve, n.nrm, r.cid AS list
+        FROM rkA r JOIN n ON n.vec_id = r.vec_id WHERE r.crn = 1),
       cc AS (
         SELECT n.vec_id, n.label, n.ve, n.nrm, c.cid,
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(list_zip(n.ve, c.cve), p -> p[1] * p[2])), (a, b) -> a + b)
             / (n.nrm * c.cnrm) AS ccos
-        FROM n, c),
-      assigned AS (
-        SELECT vec_id, label, ve, nrm, cid AS list FROM (
-          SELECT vec_id, label, ve, nrm, cid,
-            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-          FROM cc) WHERE crn = 1),
+        FROM n, c, params WHERE n.vec_id < params.qs),
       lc AS (
         SELECT label AS qlabel,
           LEAST((SELECT nlist FROM params),
@@ -1891,7 +1948,7 @@ object SimilarityQueries {
         SELECT qid, qlabel, qv, qnrm, cid AS list FROM (
           SELECT vec_id AS qid, label AS qlabel, ve AS qv, nrm AS qnrm, cid,
             row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-          FROM cc WHERE vec_id < (SELECT qs FROM params)) p
+          FROM cc) p
         JOIN lc USING (qlabel) WHERE p.crn <= lc.wid),
       scored AS (
         SELECT p.qid, a.vec_id, a.label,
@@ -1947,7 +2004,16 @@ object SimilarityQueries {
       def centerDist(cv: Array[Double], cn: Double) =
         lit(1.0) - call_function("graft_dot", col("ve"), lit(cv)) /
           (col("nrm") * lit(cn))
-      val seed = v.orderBy(col("vec_id")).limit(1).collect().head
+      // Degenerate inputs fail LOUDLY (r10 ADVICE): a zero-norm embedding
+      // makes every cosine distance NaN, the CASE rank falls through to -1,
+      // and the row would silently vanish from the occupancy/radius
+      // aggregation — skewing the coreset instead of erroring.
+      val nBad = v.filter(col("nrm") <= 0.0 || isnan(col("nrm"))).count()
+      require(nBad == 0,
+        s"e12: $nBad zero-norm embedding(s) — cosine k-center is undefined; drop or repair them first")
+      val seedRows = v.orderBy(col("vec_id")).limit(1).collect()
+      require(seedRows.nonEmpty, "e12: embeddings table is empty")
+      val seed = seedRows.head
       var centers = Vector(
         (seed.getLong(0), seed.getSeq[Double](1).toArray, seed.getDouble(2)))
       for (_ <- 1 until CoresetK) {
