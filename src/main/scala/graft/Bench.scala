@@ -13,7 +13,10 @@ import org.apache.spark.sql.SparkSession
   *    not absorb JVM/codegen warmup;
   *  - each query runs `SPARK_GRAFT_REPS` times (default 3) and reports the
   *    MEDIAN — single-shot timings on a shared machine were up to 12× noise
-  *    (r3); the median is robust to one GC pause or page-cache miss;
+  *    (r3); the median is robust to one GC pause or page-cache miss. Reps
+  *    are interleaved round-robin across queries (rep 1 of all, then rep 2,
+  *    …) so a contended stretch lands in one rep of many medians — rejected
+  *    — rather than every rep of a few queries (r10);
   *  - a second, smaller scale factor (`SPARK_GRAFT_SCALE_DIR`, default
   *    sf0.01, one rep) is timed in the same JVM and reported under
   *    `"scaling"`, so the round artifact carries MEASURED scale slopes:
@@ -89,10 +92,22 @@ object Bench {
       if (scaleDirOk) runOnce("e07_knn_graph", scaleDir)
     }
 
-    val results = names.map { n =>
-      val runs = (1 to reps).map(_ => runOnce(n, sfDir))
-      n -> (median(runs.map(_._1)), runs.flatMap(_._2).headOption)
+    // Reps interleave ROUND-ROBIN across queries — rep 1 of every query,
+    // then rep 2, … — so one contended wall-clock stretch inflates ONE rep
+    // of many queries (each median rejects it) instead of ALL reps of the
+    // few queries that happened to run inside it (VERDICT r10 #2: the
+    // driver-box artifact carried c01 = 48.6 s vs 1.38 s quiet because all
+    // consecutive reps landed in a single contended window).
+    def interleaved(ns: Seq[String], dir: String, r: Int)
+        : Seq[(String, (Double, Option[String]))] = {
+      val byRep = (1 to r).map(_ => ns.map(n => runOnce(n, dir)))
+      ns.zipWithIndex.map { case (n, i) =>
+        val runs = byRep.map(_(i))
+        n -> (median(runs.map(_._1)), runs.flatMap(_._2).headOption)
+      }
     }
+
+    val results = interleaved(names, sfDir, reps)
     // Scale slope: one rep per query at the secondary SF (skipped when it
     // is missing or identical to the primary). Failures null the time and
     // land in the scaling err map — never a fast-looking elapsed (ADVICE r6).
@@ -125,10 +140,7 @@ object Bench {
             runOnce("d07_minhash_pairs", scaleUpDir) // untimed sketch build
           if (dataPath.contains("e07_knn_graph"))
             runOnce("e07_knn_graph", scaleUpDir) // untimed graph-index build
-          dataPath.map { n =>
-            val runs = (1 to scaleUpReps).map(_ => runOnce(n, scaleUpDir))
-            n -> (median(runs.map(_._1)), runs.flatMap(_._2).headOption)
-          }
+          interleaved(dataPath, scaleUpDir, scaleUpReps)
         } catch {
           case e: Throwable =>
             Seq("_scaleup_build" -> (0.0, Some(
