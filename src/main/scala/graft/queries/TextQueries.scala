@@ -1634,9 +1634,11 @@ object TextQueries {
     * vocabulary — linear in postings, never all-pairs, never a shingle-
     * array shuffle (the array-intersect formulation measured 10× slower at
     * sf0.1 on this corpus's small vocabulary). Denominators are the FULL
-    * per-doc shingle counts (a broadcast-sized table), so the reported
-    * containment under-reports true containment only by template-shingle
-    * mass — one-sided in the conservative direction for a dedup pass.
+    * per-doc shingle counts — a corpus-sized table joined by ordinary
+    * shuffled/AQE-planned joins (the PAIR side is the bounded-small one) —
+    * so the reported containment under-reports true containment only by
+    * template-shingle mass — one-sided in the conservative direction for a
+    * dedup pass.
     * Both directions are emitted so the consumer keeps the larger doc and
     * drops the contained one.
     *
@@ -1677,9 +1679,14 @@ object TextQueries {
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
+      // Plain joins, NOT broadcast(sizes): the per-doc size table is
+      // O(corpus documents), so forcing it driver-side breaks at 100 TB
+      // (r10 ADVICE). The PAIR table is the bounded-small side (df-capped,
+      // ≤ ContDfCap²/2 rows per surviving shingle) — left unhinted, the
+      // planner broadcasts it / AQE picks the side from runtime stats.
       shared
-        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"))), "doc_a")
-        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"))), "doc_b")
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (col("n_shared").cast("double") / col("n_a")).as("cont_a_in_b"),
           (col("n_shared").cast("double") / col("n_b")).as("cont_b_in_a"))
@@ -1858,6 +1865,98 @@ object TextQueries {
       ORDER BY cluster"""
     })
 
+  /** Tokens per packed training sequence for d40 — the training contract's
+    * context length (a USER parameter like d17's [[ChunkTokens]], not a
+    * corpus-derived index constant). */
+  private val PackSeqTokens = 128
+
+  /** Block width for d40's distributed prefix sum, derived from the corpus:
+    * ⌈√n⌉ blocks of ⌈√n⌉ docs balance the two levels — the per-block sum
+    * table AND each within-block window partition are both √n-sized. */
+  private def packBlockSize(n: Long): Long =
+    math.max(1024L, math.ceil(math.sqrt(n.toDouble)).toLong)
+
+  /** d40 — CROSS-DOCUMENT sequence packing (VERDICT r10 next #3): d17
+    * chunks WITHIN a document; a training pipeline's last step packs the
+    * whole corpus into fixed-[[PackSeqTokens]] training sequences. The
+    * packing is CONCATENATION in doc_id order — documents are laid out on
+    * one global token axis and cut every S tokens, documents straddling
+    * cuts — i.e. sequential first-fit WITH splitting: zero padding, every
+    * sequence exactly S tokens except the last (the GPT-style pack every
+    * large pretraining pipeline ships). The output is the BOUNDARY table —
+    * one row per (sequence, document) overlap with the segment's offset
+    * inside the sequence, inside the document, and its length — which IS
+    * the attention-mask/position-reset contract a trainer consumes.
+    *
+    * Scale shape: the only global quantity is each doc's running token
+    * offset — computed as a TWO-LEVEL DISTRIBUTED PREFIX SUM, never a
+    * corpus-wide single-partition window: (1) per-block exact int64 token
+    * sums (one partial-aggregated shuffle emitting B = n/[[packBlockSize]]
+    * ≈ √n cells); (2) block prefix offsets via a window over that BOUNDED
+    * block table (single-partition over √n rows — index-metadata-sized,
+    * the d38 vocab-window discipline); (3) within-block doc prefixes via a
+    * window PARTITIONED by block (each partition ≈ √n docs, never the
+    * corpus); the √n-row block-offset table rides back as a broadcast.
+    * Segment emission is then pure map-side arithmetic + a bounded explode
+    * (≤ n_tok/S + 1 rows per doc). Integer addition is associative, so the
+    * two-level offsets are bit-identical to the oracle's single global
+    * window — DuckDB replays the values, not the topology. */
+  val d40SequencePack: GraftQuery = GraftQuery(
+    "d40_sequence_pack",
+    s"cross-document packing into $PackSeqTokens-token training sequences: boundary rows (seq, doc, tok_start, tok_len)",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val S = PackSeqTokens
+      val t = docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val blockSize = packBlockSize(t.count())
+      val withBlk = t.withColumn("blk", expr(s"doc_id div $blockSize"))
+      val blkOff = withBlk.groupBy(col("blk"))
+        .agg(sum(col("n_tok")).as("bs"))
+        .withColumn("boff", coalesce(
+          sum(col("bs")).over(w.orderBy(col("blk"))
+            .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+        .select(col("blk"), col("boff"))
+      val wD = w.partitionBy(col("blk")).orderBy(col("doc_id"))
+        .rowsBetween(w.unboundedPreceding, -1)
+      val offs = withBlk.join(broadcast(blkOff), "blk")
+        .withColumn("off",
+          col("boff") + coalesce(sum(col("n_tok")).over(wD), lit(0L)))
+        .select(col("doc_id"), col("n_tok"), col("off"))
+      offs
+        .withColumn("seq_id",
+          explode(sequence(expr(s"off div $S"), expr(s"(off + n_tok - 1) div $S"))))
+        .withColumn("gs", greatest(col("off"), col("seq_id") * S))
+        .withColumn("ge", least(col("off") + col("n_tok"), (col("seq_id") + 1) * S))
+        .select(col("seq_id"), col("doc_id"),
+          (col("gs") - col("seq_id") * S).cast("int").as("tok_start"),
+          (col("gs") - col("off")).as("doc_tok_start"),
+          (col("ge") - col("gs")).cast("int").as("tok_len"))
+        .orderBy(col("seq_id"), col("tok_start"))
+    },
+    Some(s"""WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tok,
+          CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS off
+        FROM t),
+      seg AS (
+        SELECT doc_id, n_tok, off,
+          unnest(generate_series(off // $PackSeqTokens,
+            (off + n_tok - 1) // $PackSeqTokens)) AS seq_id
+        FROM o)
+      SELECT seq_id, doc_id,
+        CAST(GREATEST(off, seq_id * $PackSeqTokens)
+          - seq_id * $PackSeqTokens AS INT) AS tok_start,
+        GREATEST(off, seq_id * $PackSeqTokens) - off AS doc_tok_start,
+        CAST(LEAST(off + n_tok, (seq_id + 1) * $PackSeqTokens)
+          - GREATEST(off, seq_id * $PackSeqTokens) AS INT) AS tok_len
+      FROM seg ORDER BY seq_id, tok_start"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
@@ -1867,5 +1966,6 @@ object TextQueries {
     d24PiiScrub, d25DedupApply, d26StopwordScrub, d27ShardShuffle,
     d28IncrementalDedup, d29BpeTrain, d30BoilerplateScrub, d31KmvDistinct,
     d32SubstringDup, d33MixtureWeights, d34HllDistinct, d35LeakageSafeSplit,
-    d36CmsHeavy, d37ContainmentDup, d38BigramLm, d39QualityCanonical)
+    d36CmsHeavy, d37ContainmentDup, d38BigramLm, d39QualityCanonical,
+    d40SequencePack)
 }

@@ -252,4 +252,50 @@ class TrainingOpsSpec extends SparkSpec {
     // otherwise the operator is d21's canonical under another name.
     assert(got.exists(_.getInt(5) == 1), "quality keep rule never diverged from min-id")
   }
+
+  test("d40 packs every token exactly once into full fixed-budget sequences") {
+    val S = 128 // PackSeqTokens — the training contract this spec pins
+    val rows = TextQueries.d40SequencePack.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getInt(4))) // (seq_id, doc_id, tok_start, doc_tok_start, tok_len)
+    val nTok = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (1) Every token of every document lands in EXACTLY one segment:
+    // per-doc segments are contiguous from 0 and sum to the token count.
+    rows.groupBy(_._2).foreach { case (doc, segs) =>
+      val sorted = segs.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"doc $doc: first segment starts at ${sorted.head._4}")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 + a._5 == b._4,
+            s"doc $doc: gap/overlap between segments at ${a._4 + a._5} vs ${b._4}")
+        case _ => ()
+      }
+      assert(sorted.map(_._5.toLong).sum == nTok(doc),
+        s"doc $doc: packed ${sorted.map(_._5).sum} of ${nTok(doc)} tokens")
+    }
+    assert(rows.map(_._2).toSet == nTok.keySet, "some document never packed")
+    // (2) No sequence exceeds the budget; zero padding: every sequence is
+    // exactly S tokens except the last, and segments tile [0, S).
+    val lastSeq = rows.map(_._1).max
+    rows.groupBy(_._1).foreach { case (seq, segs) =>
+      val sorted = segs.sortBy(_._3)
+      assert(sorted.head._3 == 0, s"seq $seq starts at ${sorted.head._3}")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 + a._5 == b._3, s"seq $seq: segment gap/overlap")
+        case _ => ()
+      }
+      val total = sorted.map(_._5).sum
+      assert(total <= S, s"seq $seq holds $total > $S tokens")
+      if (seq != lastSeq) assert(total == S, s"seq $seq padded: $total < $S")
+    }
+    // (3) Deterministic doc_id-order concatenation: within a sequence,
+    // segment order equals doc_id order.
+    rows.groupBy(_._1).foreach { case (seq, segs) =>
+      val byPos = segs.sortBy(_._3).map(_._2)
+      assert(byPos.sameElements(byPos.sorted), s"seq $seq not in doc_id order")
+    }
+  }
 }
