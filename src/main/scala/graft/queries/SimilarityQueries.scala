@@ -1010,12 +1010,17 @@ object SimilarityQueries {
     * Every stage is linear in n with keyed equi-join shuffles only — the
     * IVF analogue of d07's LSH band join. */
   private[queries] def listPairs(s: org.apache.spark.sql.SparkSession, dir: String,
-                                 trained: Boolean = true) = {
+                                 trained: Boolean = true,
+                                 maxId: Long = Long.MaxValue) = {
     val prepared = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") < maxId)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("ve"))
       .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Registered-function tags must be unique per (corpus subset): e13
+    // builds a BASE-subset index in the same JVM as full-corpus consumers.
+    val tagSfx = if (maxId == Long.MaxValue) "" else s"b$maxId"
     val nList = graphNList(prepared.count())
     val seed = prepared.filter(col("vec_id") < nList)
       .collect()
@@ -1044,7 +1049,7 @@ object SimilarityQueries {
         .sortBy(_._1)
       for (it <- 1 to NIter) {
         val assigned = quant.withColumn("list",
-          element_at(cbRank2(s, s"e07t$it", cb, col("qv"), col("qnrm")), 1))
+          element_at(cbRank2(s, s"e07t$it$tagSfx", cb, col("qv"), col("qnrm")), 1))
         val cells = assigned
           .select(col("list"), posexplode(col("qv")).as(Seq("pos", "x")))
           .groupBy(col("list"), col("pos"))
@@ -1065,8 +1070,9 @@ object SimilarityQueries {
       }
       cb
     }
+    cbCache.put((dir, trained, maxId), codebook)
     val probing = prepared.withColumn("list",
-      explode(slice(cbRank2(s, "e07", codebook, col("ve"), col("nrm")),
+      explode(slice(cbRank2(s, s"e07$tagSfx", codebook, col("ve"), col("nrm")),
         1, GraphNProbe)))
     // Index side: nearest-list assignment, then a deterministic uniform
     // subsample of each list (portable-hash order) capped at CandCap.
@@ -1074,7 +1080,7 @@ object SimilarityQueries {
       ((lit(PortableHash.A(0)) * col("vec_id") + lit(PortableHash.B(0)))
         % lit(PortableHash.P)).asc, col("vec_id"))
     val capped = prepared.withColumn("list",
-        element_at(cbRank2(s, "e07", codebook, col("ve"), col("nrm")), 1))
+        element_at(cbRank2(s, s"e07$tagSfx", codebook, col("ve"), col("nrm")), 1))
       .withColumn("lrn", row_number().over(lrnW))
       .filter(col("lrn") <= CandCap)
       .select(col("list"), col("vec_id").as("nid"),
@@ -1128,15 +1134,23 @@ object SimilarityQueries {
     // pair outside pairs0's top-K only ranks lower in the union, and a
     // τ-filter commutes with distinct — both algebraic identities, so the
     // oracles' distinct-union formulation is value-identical.
-    (pairs0, g3, symmetrize(hopScored))
+    (pairs0, g3, symmetrize(hopScored), capped.select(col("list"), col("nid")))
   }
+
+  /** Trained coarse codebooks memoized per (directory, training, subset) —
+    * populated by [[listPairs]] when the graph index is built, read back by
+    * e13 to route APPENDED vectors through the FROZEN router without
+    * retraining (the incremental-maintenance contract). Bounded index
+    * metadata: √n centroids × Dim doubles per key. */
+  private val cbCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Boolean, Long), Array[(Long, Seq[Double], Double)]]()
 
   /** Oracle CTE chain replaying the full index build value-exactly:
     * int8 quantization, the integer-exact two-level Lloyd loop (branch +
     * super + within-branch assignment per round, exact int64 centroid
     * sums), then the float-vector two-level ranking against the trained
     * codebook, capped probe pairs, and the NN-descent refinement round. */
-  private val listPairsSql: String = {
+  private def listPairsSqlFor(srcTable: String): String = {
     val dot = (a: String, b: String) =>
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"""
@@ -1192,7 +1206,7 @@ object SimilarityQueries {
     val cT = s"c$NIter"
     s"""v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-        FROM embeddings),
+        FROM $srcTable),
       n AS (
         SELECT vec_id, ve, ${sq("ve")} AS nrm FROM v),
       q0 AS (
@@ -1290,6 +1304,10 @@ object SimilarityQueries {
           SELECT nid AS vec_id, vec_id AS nid, cosine FROM hops))"""
   }
 
+  /** The full-corpus instance (e07/e08's oracle chain); e13 re-derives the
+    * same chain over the base subset via [[listPairsSqlFor]]. */
+  private val listPairsSql: String = listPairsSqlFor("embeddings")
+
   /** Mark every non-recursive CTE `AS MATERIALIZED` (DuckDB planner hint;
     * value-neutral). Under e08's `WITH RECURSIVE`, DuckDB stops
     * auto-materializing multiply-referenced CTEs, and the trained-codebook
@@ -1314,23 +1332,30 @@ object SimilarityQueries {
     * volume any consumer reads). The path map memoizes per JVM; the data
     * is on disk, shutdown-hook cleaned like every harness dir. */
   private val graphDirs =
-    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean, Long), String]()
 
   private def graphTables(s: org.apache.spark.sql.SparkSession, dir: String,
-                          trained: Boolean = true) = {
-    val base = graphDirs.computeIfAbsent((dir, trained), { _ =>
+                          trained: Boolean = true,
+                          maxId: Long = Long.MaxValue) = {
+    val base = graphDirs.computeIfAbsent((dir, trained, maxId), { _ =>
       val out = graft.streaming.StreamHarness.tempDir("cgraph")
-      val (pairs0, g3, hopsSym) = listPairs(s, dir, trained)
+      val (pairs0, g3, hopsSym, capped) = listPairs(s, dir, trained, maxId)
       g3.withColumn("part", lit("g3"))
         .union(hopsSym.withColumn("part", lit("hops")))
         .union(pairs0.filter(col("cosine") >= SemTau).withColumn("part", lit("ptau")))
+        // "cap" = the IVF postings (capped member list per coarse list) —
+        // the index structure e13 probes when APPENDING vectors; stored in
+        // the shared narrow schema as (list → vec_id, member → nid).
+        .union(capped.select(col("list").as("vec_id"), col("nid"),
+          lit(0.0).as("cosine")).withColumn("part", lit("cap")))
         .write.mode("overwrite").partitionBy("part").parquet(out)
       out
     })
     val t = s.read.parquet(base)
     def part(p: String) = t.filter(col("part") === p)
       .select(col("vec_id"), col("nid"), col("cosine"))
-    (part("ptau"), part("g3"), part("hops"))
+    (part("ptau"), part("g3"), part("hops"),
+      part("cap").select(col("vec_id").as("list"), col("nid")))
   }
 
   /** e07 — corpus-wide k-NN GRAPH (neighbors for EVERY vector, not just a
@@ -1347,7 +1372,7 @@ object SimilarityQueries {
     * runs trained; AnnRecallSpec builds both to assert trained ≥ seeded. */
   private[queries] def knnGraphFrame(s: org.apache.spark.sql.SparkSession,
                                      dir: String, trained: Boolean) = {
-    val (_, g3, hopsSym) = graphTables(s, dir, trained)
+    val (_, g3, hopsSym, _) = graphTables(s, dir, trained)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nid"))
     // Exact merge on small data (see listPairs): probe-side candidates are
@@ -1387,7 +1412,7 @@ object SimilarityQueries {
       // candidate volume. graphTables stores the probe leg ALREADY
       // τ-filtered (ptau) — the only part of the candidate volume any
       // consumer reads back.
-      val (pairsTau, _, hopsSym) = graphTables(s, dir)
+      val (pairsTau, _, hopsSym, _) = graphTables(s, dir)
       val cand = pairsTau
         .union(hopsSym.filter(col("cosine") >= SemTau)).distinct()
       // listPairs candidates are already symmetrized, so both directions of
@@ -2082,9 +2107,152 @@ object SimilarityQueries {
       ORDER BY sel.rnk""")
     })
 
+  /** Appended-batch size for e13, derived from the corpus: the LAST
+    * max(16, n/10) vec_ids are held out of the base index and appended
+    * incrementally — a tenth of the corpus arriving after the index was
+    * built, the standing-corpus growth shape d28 models for dedup. */
+  def e13BatchSize(n: Long): Long = math.max(16L, n / 10L)
+
+  /** e13 — INCREMENTAL ANN index maintenance (VERDICT r10 next #4): e07's
+    * graph-index tables rebuild per directory, but a growing 100 TB corpus
+    * appends; this operator merges a held-out vector batch into the
+    * MATERIALIZED base index without retraining or rebuilding. The base
+    * index (trained codebook, capped IVF postings, top-K graph — all
+    * materialized tables) is FROZEN; each appended vector is routed
+    * through the frozen two-level router (O(B·n^¼) dots for a B-vector
+    * batch), probes the stored capped postings plus the batch's own
+    * postings, and the per-vector top-K lists merge by the same algebraic
+    * identity listPairs' consumers use: top-K(old ∪ new) =
+    * top-K(top-K(old) ∪ new). No base vector is re-assigned, no Lloyd
+    * round re-runs, no NN-descent over the base — the append touches
+    * O(B·CandCap·NProbe) candidate pairs however large the base is.
+    *
+    * The trade vs a full rebuild: the codebook stays base-trained (drift
+    * until the next scheduled retrain — the FAISS/production contract for
+    * in-between-rebuilds serving) and appended vectors skip the
+    * NN-descent refinement round; AnnRecallSpec bounds the merged graph's
+    * recall against the full union rebuild. */
+  val e13IncrementalIndex: GraftQuery = GraftQuery(
+    "e13_incremental_index",
+    "incremental ANN maintenance: frozen-router append of the last n/10 vectors into the materialized graph index",
+    (s, dir) => {
+      val allV = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("ve"))
+        .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTotal = allV.count()
+      val nBase = nTotal - e13BatchSize(nTotal)
+      // Standing index: materialized base tables + the frozen codebook the
+      // build cached (bounded index metadata, never retrained here).
+      val (_, g3B, hopsB, capB) = graphTables(s, dir, trained = true, maxId = nBase)
+      val cb = cbCache.get((dir, true, nBase))
+      require(cb != null, "e13: base index build did not cache its codebook")
+      val wK = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("nid"))
+      val baseGraph = g3B.union(hopsB).distinct()
+        .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= KnnK)
+        .select(col("vec_id"), col("nid"), col("cosine"))
+      // Appended batch through the FROZEN router.
+      val batch = allV.filter(col("vec_id") >= nBase)
+      def ranked = cbRank2(s, "e13", cb, col("ve"), col("nrm"))
+      val bAssigned = batch.withColumn("list", element_at(ranked, 1))
+      val lrnW = Window.partitionBy(col("list")).orderBy(
+        ((lit(PortableHash.A(0)) * col("vec_id") + lit(PortableHash.B(0)))
+          % lit(PortableHash.P)).asc, col("vec_id"))
+      // The increment's own postings, capped by the same deterministic
+      // subsample rule as the stored base postings.
+      val bCap = bAssigned.withColumn("lrn", row_number().over(lrnW))
+        .filter(col("lrn") <= CandCap)
+        .select(col("list"), col("vec_id").as("nid"),
+          col("ve").as("nve"), col("nrm").as("nnrm"))
+      // Stored postings carry ids; re-join vectors (at scale: a keyed
+      // equi-join against the embedding store, the standard fetch).
+      val capVec = capB
+        .join(allV.select(col("vec_id").as("nid"), col("ve").as("nve"),
+          col("nrm").as("nnrm")), "nid")
+        .select(col("list"), col("nid"), col("nve"), col("nnrm"))
+      val targets = capVec.union(bCap)
+      val probes = batch.withColumn("list",
+        explode(slice(ranked, 1, GraphNProbe)))
+      val rawNew = probes.join(targets, Seq("list"))
+        .filter(col("vec_id") =!= col("nid"))
+        .withColumn("cosine",
+          call_function("graft_dot", col("ve"), col("nve"))
+            / (col("nrm") * col("nnrm")))
+        .select(col("vec_id"), col("nid"), col("cosine"))
+      val newEdges = rawNew.select(explode(array(
+          struct(col("vec_id"), col("nid"), col("cosine")),
+          struct(col("nid").as("vec_id"), col("vec_id").as("nid"),
+            col("cosine")))).as("p"))
+        .select(col("p.vec_id"), col("p.nid"), col("p.cosine"))
+        .distinct()
+      // Disjoint by construction (baseGraph pairs are base-base; every new
+      // edge touches a batch id), so the union needs no second distinct.
+      baseGraph.union(newEdges)
+        .withColumn("rnk", row_number().over(wK))
+        .filter(col("rnk") <= KnnK)
+        .select(col("vec_id"), col("nid"), col("rnk"), col("cosine"),
+          (col("vec_id") >= nBase).cast("int").as("is_new"))
+        .orderBy(col("vec_id"), col("rnk"))
+    },
+    Some(materializeCtes(s"""WITH bp AS (
+        SELECT COUNT(*) AS ntot,
+          COUNT(*) - GREATEST(16, COUNT(*) // 10) AS nb FROM embeddings),
+      eb AS (SELECT e.* FROM embeddings e, bp WHERE e.vec_id < bp.nb),
+      ${listPairsSqlFor("eb")},
+      baseg AS (
+        SELECT vec_id, nid, cosine FROM (
+          SELECT vec_id, nid, cosine,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY cosine DESC, nid) AS rnk
+          FROM pairs) WHERE rnk <= $KnnK),
+      btn AS (
+        SELECT vec_id, ve, sqrt(${dotSql("ve", "ve")}) AS nrm FROM (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings, bp WHERE vec_id >= bp.nb)),
+      ${twoLevelSql("B", "btn", "ve", "nrm", s"c$NIter", "cqv", "cnrm")},
+      basg AS (SELECT vec_id, cid AS list FROM rkB WHERE crn = 1),
+      bcap AS (
+        SELECT list, vec_id AS nid FROM (
+          SELECT list, vec_id,
+            row_number() OVER (PARTITION BY list ORDER BY
+              (${PortableHash.A(0)} * vec_id + ${PortableHash.B(0)})
+                % ${PortableHash.P}, vec_id) AS lrn
+          FROM basg) WHERE lrn <= $CandCap),
+      targets AS (
+        SELECT list, vec_id AS nid, ve AS nve, nrm AS nnrm FROM capped
+        UNION ALL
+        SELECT b.list, b.nid, x.ve AS nve, x.nrm AS nnrm
+        FROM bcap b JOIN btn x ON x.vec_id = b.nid),
+      bprobe AS (
+        SELECT r.vec_id, r.cid AS list, x.ve, x.nrm
+        FROM rkB r JOIN btn x USING (vec_id) WHERE r.crn <= $GraphNProbe),
+      rawn AS (
+        SELECT p.vec_id, t.nid,
+          ${dotSql("p.ve", "t.nve")} / (p.nrm * t.nnrm) AS cosine
+        FROM bprobe p JOIN targets t USING (list) WHERE p.vec_id <> t.nid),
+      newe AS (
+        SELECT DISTINCT vec_id, nid, cosine FROM (
+          SELECT vec_id, nid, cosine FROM rawn
+          UNION ALL
+          SELECT nid AS vec_id, vec_id AS nid, cosine FROM rawn)),
+      merged AS (
+        SELECT vec_id, nid, cosine FROM baseg
+        UNION ALL
+        SELECT vec_id, nid, cosine FROM newe)
+      SELECT vec_id, nid, CAST(rnk AS INT) AS rnk, cosine,
+        CAST(vec_id >= bp.nb AS INT) AS is_new
+      FROM (
+        SELECT vec_id, nid, cosine,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cosine DESC, nid) AS rnk
+        FROM merged), bp
+      WHERE rnk <= $KnnK ORDER BY vec_id, rnk""")))
+
   val all: Seq[GraftQuery] =
     Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8,
       e05AnnIvfTrained, e06AnnRerank, e07KnnGraph, e08SemanticClusters,
       e09AnnPq, e10RangeSearch, e11AnnFiltered, e12KcenterCoreset,
-      d10EmbeddingNeardup)
+      e13IncrementalIndex, d10EmbeddingNeardup)
 }

@@ -172,6 +172,48 @@ class AnnRecallSpec extends SparkSpec {
       s"trained codebook recall $trained trails seeded $seeded")
   }
 
+  test("e13 incremental append stays within recall reach of the full rebuild") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ve"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exact = vecs.map { case (id, v) =>
+      id -> vecs.view.filter(_._1 != id)
+        .map { case (oid, ov) => (oid, cos(v, ov)) }.toSeq
+        .sortBy { case (oid, c) => (-c, oid) }.take(3).map(_._1).toSet
+    }
+    def recallOf(rows: Map[Long, Set[Long]]): Double = {
+      val rs = exact.map { case (id, tops) =>
+        tops.intersect(rows.getOrElse(id, Set.empty)).size.toDouble / tops.size
+      }
+      rs.sum / rs.size
+    }
+    val merged = SimilarityQueries.e13IncrementalIndex.run(spark, dir)
+      .select("vec_id", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val rebuild = SimilarityQueries.knnGraphFrame(spark, dir, trained = true)
+      .select("vec_id", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val mR = recallOf(merged)
+    val fR = recallOf(rebuild)
+    // The frozen-codebook append gives up the batch's NN-descent round and
+    // any codebook drift — bound the give-up instead of pretending parity
+    // (measured on this fixture: merged within a few points of rebuild).
+    assert(mR >= fR - 0.1, s"merged recall@3 $mR trails full rebuild $fR by > 0.1")
+    assert(mR >= 0.75, s"merged recall@3 $mR < 0.75 floor")
+    // Every vector — base and appended — has neighbors in the merged index.
+    val nTotal = vecs.size
+    assert(merged.size >= (nTotal * 0.95).toInt,
+      s"merged graph covers ${merged.size} of $nTotal vectors")
+  }
+
   test("fixture embedding dimensionality matches SimilarityQueries.Dim") {
     // e05's oracle unrolls per-dimension sums over 1..Dim; a fixture with a
     // different dim would silently truncate the training sums.
