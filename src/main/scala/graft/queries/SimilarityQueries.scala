@@ -1988,9 +1988,15 @@ object SimilarityQueries {
         FROM scored)
       WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
-  /** Coreset size for e12: 8 centers — like [[annQuerySetSize]]'s floor,
-    * fixed because the oracle's CTE chain length is compile-time. */
-  private val CoresetK = 8
+  /** Coreset size for e12, derived from the corpus through the same family
+    * as every other index parameter (VERDICT r10 next #5 — the last fixed
+    * constant): K = max(8, [[graphNList]](n)/16) = √n/16 centers, so the
+    * cover grows with the index granularity while the greedy loop's K − 1
+    * scans stay sublinear. At every committed bench scale (n ≤ 20k) this
+    * evaluates to exactly 8 — backward-consistent — and the oracle replays
+    * the dynamic K with a WITH RECURSIVE greedy loop instead of a
+    * compile-time CTE unroll. */
+  def coresetK(n: Long): Int = math.max(8, graphNList(n) / 16)
 
   /** DuckDB fragment: deterministic left-fold dot of two DOUBLE[] columns
     * (index order, the exact fold `graft_dot` runs). */
@@ -2020,12 +2026,13 @@ object SimilarityQueries {
     * radii exactly. */
   val e12KcenterCoreset: GraftQuery = GraftQuery(
     "e12_kcenter_coreset",
-    s"greedy k-center coreset (K=$CoresetK): diversity cover with per-center occupancy and radius",
+    "greedy k-center coreset (K = sqrt(n)/16, floor 8): diversity cover with per-center occupancy and radius",
     (s, dir) => {
       val v = Tables.load(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("ve"))
         .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val k = coresetK(v.count())
       def centerDist(cv: Array[Double], cn: Double) =
         lit(1.0) - call_function("graft_dot", col("ve"), lit(cv)) /
           (col("nrm") * lit(cn))
@@ -2041,7 +2048,7 @@ object SimilarityQueries {
       val seed = seedRows.head
       var centers = Vector(
         (seed.getLong(0), seed.getSeq[Double](1).toArray, seed.getDouble(2)))
-      for (_ <- 1 until CoresetK) {
+      for (_ <- 1 until k) {
         val d = centers.map { case (_, cv, cn) => centerDist(cv, cn) }
           .reduce(least(_, _))
         val nxt = v.select(col("vec_id"), col("ve"), col("nrm"), d.as("d"))
@@ -2053,11 +2060,12 @@ object SimilarityQueries {
         centerDist(cv, cn).as(s"d$j")
       }
       val withD = v.select((col("vec_id") +: dCols): _*)
-        .withColumn("dmin", least((0 until CoresetK).map(j => col(s"d$j")): _*))
+        .withColumn("dmin", least((0 until k).map(j => col(s"d$j")): _*))
       // First center achieving the minimum wins ties — foldRight nests so
-      // j=0 is the outermost (first-checked) branch, the same CASE order
-      // the oracle uses, over bit-identical doubles.
-      val rnk = (0 until CoresetK).foldRight(lit(-1)) { (j, els) =>
+      // j=0 is the outermost (first-checked) branch; the oracle's
+      // MIN(rnk)-at-dmin picks the same smallest insertion index over
+      // bit-identical doubles.
+      val rnk = (0 until k).foldRight(lit(-1)) { (j, els) =>
         when(col(s"d$j") === col("dmin"), lit(j)).otherwise(els)
       }
       val asg = withD.withColumn("rnk", rnk)
@@ -2070,41 +2078,52 @@ object SimilarityQueries {
         .select(col("rnk"), col("vec_id"), col("n_assigned"), col("radius"))
         .orderBy(col("rnk"))
     },
+    // WITH RECURSIVE greedy replay (the CTE chain length followed K while
+    // K was compile-time; a corpus-derived K needs a loop): each iteration
+    // carries the selected centers as a list and appends the argmax of the
+    // min-distance — MIN over centers equals Spark's least-fold exactly
+    // (order-independent exact minimum of bit-identical doubles), and the
+    // (d DESC, vec_id) pick replays the TakeOrdered top-1.
     Some {
-      def dexpr(cAlias: String) =
-        s"1 - ${dotSql("n.ve", s"$cAlias.ve")} / (n.nrm * $cAlias.nrm)"
-      val rounds = (1 until CoresetK).map { r =>
-        val froms = (0 until r).map(j => s"c$j").mkString(", ")
-        val dists = (0 until r).map(j => dexpr(s"c$j"))
-        val least = if (dists.size == 1) dists.head
-                    else s"LEAST(${dists.mkString(", ")})"
-        s"""d$r AS (SELECT n.vec_id, n.ve, n.nrm, $least AS d FROM n, $froms),
-      c$r AS (SELECT vec_id, ve, nrm FROM d$r ORDER BY d DESC, vec_id LIMIT 1)"""
-      }.mkString(",\n      ")
-      val eCols = (0 until CoresetK).map(j => s"${dexpr(s"c$j")} AS e$j").mkString(", ")
-      val allCs = (0 until CoresetK).map(j => s"c$j").mkString(", ")
-      val leastAll = s"LEAST(${(0 until CoresetK).map(j => s"e$j").mkString(", ")})"
-      val caseRnk = (0 until CoresetK)
-        .map(j => s"WHEN e$j = dmin THEN $j").mkString("CASE ", " ", " END")
-      val centsUnion = (0 until CoresetK)
-        .map(j => s"SELECT $j AS rnk, vec_id FROM c$j").mkString(" UNION ALL ")
-      materializeCtes(s"""WITH v AS (
+      val dist = (x: String, c: String) =>
+        s"1 - ${dotSql(s"$x.ve", s"$c.ve")} / ($x.nrm * $c.nrm)"
+      s"""WITH RECURSIVE v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
         FROM embeddings),
       n AS (
         SELECT vec_id, ve, sqrt(${dotSql("v.ve", "v.ve")}) AS nrm
         FROM v),
-      c0 AS (SELECT vec_id, ve, nrm FROM n ORDER BY vec_id LIMIT 1),
-      $rounds,
-      asg AS (SELECT n.vec_id, $eCols FROM n, $allCs),
-      sel AS (SELECT vec_id, dmin, $caseRnk AS rnk FROM (
-        SELECT vec_id, ${(0 until CoresetK).map(j => s"e$j").mkString(", ")},
-          $leastAll AS dmin FROM asg)),
-      cents AS ($centsUnion)
-      SELECT sel.rnk, cents.vec_id, COUNT(*) AS n_assigned, MAX(sel.dmin) AS radius
-      FROM sel JOIN cents ON sel.rnk = cents.rnk
-      GROUP BY sel.rnk, cents.vec_id
-      ORDER BY sel.rnk""")
+      kp AS (
+        SELECT GREATEST(8, GREATEST(16,
+          CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) // 16) AS k FROM n),
+      rec AS (
+        SELECT 1 AS it,
+          [(SELECT vec_id FROM n ORDER BY vec_id LIMIT 1)] AS cs
+        UNION ALL
+        SELECT it + 1, list_append(cs, (
+          SELECT vec_id FROM (
+            SELECT x.vec_id, MIN(${dist("x", "c")}) AS d
+            FROM n x, n c WHERE list_contains(cs, c.vec_id)
+            GROUP BY x.vec_id) q
+          ORDER BY d DESC, vec_id LIMIT 1))
+        FROM rec, kp WHERE it < kp.k),
+      fin AS (SELECT cs FROM rec, kp WHERE it = kp.k),
+      cent AS (
+        SELECT i - 1 AS rnk, cs[i] AS vec_id
+        FROM fin, (SELECT unnest(generate_series(1,
+          (SELECT len(cs) FROM fin))) AS i)),
+      dists AS (
+        SELECT x.vec_id, ci.rnk, ${dist("x", "cv")} AS dj
+        FROM n x, cent ci JOIN n cv ON cv.vec_id = ci.vec_id),
+      dmn AS (SELECT vec_id, MIN(dj) AS dmin FROM dists GROUP BY vec_id),
+      sel AS (
+        SELECT d.vec_id, m.dmin, CAST(MIN(d.rnk) AS INT) AS rnk
+        FROM dists d JOIN dmn m ON d.vec_id = m.vec_id AND d.dj = m.dmin
+        GROUP BY d.vec_id, m.dmin)
+      SELECT sel.rnk, cent.vec_id, COUNT(*) AS n_assigned, MAX(sel.dmin) AS radius
+      FROM sel JOIN cent ON sel.rnk = cent.rnk
+      GROUP BY sel.rnk, cent.vec_id
+      ORDER BY sel.rnk"""
     })
 
   /** Appended-batch size for e13, derived from the corpus: the LAST

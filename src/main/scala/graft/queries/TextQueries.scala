@@ -1524,12 +1524,33 @@ object TextQueries {
              + SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << m))) AS est_distinct
       FROM rho GROUP BY lang ORDER BY lang"""))
 
-  /** CMS geometry for d36: depth 4 × width 512 counters. Point-estimate
-    * error is ≤ 2e/W · N with probability 1 − (1/2)^D ≈ 0.94 (Cormode &
-    * Muthukrishnan 2005); at W = 512 the noise floor per counter is N/512,
-    * so the N/[[CmsDen]] heavy-hitter threshold sits 2× above it. */
+  /** CMS depth for d36: D is the FAILURE-PROBABILITY knob — the min over D
+    * rows is wrong with probability ≤ (1/2)^D ≈ 0.94 confidence at D = 4
+    * (Cormode & Muthukrishnan 2005) — not a data-scale knob, so it stays
+    * structural while the width follows the corpus. */
   private val CmsD = 4
-  private val CmsW = 512L
+
+  /** Width floor: 2·[[CmsDen]], so the per-counter noise floor N/W sits 2×
+    * under the N/CmsDen report threshold whatever the vocabulary. */
+  private val CmsWFloor = 512L
+  /** Width cap: bounds the sketch at D×65536 cells — still CONSTANT
+    * driver-side state, the property the sketch exists for. */
+  private val CmsWCap = 65536L
+
+  /** CMS width derived from the corpus's DISTINCT-TOKEN scale (VERDICT r10
+    * next #5 — the last fixed index constant): the smallest power of two
+    * ≥ 4× the HLL vocabulary estimate (d34's estimator, corpus-wide),
+    * clamped to [[[CmsWFloor]], [[CmsWCap]]] — expected colliders per
+    * counter stay ≤ 1/4 as the vocabulary grows instead of a fixed 512
+    * silently saturating. The ladder compares a bit-identical double
+    * against exact powers of two, so both engines derive the same W; at
+    * every committed gate scale (vocab ≈ 31) it evaluates to the 512
+    * floor, so the derivation is backward-consistent. */
+  private[queries] def cmsWidth(estDistinct: Double): Long = {
+    var w = CmsWFloor
+    while (w < CmsWCap && w < 4.0 * estDistinct) w *= 2
+    w
+  }
 
   /** Heavy-hitter threshold denominator: report tokens whose estimated
     * count is ≥ N/256 of the corpus token mass. */
@@ -1546,8 +1567,9 @@ object TextQueries {
     * per token occurrence ([[graft.functions.PortableHash]] affine family,
     * so both engines derive identical buckets), one groupBy(j, bucket)
     * whose map-side combine caps the shuffle at D·W rows per partition and
-    * whose result is a CONSTANT D×W = 2048-cell table whatever the corpus
-    * size; (2) estimation — the sketch rides back as a 2048-cell literal
+    * whose result is a BOUNDED D×W table (W vocab-derived via [[cmsWidth]],
+    * capped at 65536) whatever the corpus size; (2) estimation — the
+    * sketch rides back as a ≤ D·65536-cell literal
     * (bounded index metadata, the ANN-codebook discipline: the collect is
     * D·W longs, never data-plane), so per-occurrence estimates are
     * whole-stage-codegen `element_at` lookups with NO join, and the only
@@ -1559,10 +1581,26 @@ object TextQueries {
     * the sketch, the minimum, and the cut bit-exactly. */
   val d36CmsHeavy: GraftQuery = GraftQuery(
     "d36_cms_heavy",
-    s"Count-Min-Sketch heavy hitters (D=$CmsD × W=$CmsW, est ≥ N/$CmsDen cut, sketch rides back as a literal)",
+    s"Count-Min-Sketch heavy hitters (D=$CmsD × vocab-derived W, est ≥ N/$CmsDen cut, sketch rides back as a literal)",
     (s, dir) => {
+      // Width from the corpus's vocabulary scale: d34's HLL estimator run
+      // corpus-wide (one bounded 64-register agg — index-build work), then
+      // the power-of-two ladder. Both engines replay the estimate and the
+      // ladder bit-exactly.
+      val hrow = docs(s, dir)
+        .select(explode(call_function("graft_token_hashes", col("text"))).as("h"))
+        .select(pmod(col("h"), lit(HllM)).as("reg"), expr(s"h div $HllM").as("q"))
+        .withColumn("rho", when(col("q") === 0, lit(25L))
+          .otherwise(lit(25L) - length(bin(col("q")))))
+        .groupBy(col("reg")).agg(max(col("rho")).as("m"))
+        .agg(count(lit(1)).as("nr"),
+          sum(expr("cast(1 as double) / shiftleft(1L, cast(m as int))")).as("sp"))
+        .collect().head
+      val est = 0.709 * HllM * HllM /
+        ((HllM.toDouble - hrow.getLong(0)) + hrow.getDouble(1))
+      val cmsW = cmsWidth(est)
       def bucket(j: Int, h: org.apache.spark.sql.Column) =
-        ((lit(A(j)) * h + lit(B(j))) % lit(P)) % lit(CmsW)
+        ((lit(A(j)) * h + lit(B(j))) % lit(P)) % lit(cmsW)
       // Sketch pass needs only the hashes — the native codegen kernel, no
       // token strings materialized. The estimate pass re-derives each
       // occurrence's hash with the scalar kernel (`graft_string_hash` =
@@ -1576,8 +1614,8 @@ object TextQueries {
         .select(posexplode(array((0 until CmsD).map(j => bucket(j, col("h"))): _*))
           .as(Seq("j", "b")))
         .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
-        .collect() // bounded: ≤ D·W = 2048 cells, the persisted-sketch stand-in
-      val counters = Array.fill(CmsD, CmsW.toInt)(0L)
+        .collect() // bounded: ≤ D·W ≤ D·65536 cells, the persisted-sketch stand-in
+      val counters = Array.fill(CmsD, cmsW.toInt)(0L)
       sketchRows.foreach(r => counters(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
       val nTotal = counters(0).sum // every occurrence lands in exactly one j=0 cell
       occ
@@ -1591,12 +1629,31 @@ object TextQueries {
     Some(s"""WITH occ AS (
         SELECT token, ${stringHashSql("token")} AS h FROM (
           SELECT UNNEST(${tokensSql("text")}) AS token FROM documents)),
+      hreg AS (
+        SELECT h % $HllM AS reg,
+          MAX(CASE WHEN h // $HllM = 0 THEN 25
+              ELSE 25 - length(bin(h // $HllM)) END) AS m
+        FROM occ GROUP BY reg),
+      hest AS (
+        SELECT CAST(0.709 AS DOUBLE) * $HllM * $HllM
+          / ((CAST($HllM AS DOUBLE) - COUNT(*))
+             + SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << m))) AS est
+        FROM hreg),
+      wp AS (SELECT CASE
+          WHEN 4 * est <= 512 THEN 512
+          WHEN 4 * est <= 1024 THEN 1024
+          WHEN 4 * est <= 2048 THEN 2048
+          WHEN 4 * est <= 4096 THEN 4096
+          WHEN 4 * est <= 8192 THEN 8192
+          WHEN 4 * est <= 16384 THEN 16384
+          WHEN 4 * est <= 32768 THEN 32768
+          ELSE 65536 END AS w FROM hest),
       fam AS (SELECT * FROM (VALUES
           ${(0 until CmsD).map(j => s"(${j}, ${A(j)}, ${B(j)})").mkString(", ")})
         AS t(j, a, bb)),
       bkt AS (SELECT occ.token, fam.j,
-          ((fam.a * occ.h + fam.bb) % $P) % $CmsW AS b
-        FROM occ CROSS JOIN fam),
+          ((fam.a * occ.h + fam.bb) % $P) % wp.w AS b
+        FROM occ CROSS JOIN fam CROSS JOIN wp),
       cms AS (SELECT j, b, COUNT(*) AS c FROM bkt GROUP BY j, b),
       n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cms WHERE j = 0),
       est AS (SELECT token, MIN(c) AS est_count

@@ -306,6 +306,29 @@ class ScalePlanSpec extends SparkSpec {
     assert(ns.map(SimilarityQueries.lshPlanes) == ns.map(SimilarityQueries.lshPlanes).sorted)
   }
 
+  test("d36 CMS width and e12 coreset K derive from the corpus (VERDICT r10 #5)") {
+    // d36: smallest power of two >= 4x the vocabulary estimate, clamped to
+    // [512, 65536] — expected colliders per counter stay <= 1/4 as the
+    // vocabulary grows, and the sketch stays bounded driver-side state.
+    assert(TextQueries.cmsWidth(31.0) == 512)     // committed-gate scale: floor
+    assert(TextQueries.cmsWidth(128.0) == 512)    // 4*128 = 512 exactly: floor
+    assert(TextQueries.cmsWidth(129.0) == 1024)
+    assert(TextQueries.cmsWidth(1000.0) == 4096)
+    assert(TextQueries.cmsWidth(1e9) == 65536)    // cap: bounded forever
+    val es = Seq(1.0, 100.0, 1e3, 1e4, 1e6, 1e8)
+    assert(es.map(TextQueries.cmsWidth(_)) == es.map(TextQueries.cmsWidth(_)).sorted)
+    // e12: K = sqrt(n)/16 with floor 8 — the cover grows with the same
+    // index granularity as graphNList, while K - 1 scans stay sublinear.
+    assert(SimilarityQueries.coresetK(500) == 8)
+    assert(SimilarityQueries.coresetK(20000) == 8)  // committed-gate scale
+    assert(SimilarityQueries.coresetK(1000000) ==
+      SimilarityQueries.graphNList(1000000) / 16)
+    assert(SimilarityQueries.coresetK(1000000) > 8)
+    val ks = Seq(1L, 1000L, 100000L, 10000000L)
+      .map(SimilarityQueries.coresetK(_))
+    assert(ks == ks.sorted)
+  }
+
   test("native sign-LSH bucket matches the declarative aggregate/transform tree") {
     import org.apache.spark.sql.functions._
     val P = graft.functions.PortableHash.P
