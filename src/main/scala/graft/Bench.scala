@@ -148,6 +148,24 @@ object Bench {
                 .linesIterator.take(1).mkString.take(200))))
         }
 
+    // Streaming-latency attestation (VERDICT r10 #8 / BASELINE.md): per-
+    // batch processing time of the reference-shaped flagship pipeline at a
+    // reference-like arrival rate (default 20 batches × 1000 events — one
+    // trigger interval's worth each), reported against the reference's
+    // implicit 1000 ms bound. Skipped (with an err) rather than failing the
+    // bench: latency is an attestation, not a correctness gate.
+    val latBatches = sys.env.getOrElse("SPARK_GRAFT_LAT_BATCHES", "20").toInt
+    val latRows = sys.env.getOrElse("SPARK_GRAFT_LAT_ROWS", "1000").toInt
+    val latency: Either[String, Seq[Long]] =
+      if (only.isDefined) Left("skipped: SPARK_GRAFT_ONLY filter active")
+      else
+        try Right(graft.queries.StreamingQueries
+          .latencyProbe(spark, sfDir, latBatches, latRows))
+        catch {
+          case e: Throwable => Left(Option(e.getMessage)
+            .getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200))
+        }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -188,8 +206,14 @@ object Bench {
     val ok = results.filter(_._2._2.isEmpty)
     val total = ok.map(_._2._1).sum
     val nErr = results.size - ok.size
+    val lat = latency match {
+      case Right(ms) if ms.nonEmpty =>
+        s""","latency":{"pipeline":"s01-shaped","batches":${ms.size},"rows_per_batch":$latRows,"max_batch_ms":${ms.max},"median_batch_ms":${median(ms.map(_.toDouble))},"bound_ms":1000}"""
+      case Right(_) => s""","latency":{"err":"no data batches observed"}"""
+      case Left(e)  => s""","latency":{"err":${jstr(e)}}"""
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","errored_count":$nErr,"queries":$qs,"err":$errs,"reps":$reps,"sf":"$sfDir"$scal$scup}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errored_count":$nErr,"queries":$qs,"err":$errs,"reps":$reps,"sf":"$sfDir"$scal$scup$lat}"""
     println(json)
     // The round artifact is captured from a stdout tail that has truncated
     // the JSON two rounds running (VERDICT r7 missing #1). Also write the

@@ -1354,6 +1354,41 @@ object StreamingQueries {
       UNION ALL SELECT 'sum_age', CAST(SUM(user_id % 60 + 18) AS BIGINT) FROM events
       ORDER BY metric"""))
 
+  /** Streaming-latency attestation (BASELINE.md "streaming latency",
+    * VERDICT r10 #8): drives the reference's flagship dataflow — file
+    * stream → tag demux → typed CSV parse → warning classifier → memory
+    * sink, s01's exact pipeline — over `batches` micro-batches of
+    * ~`rowsPerBatch` events each (one trigger interval's worth of arrivals
+    * at a reference-like IoT rate) and returns every data batch's
+    * `triggerExecution` time in ms. The reference's implicit contract is
+    * that this stays ≤ its 1 s batch interval (the DStream stability
+    * condition, reference `IOTSparkStreaming.scala:29`); the bench reports
+    * max/median against that bound as a committed artifact line. Not a
+    * registry entry: it measures the per-batch cost of a pipeline s01
+    * already proves correct, so it has no oracle shape. */
+  def latencyProbe(s: SparkSession, dir: String,
+                   batches: Int, rowsPerBatch: Int): Seq[Long] = {
+    val qn = "lat_sink_" + UUID.randomUUID().toString.replace("-", "")
+    // Materialize the feed slice before chunking so the 2×batches range
+    // filters re-scan a cached slice, not the parquet sort each time.
+    val feed = Tables.load(s, dir, "events")
+      .orderBy(col("event_id")).limit(batches * rowsPerBatch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      feed.count()
+      val chunks = StreamHarness.rangeChunks(feed, "event_id", batches)
+        .map(_.select(Wire.fitbitLine.as("value")))
+      StreamHarness.drainMeasured(s, fileSource("lat"), chunks) { raw =>
+        warningAlerts(parseFitbit(raw))
+          .select(col("user_id"), col("age"), col("pulse"), col("warning"),
+            col("machine_ts"))
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("lat"))
+          .outputMode("append").start()
+      }
+    } finally feed.unpersist()
+  }
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, c02JsonlSource, c03SchemaMerge,
     s01WarningStream, s02LatestLocationSink,

@@ -110,13 +110,34 @@ object StreamHarness {
     * `start` receives the raw-line streaming DataFrame (single `value`
     * column) and must start the query. */
   def drain(spark: SparkSession, source: StreamSource, chunks: Seq[DataFrame])(
-      start: DataFrame => StreamingQuery): Unit = withStreamShuffle(spark) {
-    val q = start(source.open(spark))
-    try chunks.foreach { chunk =>
-      source.append(chunk)
-      q.processAllAvailable()
-    } finally q.stop()
+      start: DataFrame => StreamingQuery): Unit = {
+    drainMeasured(spark, source, chunks)(start)
+    ()
   }
+
+  /** [[drain]] variant that also returns each data-carrying micro-batch's
+    * processing time in ms, read from the query's progress log after the
+    * feed drains. `triggerExecution` is Structured Streaming's end-to-end
+    * per-trigger duration — offset resolution + planning + execution + sink
+    * commit — which is the number that must stay under the trigger interval
+    * for a backlog not to grow (the DStream stability condition the
+    * reference's 1 s interval implies, `IOTSparkStreaming.scala:29` /
+    * BASELINE.md "streaming latency"). No-data triggers are excluded: they
+    * measure idle polling, not the pipeline. */
+  def drainMeasured(spark: SparkSession, source: StreamSource,
+                    chunks: Seq[DataFrame])(
+      start: DataFrame => StreamingQuery): Seq[Long] =
+    withStreamShuffle(spark) {
+      val q = start(source.open(spark))
+      try {
+        chunks.foreach { chunk =>
+          source.append(chunk)
+          q.processAllAvailable()
+        }
+        q.recentProgress.toSeq.filter(_.numInputRows > 0)
+          .map(_.durationMs.get("triggerExecution").longValue())
+      } finally q.stop()
+    }
 
   /** Two-source variant of [[drain]] for stream-stream operators: both
     * feeds advance in lockstep chunks (chunk boundaries = batch boundaries

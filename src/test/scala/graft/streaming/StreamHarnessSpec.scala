@@ -67,4 +67,28 @@ class StreamHarnessSpec extends SparkSpec {
     assert(inside == StreamHarness.StreamShufflePartitions.toString)
     assert(spark.conf.get(key) == before)
   }
+
+  test("drainMeasured reports one positive duration per data micro-batch") {
+    val source = new MemoryStreamSource(spark)
+    val chunks = Seq(Seq("a", "b"), Seq("c"), Seq("d", "e", "f"))
+      .map(_.toDF("value"))
+    val durations = StreamHarness.drainMeasured(spark, source, chunks) { raw =>
+      raw.writeStream.format("memory")
+        .queryName("harness_measure_probe")
+        .option("checkpointLocation", StreamHarness.checkpointDir("measure"))
+        .outputMode("append").start()
+    }
+    // One data batch per chunk (no-data triggers excluded), each with a
+    // real (non-negative, bounded) triggerExecution reading.
+    assert(durations.length == 3, durations.toString)
+    assert(durations.forall(d => d >= 0 && d < 600000), durations.toString)
+    assert(spark.table("harness_measure_probe").count() == 6)
+  }
+
+  test("latencyProbe measures the s01-shaped pipeline per batch (VERDICT r10 #8)") {
+    val dir = "/root/testdata/sf0.001"
+    val ms = graft.queries.StreamingQueries.latencyProbe(spark, dir, 3, 50)
+    assert(ms.length == 3, ms.toString) // every data batch observed
+    assert(ms.forall(d => d >= 0 && d < 600000), ms.toString)
+  }
 }
