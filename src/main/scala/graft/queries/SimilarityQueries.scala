@@ -200,51 +200,61 @@ object SimilarityQueries {
     * NProbe) probe table onto the list-keyed corpus and the final top-k
     * window over candidates. The oracle mirrors the pipeline value-exactly
     * (left-fold dots, same tie-breaks), so recall loss vs e01 is a property
-    * of the algorithm, reproduced identically in DuckDB. */
+    * of the algorithm, reproduced identically in DuckDB.
+    *
+    * The pipeline lives in [[ivfRanked]], parameterized by ranking depth so
+    * e14's vector leg can consume the top-[[RrfDepth]] list the same index
+    * produces for e02's top-5: codebook collect (bounded metadata), corpus
+    * assignment through the two-level router, query-side flat probe of
+    * [[queryNProbe]] lists, exact cosine re-rank inside the probed lists.
+    * Returns (qid, vec_id, rnk, cosine) with rnk ≤ depth (unsorted — each
+    * caller orders its own output). */
+  private def ivfRanked(s: org.apache.spark.sql.SparkSession, dir: String,
+                        tag: String, depth: Int): org.apache.spark.sql.DataFrame = {
+    val prepared = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ve"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
+    // Index build: size the codebook from the corpus (√n lists — r8's
+    // fixed 16 took no account of n; VERDICT r8 missing #1) and collect
+    // it (√n·Dim cells — bounded metadata, not data-plane traffic).
+    val nTotal = prepared.count()
+    val nList = graphNList(nTotal)
+    val nProbe = queryNProbe(nList)
+    val qsz = annQuerySetSize(nTotal)
+    val codebook = prepared.filter(col("vec_id") < nList)
+      .select(col("vec_id"), col("ve"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    // Corpus-side assignment through the TWO-LEVEL router (VERDICT r10
+    // #1): n × (nsuper + sprobe·√nlist) dots = O(n^1.25), not the flat
+    // n × nlist = O(n^1.5). The QUERY side keeps the flat ranking — qsz
+    // = √n/16 rows × nlist = √n dots is O(n/16), linear, and the flat
+    // order probes each query's TRUE nProbe nearest lists.
+    val assigned = prepared.withColumn("list",
+      element_at(cbRank2(s, tag, codebook, col("ve"), col("nrm")), 1))
+    val probes = prepared.filter(col("vec_id") < qsz)
+      .select(col("vec_id").as("qid"), col("ve").as("qv"), col("nrm").as("qnrm"))
+      .withColumn("list",
+        explode(slice(cbRank(s, tag, codebook, col("qv"), col("qnrm")),
+          1, nProbe)))
+    val scored = assigned.join(broadcast(probes), Seq("list"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        call_function("graft_dot", col("qv"), col("ve"))
+          / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= depth)
+      .select(col("qid"), col("vec_id"), col("rnk"), col("cosine"))
+  }
+
   val e02AnnIvf: GraftQuery = GraftQuery(
     "e02_ann_ivf",
     "IVF-bucketed ANN: map-side nearest-centroid assignment, NProbe-list probe, exact cosine re-rank",
-    (s, dir) => {
-      val prepared = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("ve"))
-        .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
-      // Index build: size the codebook from the corpus (√n lists — r8's
-      // fixed 16 took no account of n; VERDICT r8 missing #1) and collect
-      // it (√n·Dim cells — bounded metadata, not data-plane traffic).
-      val nTotal = prepared.count()
-      val nList = graphNList(nTotal)
-      val nProbe = queryNProbe(nList)
-      val qsz = annQuerySetSize(nTotal)
-      val codebook = prepared.filter(col("vec_id") < nList)
-        .select(col("vec_id"), col("ve"), col("nrm"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-        .sortBy(_._1)
-      // Corpus-side assignment through the TWO-LEVEL router (VERDICT r10
-      // #1): n × (nsuper + sprobe·√nlist) dots = O(n^1.25), not the flat
-      // n × nlist = O(n^1.5). The QUERY side keeps the flat ranking — qsz
-      // = √n/16 rows × nlist = √n dots is O(n/16), linear, and the flat
-      // order probes each query's TRUE nProbe nearest lists.
-      val assigned = prepared.withColumn("list",
-        element_at(cbRank2(s, "e02", codebook, col("ve"), col("nrm")), 1))
-      val probes = prepared.filter(col("vec_id") < qsz)
-        .select(col("vec_id").as("qid"), col("ve").as("qv"), col("nrm").as("qnrm"))
-        .withColumn("list",
-          explode(slice(cbRank(s, "e02", codebook, col("qv"), col("qnrm")),
-            1, nProbe)))
-      val scored = assigned.join(broadcast(probes), Seq("list"))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cosine",
-          call_function("graft_dot", col("qv"), col("ve"))
-            / (col("qnrm") * col("nrm")))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("qid"), col("vec_id"), col("rnk"), col("cosine"))
-        .orderBy(col("qid"), col("rnk"))
-    },
+    (s, dir) => ivfRanked(s, dir, "e02", 5).orderBy(col("qid"), col("rnk")),
     Some(s"""WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
         FROM embeddings),
@@ -2269,9 +2279,116 @@ object SimilarityQueries {
         FROM merged), bp
       WHERE rnk <= $KnnK ORDER BY vec_id, rnk""")))
 
+  /** RRF smoothing constant — Cormack, Clarke & Buettcher 2009's k = 60,
+    * the standard reciprocal-rank-fusion setting. An integer added to an
+    * integer rank before one exact IEEE division, so fusion scores are
+    * bit-identical across engines with no fixed-point machinery. */
+  val RrfK: Int = 60
+
+  /** List depth each leg contributes to the fusion. */
+  val RrfDepth: Int = 20
+
+  /** e14 — HYBRID retrieval: reciprocal-rank fusion of the IVF vector leg
+    * (e02's index at depth [[RrfDepth]]) and the BM25 keyword leg
+    * ([[TextQueries.bm25Ranks]] at the same depth, query ids aligned to the
+    * embeddings-derived query set — vec_id i and doc_id i name the same
+    * item, the corpus contract; documents without embeddings can still
+    * arrive through the keyword leg, which is the point of hybrid).
+    * rrf(d) = Σ_legs 1/(k + rank_leg(d)) over the legs that ranked d —
+    * rank-space fusion, so the two legs' incomparable score scales never
+    * meet. This is the retrieval shape a training-data pipeline uses for
+    * decontamination search and eval-set mining: exact keywords catch what
+    * embedding neighborhoods miss and vice versa.
+    *
+    * Scale design: both legs are the already-audited sublinear pipelines
+    * (two-level-routed IVF probe; df-bounded BM25 postings); fusion itself
+    * is a (qid, id)-keyed outer join of two ≤ qs·[[RrfDepth]]-row lists —
+    * broadcast-sized by construction — and a top-5 window. The fused
+    * score's two terms are combined in fixed expression order (one
+    * addition of two exact-IEEE quotients), so the oracle reproduces every
+    * rrf value bit-for-bit. */
+  val e14HybridRrf: GraftQuery = GraftQuery(
+    "e14_hybrid_rrf",
+    s"hybrid retrieval: RRF (k=$RrfK) fusion of IVF-ANN and BM25 top-$RrfDepth lists, fused top-5",
+    (s, dir) => {
+      val qsz = annQuerySetSize(Tables.load(s, dir, "embeddings").count())
+      val vec = ivfRanked(s, dir, "e14", RrfDepth)
+        .select(col("qid"), col("vec_id").as("id"), col("rnk").as("rv"))
+      val kw = TextQueries.bm25Ranks(s, dir, RrfDepth, Some(qsz))
+        .select(col("qid"), col("doc_id").as("id"), col("rnk").as("rk"))
+      val fused = vec.join(kw, Seq("qid", "id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("rv")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("rk")), lit(0.0)))
+      val w = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("id"))
+      fused.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("id"), col("rnk"), col("rrf"),
+          col("rv").as("vec_rnk"), col("rk").as("kw_rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, ve,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS nrm
+        FROM v),
+      ${paramsSql("v")},
+      c AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM n, params
+        WHERE vec_id < params.nlist),
+      ${twoLevelSql("A", "n", "ve", "nrm", "c", "cve", "cnrm")},
+      assigned AS (
+        SELECT n.vec_id, n.ve, n.nrm, r.cid AS list
+        FROM rkA r JOIN n ON n.vec_id = r.vec_id WHERE r.crn = 1),
+      cc AS (
+        SELECT n.vec_id, n.ve, n.nrm, c.cid,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(n.ve, c.cve), p -> p[1] * p[2])), (a, b) -> a + b)
+            / (n.nrm * c.cnrm) AS ccos
+        FROM n, c, params WHERE n.vec_id < params.qs),
+      probes AS (
+        SELECT qid, qv, qnrm, cid AS list FROM (
+          SELECT vec_id AS qid, ve AS qv, nrm AS qnrm, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+          FROM cc), params WHERE crn <= params.np),
+      scored AS (
+        SELECT p.qid, a.vec_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(p.qv, a.ve), x -> x[1] * x[2])), (x, y) -> x + y)
+            / (p.qnrm * a.nrm) AS cosine
+        FROM probes p JOIN assigned a USING (list) WHERE a.vec_id <> p.qid),
+      ivf AS (
+        SELECT qid, vec_id AS id, CAST(rnk AS INT) AS rv FROM (
+          SELECT qid, vec_id,
+            row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+          FROM scored)
+        WHERE rnk <= $RrfDepth),
+      ${TextQueries.bm25RanksSql(RrfDepth,
+        "SELECT GREATEST(8, GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) // 16) AS qs FROM embeddings")},
+      fused AS (
+        SELECT COALESCE(i.qid, b.qid) AS qid, COALESCE(i.id, b.doc_id) AS id,
+          i.rv, b.rnk AS rk
+        FROM ivf i FULL OUTER JOIN bm25 b
+          ON i.qid = b.qid AND i.id = b.doc_id),
+      rrfs AS (
+        SELECT qid, id,
+          COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfK AS DOUBLE) + rv),
+            CAST(0 AS DOUBLE))
+          + COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfK AS DOUBLE) + rk),
+            CAST(0 AS DOUBLE)) AS rrf,
+          rv, rk
+        FROM fused)
+      SELECT qid, id, CAST(rnk AS INT) AS rnk, rrf, vec_rnk, kw_rnk FROM (
+        SELECT qid, id, rrf, rv AS vec_rnk, rk AS kw_rnk,
+          row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rnk
+        FROM rrfs)
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+
   val all: Seq[GraftQuery] =
     Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8,
       e05AnnIvfTrained, e06AnnRerank, e07KnnGraph, e08SemanticClusters,
       e09AnnPq, e10RangeSearch, e11AnnFiltered, e12KcenterCoreset,
-      e13IncrementalIndex, d10EmbeddingNeardup)
+      e13IncrementalIndex, e14HybridRrf, d10EmbeddingNeardup)
 }

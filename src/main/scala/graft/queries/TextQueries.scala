@@ -2014,6 +2014,243 @@ object TextQueries {
           - GREATEST(off, seq_id * $PackSeqTokens) AS INT) AS tok_len
       FROM seg ORDER BY seq_id, tok_start"""))
 
+  /** Window length for d41's within-document repetition fractions: 2-grams,
+    * the unit of Gopher's "fraction in the most common n-gram" rule (Rae et
+    * al. 2021, §A1.1 — the paper runs 2–4 for top-fraction and 5–10 for
+    * duplicate-fraction; one representative n keeps the operator
+    * single-pass, and the thresholds below are token-unit variants of the
+    * paper's character-unit cuts). */
+  val RepGramN: Int = 2
+  /** Remove when the most frequent 2-gram holds ≥ 20% of occurrences
+    * (Gopher's top-2-gram cut, re-read in token units). */
+  val RepTopFrac: Double = 0.2
+  /** Remove when grams occurring ≥ 2× hold ≥ 20% of occurrences. The
+    * paper's duplicate-fraction cuts are per-n character-unit values that
+    * do not transfer to token-unit 2-grams; 0.2 is set where the rule
+    * separates this corpus family (flags the repetitive tail at every SF)
+    * — the policy knob a pipeline tunes per corpus. */
+  val RepDupFrac: Double = 0.2
+
+  /** d41 — WITHIN-document repetition fractions (the Gopher repetition
+    * filter family): per document, the share of positional [[RepGramN]]-gram
+    * occurrences held by the single most frequent gram (`top_gram_frac`)
+    * and by grams occurring at least twice (`dup_gram_frac`), plus the keep
+    * verdict under the Gopher-shaped thresholds. d15 scores repetition as
+    * unigram type-token ratio; this is the n-gram rule that catches
+    * looping/boilerplate text whose unigram mix looks normal. d32 is the
+    * CROSS-document counterpart (grams shared between documents); this one
+    * never leaves the document.
+    *
+    * Scale design: per-position gram hashes are one native codegen call on
+    * the scan (`graft_shingle_hashes_all`, O(tokens) int work — grouping on
+    * the hash is grouping on the gram because the k-step fold is injective
+    * on token-hash windows up to 64-bit collision odds, the d32 contract);
+    * then one (doc_id, gram)-keyed count with map-side combine and one
+    * per-doc rollup — both shuffles linear in token count, no joins, no
+    * pairs. Fractions are single IEEE divisions of exact longs, so the
+    * oracle reproduces them bit-for-bit. Docs too short to form a gram KEEP
+    * (no repetition evidence) with NULL fractions, totality the oracle
+    * mirrors via the same COALESCE. */
+  val d41GopherRepetition: GraftQuery = GraftQuery(
+    "d41_gopher_repetition",
+    s"Gopher-style within-doc repetition: top/dup $RepGramN-gram occurrence fractions + keep verdict",
+    (s, dir) => {
+      val pos = docs(s, dir).select(col("doc_id"),
+        explode(call_function("graft_shingle_hashes_all",
+          call_function("graft_token_hashes", col("text")), lit(RepGramN)))
+          .as("gh"))
+      val per = pos.groupBy(col("doc_id"), col("gh"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_grams"), max(col("cnt")).as("top_cnt"),
+          sum(when(col("cnt") >= 2, col("cnt")).otherwise(lit(0L))).as("n_dup"))
+      val topF = col("top_cnt").cast("double") / col("n_grams").cast("double")
+      val dupF = col("n_dup").cast("double") / col("n_grams").cast("double")
+      docs(s, dir).select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          topF.as("top_gram_frac"), dupF.as("dup_gram_frac"),
+          coalesce(topF < RepTopFrac && dupF < RepDupFrac, lit(true)).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH th AS (
+        SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents),
+      pos AS (
+        SELECT doc_id, UNNEST(${positionalShinglesSql("th", RepGramN)}) AS gh
+        FROM th),
+      cnt AS (SELECT doc_id, gh, COUNT(*) AS cnt FROM pos GROUP BY doc_id, gh),
+      per AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+          CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+          CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup
+        FROM cnt GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(per.n_grams, 0) AS n_grams,
+        CAST(per.top_cnt AS DOUBLE) / CAST(per.n_grams AS DOUBLE) AS top_gram_frac,
+        CAST(per.n_dup AS DOUBLE) / CAST(per.n_grams AS DOUBLE) AS dup_gram_frac,
+        COALESCE(CAST(per.top_cnt AS DOUBLE) / CAST(per.n_grams AS DOUBLE)
+            < CAST($RepTopFrac AS DOUBLE)
+          AND CAST(per.n_dup AS DOUBLE) / CAST(per.n_grams AS DOUBLE)
+            < CAST($RepDupFrac AS DOUBLE), TRUE) AS keep
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+      ORDER BY d.doc_id"""))
+
+  /** BM25 shape constants (Robertson defaults), written as the exact
+    * decimal literals BOTH engines parse to the same binary64 — never as
+    * derived arithmetic (1 + k1 computed driver-side could land a
+    * different ulp than the literal 2.2). */
+  val BmTop: Int = 5
+  /** Query terms per query doc: the first 4 tokens, distinct. */
+  val BmQueryTokens: Int = 4
+  /** Fixed-point scale (2^20) for the cross-term score sum: each TERM's
+    * partial score is bit-identical in both engines (IEEE divisions and
+    * products of identical doubles), but a SUM of doubles depends on fold
+    * order, which a shuffled aggregation does not fix. Quantizing each
+    * partial to 2^-20 fixed point makes the cross-term reduction an
+    * order-free exact int64 sum; the reported score divides back by 2^20
+    * (a power of two — exact). */
+  val BmFixedPoint: Long = 1048576L
+
+  /** Shared BM25-shaped ranking for a derived query set (d42, and e14's
+    * keyword leg): score(q, d) = Σ_{t ∈ q ∩ d} idf_r(t) · tfnorm(t, d) with
+    * the RATIONAL idf (N − df + 0.5)/(df + 0.5) — the transcendental-free
+    * variant of Lucene's ln(1 + ·) form, per this engine's determinism
+    * discipline (no libm calls whose last ulp differs across engines; the
+    * rational form is a strictly monotone transform of the log idf
+    * per-term) — and the standard saturation tfnorm = tf·(k1+1) / (tf +
+    * k1·(1 − b + b·dl/avgdl)), k1 = 1.2, b = 0.75.
+    *
+    * Scale design: postings (doc, token, tf) are one token-keyed agg off
+    * the scan; the query-term table (≤ qs·[[BmQueryTokens]] rows) and its
+    * df row are BROADCAST, so scoring touches ONLY the postings of query
+    * terms — candidate volume Σ_t df(t), never the corpus; the per-doc
+    * length join is one keyed shuffle of that df-bounded candidate set
+    * against the doc-stats table (at 100 TB, a maintained doc-stats
+    * sidecar). Corpus scalars (N, Σdl) are one bounded two-cell collect —
+    * index metadata, the codebook discipline. `qn` overrides the query-set
+    * size so e14 can align query ids with the vector side's derivation. */
+  private[queries] def bm25Ranks(s: org.apache.spark.sql.SparkSession,
+                                 dir: String, depth: Int,
+                                 qn: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val d = docs(s, dir)
+    val stats = d.agg(count(lit(1)).as("n"),
+      sum(size(split(col("text"), " ")).cast("long")).as("sumdl"))
+      .collect().head
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs.toDouble
+    val qsz = qn.getOrElse(SimilarityQueries.annQuerySetSize(nDocs))
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val qterms = d.filter(col("doc_id") < qsz)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(split(col("text"), " "), 1, BmQueryTokens)))
+          .as("token"))
+      .filter(col("token") =!= "")
+    val qtok = qterms.select(col("token")).distinct()
+    val qpost = tf.join(broadcast(qtok), Seq("token"))
+    val tdf = qpost.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5))
+    val tfn = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+    val scored = qpost
+      .join(broadcast(qterms), Seq("token"))
+      .join(broadcast(tdf), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .filter(col("doc_id") =!= col("qid"))
+      .withColumn("sq",
+        floor((idf * tfn) * lit(BmFixedPoint.toDouble)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("sq")).as("sq"))
+      .withColumn("score",
+        col("sq").cast("double") / lit(BmFixedPoint.toDouble))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= depth)
+      .select(col("qid"), col("doc_id"), col("rnk"), col("score"))
+  }
+
+  /** DuckDB CTE chain replaying [[bm25Ranks]] value-exactly: same rational
+    * idf, same literal constants, same fixed-point quantization, same
+    * (score DESC, doc_id) tie-break. `bqsSql` is a one-row SELECT yielding
+    * the query-set size as `qs` — the same derivation the Spark side used
+    * (d42 derives it from documents, e14 from embeddings). */
+  private[queries] def bm25RanksSql(depth: Int, bqsSql: String): String =
+    s"""btok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      btf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM btok
+        WHERE token <> '' GROUP BY doc_id, token),
+      bdl AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents),
+      bst AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM bdl),
+      bqs AS ($bqsSql),
+      bq AS (
+        SELECT qid, token FROM (
+          SELECT doc_id AS qid,
+            unnest(list_distinct(string_split(text, ' ')[1:$BmQueryTokens]))
+              AS token
+          FROM documents, bqs WHERE doc_id < bqs.qs)
+        WHERE token <> ''),
+      bdf AS (
+        SELECT btf.token, COUNT(*) AS df FROM btf
+        WHERE btf.token IN (SELECT token FROM bq) GROUP BY btf.token),
+      bsc AS (
+        SELECT bq.qid, btf.doc_id,
+          CAST(FLOOR((((CAST(bst.n AS DOUBLE) - bdf.df + CAST(0.5 AS DOUBLE))
+              / (bdf.df + CAST(0.5 AS DOUBLE)))
+            * ((btf.tf * CAST(2.2 AS DOUBLE))
+              / (btf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                + CAST(0.75 AS DOUBLE)
+                  * (CAST(bdl.dl AS DOUBLE) / bst.avgdl)))))
+            * CAST($BmFixedPoint AS DOUBLE)) AS BIGINT) AS sq
+        FROM btf JOIN bq ON btf.token = bq.token
+          JOIN bdf ON btf.token = bdf.token
+          JOIN bdl ON btf.doc_id = bdl.doc_id
+          CROSS JOIN bst
+        WHERE btf.doc_id <> bq.qid),
+      bagg AS (
+        SELECT qid, doc_id, CAST(SUM(sq) AS BIGINT) AS sq
+        FROM bsc GROUP BY qid, doc_id),
+      brnk AS (
+        SELECT qid, doc_id, CAST(sq AS DOUBLE) / CAST($BmFixedPoint AS DOUBLE)
+            AS score,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY CAST(sq AS DOUBLE) / CAST($BmFixedPoint AS DOUBLE) DESC,
+              doc_id) AS rnk
+        FROM bagg),
+      bm25 AS (SELECT qid, doc_id, CAST(rnk AS INT) AS rnk, score
+        FROM brnk WHERE rnk <= $depth)"""
+
+  /** The documents-table query-set derivation, oracle-side: the same
+    * max(8, graphNList(n)/16) chain as [[SimilarityQueries.annQuerySetSize]]. */
+  private val docQsSql: String =
+    "GREATEST(8, GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) // 16)"
+
+  /** d42 — BM25-shaped ranked keyword retrieval over the corpus for the
+    * derived query set (each query = the distinct first [[BmQueryTokens]]
+    * tokens of a low-id document, the e-family's query-set discipline
+    * applied to text): top-[[BmTop]] documents per query with the
+    * fixed-point-deterministic score. The retrieval side of the
+    * decontamination/search surface: d19 needs exact n-gram hits, this
+    * ranks fuzzy keyword matches; e14 fuses it with the vector leg. */
+  val d42Bm25Rank: GraftQuery = GraftQuery(
+    "d42_bm25_rank",
+    s"BM25-shaped keyword retrieval: rational idf, fixed-point score sum, top-$BmTop per derived query",
+    (s, dir) => bm25Ranks(s, dir, BmTop).orderBy(col("qid"), col("rnk")),
+    Some(s"""WITH ${bm25RanksSql(BmTop, s"SELECT $docQsSql AS qs FROM documents")}
+      SELECT qid, doc_id, rnk, score FROM bm25 ORDER BY qid, rnk"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
@@ -2024,5 +2261,5 @@ object TextQueries {
     d28IncrementalDedup, d29BpeTrain, d30BoilerplateScrub, d31KmvDistinct,
     d32SubstringDup, d33MixtureWeights, d34HllDistinct, d35LeakageSafeSplit,
     d36CmsHeavy, d37ContainmentDup, d38BigramLm, d39QualityCanonical,
-    d40SequencePack)
+    d40SequencePack, d41GopherRepetition, d42Bm25Rank)
 }

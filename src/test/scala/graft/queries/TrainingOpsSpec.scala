@@ -298,4 +298,98 @@ class TrainingOpsSpec extends SparkSpec {
       assert(byPos.sameElements(byPos.sorted), s"seq $seq not in doc_id order")
     }
   }
+
+  test("d41 equals an independent in-memory recomputation of within-doc repetition") {
+    val got = TextQueries.d41GopherRepetition.run(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_ => r.getDouble(2)),
+          Option(r.get(3)).map(_ => r.getDouble(3)), r.getBoolean(4))).toMap
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.length == got.size)
+    texts.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val grams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val (nG, topF, dupF, keep) = got(id)
+      assert(nG == grams.length, s"doc $id: n_grams $nG vs ${grams.length}")
+      if (grams.isEmpty) {
+        assert(topF.isEmpty && dupF.isEmpty && keep, s"doc $id degenerate row wrong")
+      } else {
+        val counts = grams.groupBy(identity).map(_._2.length)
+        val expTop = counts.max.toDouble / grams.length.toDouble
+        val expDup = counts.filter(_ >= 2).sum.toDouble / grams.length.toDouble
+        assert(topF.contains(expTop), s"doc $id top_gram_frac")
+        assert(dupF.contains(expDup), s"doc $id dup_gram_frac")
+        assert(keep == (expTop < 0.2 && expDup < 0.2), s"doc $id keep verdict")
+      }
+    }
+    // The thresholds actually bite on this corpus — otherwise the verdict
+    // column is untested.
+    assert(got.values.exists(!_._4), "no document ever flagged repetitive")
+    assert(got.values.exists(_._4), "every document flagged repetitive")
+  }
+
+  test("d42 equals an independent in-memory BM25 recomputation (exact doubles)") {
+    val rows = TextQueries.d42Bm25Rank.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val n = docs.length.toLong
+    val dl = docs.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    val avgdl = dl.values.sum.toDouble / n.toDouble
+    val tf = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    }.toMap
+    val qsz = SimilarityQueries.annQuerySetSize(n)
+    val qterms = docs.filter(_._1 < qsz).map { case (id, t) =>
+      id -> t.split(" ").take(4).filter(_.nonEmpty).distinct.toSeq
+    }
+    val allQTokens = qterms.flatMap(_._2).distinct
+    val df = allQTokens.map(t => t -> tf.count(_._2.contains(t)).toLong).toMap
+    val expected = qterms.flatMap { case (qid, terms) =>
+      docs.map(_._1).filter(_ != qid).flatMap { d =>
+        val sq = terms.filter(t => tf(d).contains(t)).map { t =>
+          val idf = (n.toDouble - df(t) + 0.5) / (df(t) + 0.5)
+          val tfn = (tf(d)(t) * 2.2) /
+            (tf(d)(t) + 1.2 * (0.25 + 0.75 * (dl(d).toDouble / avgdl)))
+          math.floor((idf * tfn) * 1048576.0).toLong
+        }.sum
+        if (sq == 0L && terms.forall(t => !tf(d).contains(t))) None
+        else Some((qid, d, sq))
+      }.sortBy { case (_, d, sq) => (-(sq.toDouble / 1048576.0), d) }
+        .take(5).zipWithIndex
+        .map { case ((q, d, sq), i) => (q, d, i + 1, sq.toDouble / 1048576.0) }
+    }
+    assert(rows.sortBy(r => (r._1, r._3)).toSeq == expected.sortBy(r => (r._1, r._3)).toSeq,
+      s"BM25 mismatch: got ${rows.take(3).toSeq} expected ${expected.take(3)}")
+  }
+
+  test("e14 fusion scores recompute from the leg ranks it reports") {
+    val rows = SimilarityQueries.e14HybridRrf.run(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet, s"qids ${byQ.keySet}")
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length == 5, s"qid $qid has ${rs.length} fused rows")
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).sameElements(1 to 5))
+      // rrf recomputes from the reported leg ranks, exact doubles.
+      sorted.foreach { r =>
+        val rv = if (r.isNullAt(4)) None else Some(r.getInt(4))
+        val rk = if (r.isNullAt(5)) None else Some(r.getInt(5))
+        assert(rv.nonEmpty || rk.nonEmpty)
+        val exp = rv.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+          rk.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+        assert(r.getDouble(3) == exp, s"qid $qid id ${r.getLong(1)} rrf")
+      }
+      // Fused order is rrf DESC (ties by id ASC).
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(3) > b.getDouble(3) ||
+            (a.getDouble(3) == b.getDouble(3) && a.getLong(1) < b.getLong(1)))
+        case _ => ()
+      }
+    }
+  }
 }
