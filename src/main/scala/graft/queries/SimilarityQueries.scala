@@ -1089,12 +1089,24 @@ object SimilarityQueries {
     val lrnW = Window.partitionBy(col("list")).orderBy(
       ((lit(PortableHash.A(0)) * col("vec_id") + lit(PortableHash.B(0)))
         % lit(PortableHash.P)).asc, col("vec_id"))
-    val capped = prepared.withColumn("list",
-        element_at(cbRank2(s, s"e07$tagSfx", codebook, col("ve"), col("nrm")), 1))
+    val assigned = prepared.withColumn("list",
+      element_at(cbRank2(s, s"e07$tagSfx", codebook, col("ve"), col("nrm")), 1))
+    val capped = assigned
       .withColumn("lrn", row_number().over(lrnW))
       .filter(col("lrn") <= CandCap)
       .select(col("list"), col("vec_id").as("nid"),
         col("ve").as("nve"), col("nrm").as("nnrm"))
+    // Per-vector (assigned list, cosine to its centroid) — e15's SemDeDup
+    // keep rule ranks dup-group members by centroid proximity. The codebook
+    // is bounded index metadata (√n·Dim cells), so the lookup is a
+    // broadcast join; the division is one IEEE op on bit-pinned inputs.
+    import s.implicits._
+    val cbDf = codebook.toSeq.toDF("cid", "cve", "cnrm")
+    val asg = assigned.join(broadcast(cbDf), col("list") === col("cid"))
+      .withColumn("ccos",
+        call_function("graft_dot", col("ve"), col("cve"))
+          / (col("nrm") * col("cnrm")))
+      .select(col("vec_id"), col("list"), col("ccos"))
     val cosine = call_function("graft_dot", col("ve"), col("nve")) /
       (col("nrm") * col("nnrm"))
     val raw = probing
@@ -1144,7 +1156,8 @@ object SimilarityQueries {
     // pair outside pairs0's top-K only ranks lower in the union, and a
     // τ-filter commutes with distinct — both algebraic identities, so the
     // oracles' distinct-union formulation is value-identical.
-    (pairs0, g3, symmetrize(hopScored), capped.select(col("list"), col("nid")))
+    (pairs0, g3, symmetrize(hopScored), capped.select(col("list"), col("nid")),
+      asg)
   }
 
   /** Trained coarse codebooks memoized per (directory, training, subset) —
@@ -1349,7 +1362,7 @@ object SimilarityQueries {
                           maxId: Long = Long.MaxValue) = {
     val base = graphDirs.computeIfAbsent((dir, trained, maxId), { _ =>
       val out = graft.streaming.StreamHarness.tempDir("cgraph")
-      val (pairs0, g3, hopsSym, capped) = listPairs(s, dir, trained, maxId)
+      val (pairs0, g3, hopsSym, capped, asg) = listPairs(s, dir, trained, maxId)
       g3.withColumn("part", lit("g3"))
         .union(hopsSym.withColumn("part", lit("hops")))
         .union(pairs0.filter(col("cosine") >= SemTau).withColumn("part", lit("ptau")))
@@ -1358,6 +1371,10 @@ object SimilarityQueries {
         // the shared narrow schema as (list → vec_id, member → nid).
         .union(capped.select(col("list").as("vec_id"), col("nid"),
           lit(0.0).as("cosine")).withColumn("part", lit("cap")))
+        // "asg" = per-vector assignment + centroid cosine (vec_id → its
+        // list, cosine to that centroid) — e15's keep-rule input.
+        .union(asg.select(col("vec_id"), col("list").as("nid"),
+          col("ccos").as("cosine")).withColumn("part", lit("asg")))
         .write.mode("overwrite").partitionBy("part").parquet(out)
       out
     })
@@ -1365,7 +1382,9 @@ object SimilarityQueries {
     def part(p: String) = t.filter(col("part") === p)
       .select(col("vec_id"), col("nid"), col("cosine"))
     (part("ptau"), part("g3"), part("hops"),
-      part("cap").select(col("vec_id").as("list"), col("nid")))
+      part("cap").select(col("vec_id").as("list"), col("nid")),
+      part("asg").select(col("vec_id"), col("nid").as("list"),
+        col("cosine").as("ccos")))
   }
 
   /** e07 — corpus-wide k-NN GRAPH (neighbors for EVERY vector, not just a
@@ -1382,7 +1401,7 @@ object SimilarityQueries {
     * runs trained; AnnRecallSpec builds both to assert trained ≥ seeded. */
   private[queries] def knnGraphFrame(s: org.apache.spark.sql.SparkSession,
                                      dir: String, trained: Boolean) = {
-    val (_, g3, hopsSym, _) = graphTables(s, dir, trained)
+    val (_, g3, hopsSym, _, _) = graphTables(s, dir, trained)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nid"))
     // Exact merge on small data (see listPairs): probe-side candidates are
@@ -1422,7 +1441,7 @@ object SimilarityQueries {
       // candidate volume. graphTables stores the probe leg ALREADY
       // τ-filtered (ptau) — the only part of the candidate volume any
       // consumer reads back.
-      val (pairsTau, _, hopsSym, _) = graphTables(s, dir)
+      val (pairsTau, _, hopsSym, _, _) = graphTables(s, dir)
       val cand = pairsTau
         .union(hopsSym.filter(col("cosine") >= SemTau)).distinct()
       // listPairs candidates are already symmetrized, so both directions of
@@ -1450,6 +1469,68 @@ object SimilarityQueries {
         CAST(l.vec_id = l.cluster AS INT) AS is_canonical
       FROM lab l JOIN sz USING (cluster)
       ORDER BY l.vec_id""")))
+
+  /** e15 — SemDeDup keep rule (Abbas et al. 2023's semantic deduplication):
+    * e08 LABELS duplicate groups with the generic min-id canonical; the
+    * SemDeDup paper's keep policy is different and is what training
+    * pipelines deploy — within each semantic-dup group keep the example
+    * FARTHEST from its cluster centroid (lowest centroid cosine; the
+    * nearest-to-centroid members are the redundant "prototypical" copies,
+    * and keeping the far one preserves the most training signal). Dup
+    * groups are connected components over the within-list τ=[[SemTau]]
+    * edges — the paper's within-cluster pairwise check, run on the SAME
+    * capped linear candidate set the corpus graph uses (each probed list
+    * contributes ≤ [[CandCap]] hash-sampled members, so pair volume stays
+    * GraphNProbe·CandCap·n — the paper's per-cluster quadratic is the
+    * uncapped special case). Per vector: its dup group, its assigned-
+    * centroid cosine, and the keep verdict (singletons keep trivially).
+    *
+    * Scale design: reads the MATERIALIZED graph-index tables (ptau edges +
+    * the per-vector assignment part — built once per directory, shared with
+    * e07/e08/e13), so the query itself is log-diameter pointer-jumping CC
+    * plus ONE group-keyed window over n rows. The centroid cosine is
+    * computed at index-build time from the trained codebook (bounded index
+    * metadata, broadcast join); one IEEE division on bit-pinned inputs, so
+    * the oracle reproduces every ccos and the keep rank order exactly. */
+  val e15Semdedup: GraftQuery = GraftQuery(
+    "e15_semdedup",
+    s"SemDeDup keep rule: τ=$SemTau dup groups keep the member farthest from its trained centroid",
+    (s, dir) => {
+      val (pairsTau, _, _, _, asg) = graphTables(s, dir)
+      // ptau is already symmetrized (pairs0 carries both directions), which
+      // is exactly what min-label propagation needs.
+      val edges = pairsTau.select(col("vec_id").as("src"), col("nid").as("dst"))
+      val nodes = Tables.load(s, dir, "embeddings").select(col("vec_id").as("id"))
+      val labels = graft.operators.ConnectedComponents.label(nodes, edges)
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("ccos").asc, col("vec_id"))
+      labels.select(col("id").as("vec_id"), col("cluster").as("grp"))
+        .join(asg.select(col("vec_id"), col("ccos")), Seq("vec_id"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("vec_id"), col("grp"), col("ccos"),
+          (col("rn") === 1).as("keep"))
+        .orderBy(col("vec_id"))
+    },
+    Some(materializeCtes(s"""WITH RECURSIVE $listPairsSql,
+      asgc AS (
+        SELECT a.vec_id, a.list,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(list_zip(a.ve, c.cqv), p -> p[1] * p[2])),
+            (x, y) -> x + y) / (a.nrm * c.cnrm) AS ccos
+        FROM asg a JOIN c$NIter c ON c.cid = a.list),
+      edges AS (SELECT vec_id AS src, nid AS dst FROM pairs0
+        WHERE cosine >= $SemTau),
+      reach AS (
+        SELECT vec_id AS id, vec_id AS reach FROM embeddings
+        UNION
+        SELECT r.id, e.dst AS reach FROM reach r JOIN edges e ON r.reach = e.src),
+      lab AS (SELECT id AS vec_id, MIN(reach) AS grp FROM reach GROUP BY id),
+      rk AS (
+        SELECT l.vec_id, l.grp, a.ccos,
+          row_number() OVER (PARTITION BY l.grp
+            ORDER BY a.ccos ASC, l.vec_id) AS rn
+        FROM lab l JOIN asgc a USING (vec_id))
+      SELECT vec_id, grp, ccos, rn = 1 AS keep FROM rk ORDER BY vec_id""")))
 
   /** Subspace count for e09's product quantizer, derived from the embedding
     * dimensionality: 16-dim subvectors (the FAISS-default granularity), so
@@ -2174,7 +2255,7 @@ object SimilarityQueries {
       val nBase = nTotal - e13BatchSize(nTotal)
       // Standing index: materialized base tables + the frozen codebook the
       // build cached (bounded index metadata, never retrained here).
-      val (_, g3B, hopsB, capB) = graphTables(s, dir, trained = true, maxId = nBase)
+      val (_, g3B, hopsB, capB, _) = graphTables(s, dir, trained = true, maxId = nBase)
       val cb = cbCache.get((dir, true, nBase))
       require(cb != null, "e13: base index build did not cache its codebook")
       val wK = Window.partitionBy(col("vec_id"))
@@ -2390,5 +2471,5 @@ object SimilarityQueries {
     Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8,
       e05AnnIvfTrained, e06AnnRerank, e07KnnGraph, e08SemanticClusters,
       e09AnnPq, e10RangeSearch, e11AnnFiltered, e12KcenterCoreset,
-      e13IncrementalIndex, e14HybridRrf, d10EmbeddingNeardup)
+      e13IncrementalIndex, e14HybridRrf, e15Semdedup, d10EmbeddingNeardup)
 }

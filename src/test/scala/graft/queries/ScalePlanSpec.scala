@@ -251,7 +251,7 @@ class ScalePlanSpec extends SparkSpec {
     // The probe join lives in the BUILD plan (listPairs); since r10 the
     // consumers read the materialized graph tables, so the audit targets
     // the build directly and keeps the consumer cartesian-free.
-    val (pairs0, _, _, _) = SimilarityQueries.listPairs(spark, "/root/testdata/sf0.001")
+    val (pairs0, _, _, _, _) = SimilarityQueries.listPairs(spark, "/root/testdata/sf0.001")
     val plan = pairs0.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
     assert(!plan.contains("CartesianProduct") &&

@@ -366,6 +366,36 @@ class TrainingOpsSpec extends SparkSpec {
       s"BM25 mismatch: got ${rows.take(3).toSeq} expected ${expected.take(3)}")
   }
 
+  test("e15 keeps exactly the farthest-from-centroid member per group; groups refine e08") {
+    val rows = SimilarityQueries.e15Semdedup.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == 500)
+    val byGrp = rows.groupBy(_._2)
+    byGrp.foreach { case (grp, rs) =>
+      // Group label is the min member id (the CC min-label fixpoint).
+      assert(rs.map(_._1).min == grp, s"grp $grp label is not min member")
+      // Exactly one keep, and it is the (min ccos, min vec_id) member —
+      // SemDeDup's farthest-from-centroid policy.
+      val keeps = rs.filter(_._4)
+      assert(keeps.length == 1, s"grp $grp has ${keeps.length} keeps")
+      val best = rs.minBy(r => (r._3, r._1))
+      assert(keeps.head._1 == best._1,
+        s"grp $grp kept ${keeps.head._1}, farthest is ${best._1}")
+    }
+    // The policy bites on this corpus (there are multi-member groups) and
+    // ccos is a real cosine.
+    assert(rows.exists(!_._4), "no duplicate ever removed")
+    assert(rows.forall(r => r._3 >= -1.0000001 && r._3 <= 1.0000001))
+    // e15's edge set (ptau only) is a subset of e08's (ptau ∪ τ-hops), so
+    // every e15 group must sit entirely inside one e08 cluster.
+    val e08 = SimilarityQueries.e08SemanticClusters.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byGrp.foreach { case (grp, rs) =>
+      assert(rs.map(r => e08(r._1)).distinct.length == 1,
+        s"e15 grp $grp straddles e08 clusters")
+    }
+  }
+
   test("e14 fusion scores recompute from the leg ranks it reports") {
     val rows = SimilarityQueries.e14HybridRrf.run(spark, dir).collect()
     val byQ = rows.groupBy(_.getLong(0))
