@@ -2251,6 +2251,82 @@ object TextQueries {
     Some(s"""WITH ${bm25RanksSql(BmTop, s"SELECT $docQsSql AS qs FROM documents")}
       SELECT qid, doc_id, rnk, score FROM bm25 ORDER BY qid, rnk"""))
 
+  /** d43's global token budget as a fraction of the corpus: total/2 — the
+    * budget is corpus-derived (the parameter discipline), and half the
+    * token mass guarantees the rule BITES on any corpus whose sources are
+    * near-uniform (each per-source budget is half the average source), so
+    * the gate actually exercises the downsampling path. A production run
+    * substitutes its real budget; the mechanics are identical. */
+  val MixBudgetFrac: Int = 2
+
+  /** d43 — mixture APPLY: materialize d33's uniform-target mixture as a
+    * deterministic per-document keep verdict under a global token budget
+    * (total/[[MixBudgetFrac]], split uniformly across sources — d33's
+    * target). Each source gets keep rate min(1, budget_s / tokens_s),
+    * applied as an integer hash threshold: keep iff h(doc_id) <
+    * floor(rate·P), h from portable-hash family 4 (independent of d16's
+    * bucket split, d20's quota order, and d35's cluster split). d33 emits
+    * the WEIGHTS a training loader would sample with; d43 is the batch
+    * materialization of those rates — the pass that writes the actual
+    * training corpus. Rate-based, so (unlike d20's fixed quota) kept token
+    * mass tracks the budget in expectation whatever the source sizes.
+    *
+    * Scale design: one bounded-domain shuffle to the S-row per-source
+    * aggregate (sources are operational labels), window totals over those
+    * S rows, then the rate table BROADCASTS back onto the scan — the keep
+    * verdict is map-side integer arithmetic, no window over the corpus, no
+    * skew (heavy sources cost the same comparison as light ones). Budget
+    * division is exact int64 (`div`); the threshold is one IEEE division
+    * and multiplication of exact longs, floored — bit-identical in DuckDB. */
+  val d43MixtureApply: GraftQuery = GraftQuery(
+    "d43_mixture_apply",
+    "mixture apply: per-source hash-threshold downsampling to a uniform half-corpus token budget",
+    (s, dir) => {
+      import graft.functions.PortableHash.{A, B, P}
+      val whole = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      val tok = docs(s, dir).select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val rates = tok.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("stok"))
+        .withColumn("tot", sum(col("stok")).over(whole))
+        .withColumn("nsrc", count(lit(1)).over(whole))
+        .withColumn("budget", expr(s"tot div ($MixBudgetFrac * nsrc)"))
+        .withColumn("thresh",
+          when(col("stok") <= col("budget"), lit(P))
+            .otherwise(floor((col("budget").cast("double")
+              / col("stok").cast("double")) * lit(P.toDouble)).cast("long")))
+      val h = (lit(A(4)) * (col("doc_id") % lit(P)) + lit(B(4))) % lit(P)
+      tok.join(broadcast(rates.select(col("source"), col("thresh"))),
+          Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (h < col("thresh")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.functions.PortableHash.{A, B, P}
+      s"""WITH tok AS (
+        SELECT doc_id, source,
+          CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens
+        FROM documents),
+      agg AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS stok
+        FROM tok GROUP BY source),
+      rates AS (
+        SELECT source, stok,
+          CAST(SUM(stok) OVER () AS BIGINT)
+            // ($MixBudgetFrac * COUNT(*) OVER ()) AS budget
+        FROM agg),
+      th AS (
+        SELECT source,
+          CASE WHEN stok <= budget THEN CAST($P AS BIGINT)
+            ELSE CAST(FLOOR((CAST(budget AS DOUBLE) / CAST(stok AS DOUBLE))
+              * CAST($P AS DOUBLE)) AS BIGINT) END AS thresh
+        FROM rates)
+      SELECT t.doc_id, t.source, t.n_tokens,
+        ((${A(4)} * (t.doc_id % $P) + ${B(4)}) % $P) < th.thresh AS keep
+      FROM tok t JOIN th USING (source) ORDER BY t.doc_id"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
@@ -2261,5 +2337,5 @@ object TextQueries {
     d28IncrementalDedup, d29BpeTrain, d30BoilerplateScrub, d31KmvDistinct,
     d32SubstringDup, d33MixtureWeights, d34HllDistinct, d35LeakageSafeSplit,
     d36CmsHeavy, d37ContainmentDup, d38BigramLm, d39QualityCanonical,
-    d40SequencePack, d41GopherRepetition, d42Bm25Rank)
+    d40SequencePack, d41GopherRepetition, d42Bm25Rank, d43MixtureApply)
 }

@@ -366,6 +366,43 @@ class TrainingOpsSpec extends SparkSpec {
       s"BM25 mismatch: got ${rows.take(3).toSeq} expected ${expected.take(3)}")
   }
 
+  test("d43 keep verdicts recompute exactly and kept token mass tracks the budget") {
+    import graft.functions.PortableHash.{A, B, P}
+    val rows = TextQueries.d43MixtureApply.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").count(_.nonEmpty).toLong))
+    assert(rows.length == docs.length)
+    // Independent recomputation: per-source totals, integer budget,
+    // floored threshold, family-4 hash compare.
+    val bySrc = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tot = bySrc.values.sum
+    val budget = tot / (2L * bySrc.size)
+    val thresh = bySrc.map { case (s, stok) =>
+      s -> (if (stok <= budget) P
+            else math.floor(budget.toDouble / stok.toDouble * P.toDouble).toLong)
+    }
+    docs.foreach { case (id, src, ntok) =>
+      val keepExp = (A(4) * (id % P) + B(4)) % P < thresh(src)
+      val got = rows.find(_._1 == id).get
+      assert(got._3 == ntok, s"doc $id n_tokens")
+      assert(got._4 == keepExp, s"doc $id keep")
+    }
+    // The budget bites (some source downsampled) and kept mass per
+    // downsampled source lands near its budget (hash-threshold sampling is
+    // rate-exact in expectation; 3σ Bernoulli slack on this corpus).
+    assert(rows.exists(!_._4), "no document ever dropped")
+    bySrc.foreach { case (src, stok) =>
+      if (thresh(src) < P) {
+        val kept = rows.filter(r => r._2 == src && r._4).map(_._3).sum
+        assert(math.abs(kept - budget) <= math.max(3 * stok / 10, 500L),
+          s"source $src kept $kept vs budget $budget")
+      }
+    }
+  }
+
   test("e15 keeps exactly the farthest-from-centroid member per group; groups refine e08") {
     val rows = SimilarityQueries.e15Semdedup.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
