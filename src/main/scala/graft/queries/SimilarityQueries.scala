@@ -2467,9 +2467,75 @@ object SimilarityQueries {
         FROM rrfs)
       WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
+  /** e16 — CLUSTER-BALANCED DOWNSAMPLE (the D4/DataComp-style "keep √size
+    * per semantic cluster" curation step): e15 decides WHICH single member
+    * of a dup group survives; this one decides HOW MANY — a cluster of c
+    * near-identical examples contributes diminishing training signal, so
+    * the kept count grows sublinearly (⌈√c⌉) instead of linearly,
+    * flattening the corpus's semantic redundancy while singletons always
+    * survive. Groups are e08's connected components over the same τ=
+    * [[SemTau]] capped candidate edges; WITHIN a cluster the kept members
+    * are a deterministic pseudo-random subset — ranked by the portable
+    * affine hash of vec_id (d16's sampling family, seed 5), not by id
+    * order, so the sample is unbiased w.r.t. insertion order and
+    * reproducible in both engines.
+    *
+    * Scale design: reads the MATERIALIZED graph-index tables (built once
+    * per directory, shared with e07/e08/e13/e15); cluster labels are the
+    * log-diameter pointer-jumping CC; then ONE cluster-keyed shuffle
+    * serves both the size aggregate and the rank window (same
+    * partitioning, exchange reused — the d39 discipline). ⌈√c⌉ is
+    * IEEE-correctly-rounded sqrt of an exactly-representable int64 —
+    * bit-identical across engines. */
+  val e16BalancedSample: GraftQuery = GraftQuery(
+    "e16_balanced_sample",
+    s"cluster-balanced downsample: keep ⌈√size⌉ hash-ranked members per τ=$SemTau semantic cluster",
+    (s, dir) => {
+      import PortableHash.{A, B, P}
+      val (pairsTau, _, hopsSym, _, _) = graphTables(s, dir)
+      val cand = pairsTau
+        .union(hopsSym.filter(col("cosine") >= SemTau)).distinct()
+      val edges = cand.select(col("vec_id").as("src"), col("nid").as("dst"))
+      val nodes = Tables.load(s, dir, "embeddings").select(col("vec_id").as("id"))
+      val labels = graft.operators.ConnectedComponents.label(nodes, edges)
+      val sizes = labels.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("cluster_size"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("h"), col("id"))
+      labels.join(sizes, "cluster")
+        .withColumn("h", (lit(A(5)) * (col("id") % lit(P)) + lit(B(5))) % lit(P))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cap",
+          ceil(sqrt(col("cluster_size").cast("double"))).cast("long"))
+        .select(col("id").as("vec_id"), col("cluster"), col("cluster_size"),
+          col("rn").cast("int").as("rnk"), (col("rn") <= col("cap")).as("keep"))
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      import PortableHash.{A, B, P}
+      materializeCtes(s"""WITH RECURSIVE $listPairsSql,
+      edges AS (SELECT vec_id AS src, nid AS dst FROM pairs
+        WHERE cosine >= $SemTau),
+      reach AS (
+        SELECT vec_id AS id, vec_id AS reach FROM embeddings
+        UNION
+        SELECT r.id, e.dst AS reach FROM reach r JOIN edges e ON r.reach = e.src),
+      lab AS (SELECT id AS vec_id, MIN(reach) AS cluster FROM reach GROUP BY id),
+      sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster),
+      rk AS (
+        SELECT l.vec_id, l.cluster, sz.cluster_size,
+          row_number() OVER (PARTITION BY l.cluster
+            ORDER BY (${A(5)} * (l.vec_id % $P) + ${B(5)}) % $P, l.vec_id) AS rn
+        FROM lab l JOIN sz USING (cluster))
+      SELECT vec_id, cluster, cluster_size, CAST(rn AS INT) AS rnk,
+        rn <= CAST(CEIL(SQRT(CAST(cluster_size AS DOUBLE))) AS BIGINT) AS keep
+      FROM rk ORDER BY vec_id""")
+    })
+
   val all: Seq[GraftQuery] =
     Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8,
       e05AnnIvfTrained, e06AnnRerank, e07KnnGraph, e08SemanticClusters,
       e09AnnPq, e10RangeSearch, e11AnnFiltered, e12KcenterCoreset,
-      e13IncrementalIndex, e14HybridRrf, e15Semdedup, d10EmbeddingNeardup)
+      e13IncrementalIndex, e14HybridRrf, e15Semdedup, e16BalancedSample,
+      d10EmbeddingNeardup)
 }

@@ -2327,6 +2327,192 @@ object TextQueries {
       FROM tok t JOIN th USING (source) ORDER BY t.doc_id"""
     })
 
+  /** Hashed-feature dimension for d44. FIXED by the DSIR recipe (Xie et
+    * al. 2023 use a fixed 10⁴-bucket hashed n-gram space), not
+    * corpus-derived like d36/e12: the importance model must live in the
+    * SAME feature space regardless of corpus size so weights stay
+    * comparable across shards and across a standing corpus vs. an
+    * incremental batch (the d28/e13 discipline) — growing the dimension
+    * with n would change the estimator, not refine it. Collisions are the
+    * accepted bias of feature hashing; the bound is the model's memory
+    * ceiling (2 longs × 16384 buckets, broadcast-sized forever). */
+  val DsirBuckets: Int = 16384
+  /** d44's target domain: the lang whose distribution defines "looks like
+    * the data we want more of". */
+  val DsirTargetLang: String = "en"
+
+  /** d44 — DSIR-shaped IMPORTANCE WEIGHTS (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score every
+    * raw document by how much more likely its features are under a TARGET
+    * distribution (here the `en` slice) than under the raw corpus — the
+    * selection signal a pipeline resamples against to tilt a web crawl
+    * toward a curated domain. Features are character bigrams hashed into
+    * [[DsirBuckets]] buckets (the paper's hashed n-gram generative model);
+    * the textbook weight is log p_target(x) − log p_raw(x), but `ln` is
+    * not cross-engine bit-portable (d38 precedent), so each side's
+    * per-feature log-likelihood is replaced by d38's integer rarity
+    * (N+1) div (c+1) — monotone in surprisal — and the doc score is the
+    * exact-int64 sum of (rarity_raw − rarity_target): positive ⇒ the doc's
+    * features are commoner in the target than in the corpus at large ⇒
+    * target-like, select it.
+    *
+    * Scale shape: feature extraction is one native codegen kernel call +
+    * a map-side mod per row (no shuffle); BOTH models are one
+    * partial-aggregable groupBy each whose reduce side is ≤
+    * [[DsirBuckets]] rows — bounded model state, never corpus-sized — and
+    * their totals ride windows over that bounded table (the d38 vocab
+    * discipline); scoring re-joins the two-column model as a BROADCAST
+    * onto a second map-side extraction pass, and the per-doc agg
+    * partial-aggregates before its one doc_id shuffle. */
+  val d44DsirWeights: GraftQuery = GraftQuery(
+    "d44_dsir_weights",
+    s"DSIR importance weights: $DsirBuckets-bucket hashed char-bigram models, target = lang '$DsirTargetLang', integer-exact",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).filter(length(col("text")) >= 2)
+      def feats = d
+        .select(col("doc_id"), col("lang"),
+          explode(call_function("graft_bigram_hashes", col("text"))).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          (col("bg") % DsirBuckets).as("f"))
+      val raw = feats.groupBy(col("f")).agg(count(lit(1)).as("c_raw"))
+      val tgt = feats.filter(col("lang") === DsirTargetLang)
+        .groupBy(col("f")).agg(count(lit(1)).as("c_tgt"))
+      val model = raw.join(tgt, Seq("f"), "left")
+        .withColumn("c_tgt", coalesce(col("c_tgt"), lit(0L)))
+        .withColumn("n_raw", sum(col("c_raw")).over(w.partitionBy()))
+        .withColumn("n_tgt", sum(col("c_tgt")).over(w.partitionBy()))
+        .select(col("f"),
+          expr("(n_raw + 1) div (c_raw + 1)").as("r_raw"),
+          expr("(n_tgt + 1) div (c_tgt + 1)").as("r_tgt"))
+      feats.join(broadcast(model), Seq("f"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"),
+          sum(col("r_raw") - col("r_tgt")).as("dsir_sum"))
+        .withColumn("dsir_score",
+          col("dsir_sum").cast("double") / col("n_feats").cast("double"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH d AS (
+        SELECT doc_id, lang, text FROM documents WHERE length(text) >= 2),
+      codes AS (
+        SELECT doc_id, lang, list_transform(string_split(text, ''),
+          c -> CAST(ord(c) AS BIGINT)) AS cs
+        FROM d),
+      feats AS (
+        SELECT doc_id, lang,
+          (cs[i] * 1114112 + cs[i + 1]) % $DsirBuckets AS f FROM (
+          SELECT doc_id, lang, cs, unnest(generate_series(1, len(cs) - 1)) AS i
+          FROM codes)),
+      raw AS (SELECT f, COUNT(*) AS c_raw FROM feats GROUP BY f),
+      tgt AS (SELECT f, COUNT(*) AS c_tgt
+        FROM feats WHERE lang = '$DsirTargetLang' GROUP BY f),
+      nr AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw FROM raw),
+      nt AS (SELECT CAST(COALESCE(SUM(c_tgt), 0) AS BIGINT) AS n_tgt FROM tgt),
+      model AS (
+        SELECT f, (n_raw + 1) // (c_raw + 1) AS r_raw,
+          (n_tgt + 1) // (COALESCE(c_tgt, 0) + 1) AS r_tgt
+        FROM raw LEFT JOIN tgt USING (f), nr, nt)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        CAST(SUM(r_raw - r_tgt) AS BIGINT) AS dsir_sum,
+        CAST(SUM(r_raw - r_tgt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS dsir_score
+      FROM feats JOIN model USING (f)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Tier count for d45 (quartiles). */
+  val TierCount: Int = 4
+
+  /** d45 — per-domain QUALITY TIERS: every document's cumulative-fraction
+    * position and quartile tier within its source domain, by token count —
+    * the bucketing step behind curriculum ordering and tier-targeted
+    * downsampling ("drop the bottom quartile per domain", FineWeb-style
+    * ablations). Tiering must be WITHIN-domain: a global cut would empty
+    * short-form domains entirely.
+    *
+    * The tier is integer-exact — tier = (cum·T − 1) div n_domain, the
+    * quartile index of the doc's value-level cumulative count — so no IEEE
+    * comparison decides a boundary; the reported `cume` fraction is one
+    * IEEE division of exact longs (oracle replays it bitwise). Ties (equal
+    * token counts) share a tier by construction, both engines identically.
+    *
+    * Scale shape: the window runs over the BOUNDED per-(domain, value)
+    * count table — token count is integer-valued, so distinct cells ≤
+    * #domains × max_tokens (value-domain bounded, index-metadata-sized,
+    * the d38 vocab discipline), never a sort of corpus rows — and rides
+    * back as a BROADCAST join onto the scan. A continuous score would
+    * need approx-quantile cutoffs instead; exact tiers here are the
+    * bounded-value-domain special case. */
+  val d45QualityTiers: GraftQuery = GraftQuery(
+    "d45_quality_tiers",
+    s"per-source quality tiers: value-level cumulative fraction + integer-exact $TierCount-tile by token count",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val t = docs(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val vc = t.groupBy(col("source"), col("n_tok"))
+        .agg(count(lit(1)).as("c"))
+      val cm = vc
+        .withColumn("cum", sum(col("c")).over(
+          w.partitionBy(col("source")).orderBy(col("n_tok"))
+            .rowsBetween(w.unboundedPreceding, w.currentRow)))
+        .withColumn("n_dom", sum(col("c")).over(w.partitionBy(col("source"))))
+        .select(col("source"), col("n_tok"),
+          (col("cum").cast("double") / col("n_dom").cast("double")).as("cume"),
+          expr(s"(cum * $TierCount - 1) div n_dom").cast("int").as("tier"))
+      t.join(broadcast(cm), Seq("source", "n_tok"))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          col("cume"), col("tier"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      vc AS (SELECT source, n_tok, COUNT(*) AS c FROM t GROUP BY source, n_tok),
+      cm AS (
+        SELECT source, n_tok,
+          CAST(SUM(c) OVER (PARTITION BY source ORDER BY n_tok
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+          CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_dom
+        FROM vc)
+      SELECT t.doc_id, t.source, t.n_tok,
+        CAST(cum AS DOUBLE) / CAST(n_dom AS DOUBLE) AS cume,
+        CAST((cum * $TierCount - 1) // n_dom AS INT) AS tier
+      FROM t JOIN cm ON t.source = cm.source AND t.n_tok = cm.n_tok
+      ORDER BY t.doc_id"""))
+
+  /** d46 — corpus COMPOSITION ROLLUP: doc/token/char totals at every
+    * (lang, source) grouping level in one pass — the per-shard report a
+    * mixture designer (d33/d43) reads before setting rates, and the
+    * dataset-card table every corpus release publishes. `ROLLUP` is the
+    * right operator (not three queries): Spark plans it as ONE expand +
+    * one partial-aggregated shuffle, so the corpus is scanned once at any
+    * scale; output size is #langs × #sources + #langs + 1 — bounded
+    * metadata. `lvl` is the engine-native grouping id (Spark
+    * `grouping_id()` ≡ DuckDB `GROUPING(lang, source)` — bit per column,
+    * verified bit-identical), which also disambiguates rollup NULLs from
+    * (hypothetical) data NULLs. */
+  val d46CorpusRollup: GraftQuery = GraftQuery(
+    "d46_corpus_rollup",
+    "corpus composition report: ROLLUP(lang, source) doc/token/char totals + grouping level",
+    (s, dir) =>
+      docs(s, dir)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          grouping_id().as("lvl"))
+        .orderBy(col("lvl"), col("lang").asc_nulls_first,
+          col("source").asc_nulls_first),
+    Some("""SELECT lang, source, COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        GROUPING(lang, source) AS lvl
+      FROM documents
+      GROUP BY ROLLUP(lang, source)
+      ORDER BY lvl, lang NULLS FIRST, source NULLS FIRST"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
@@ -2337,5 +2523,6 @@ object TextQueries {
     d28IncrementalDedup, d29BpeTrain, d30BoilerplateScrub, d31KmvDistinct,
     d32SubstringDup, d33MixtureWeights, d34HllDistinct, d35LeakageSafeSplit,
     d36CmsHeavy, d37ContainmentDup, d38BigramLm, d39QualityCanonical,
-    d40SequencePack, d41GopherRepetition, d42Bm25Rank, d43MixtureApply)
+    d40SequencePack, d41GopherRepetition, d42Bm25Rank, d43MixtureApply,
+    d44DsirWeights, d45QualityTiers, d46CorpusRollup)
 }

@@ -459,4 +459,102 @@ class TrainingOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("d44 equals an independent in-memory DSIR recomputation; en scores above non-en") {
+    val got = TextQueries.d44DsirWeights.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // Truth: bucketed bigram features per doc via the kernel, then both
+    // rarity models and the score recomputed in plain Scala.
+    val feats = Tables.load(spark, dir, "documents")
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        call_function("graft_bigram_hashes", col("text")).as("bg"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Long](2).map(_ % TextQueries.DsirBuckets)))
+    val cRaw = feats.flatMap(_._3).groupBy(identity).map { case (f, xs) => f -> xs.length.toLong }
+    val cTgt = feats.filter(_._2 == TextQueries.DsirTargetLang).flatMap(_._3)
+      .groupBy(identity).map { case (f, xs) => f -> xs.length.toLong }
+    val nRaw = cRaw.values.sum
+    val nTgt = cTgt.values.sum
+    feats.foreach { case (id, _, fs) =>
+      val s = fs.map(f =>
+        (nRaw + 1) / (cRaw(f) + 1) - (nTgt + 1) / (cTgt.getOrElse(f, 0L) + 1)).sum
+      val exp = (fs.length.toLong, s, s.toDouble / fs.length.toDouble)
+      assert(got(id) == exp, s"doc $id: got ${got(id)}, recomputed $exp")
+    }
+    // Directionality: target-language docs are target-like on average.
+    val byLang = feats.map { case (id, lang, _) => lang -> got(id)._3 }
+    def mean(xs: Seq[Double]) = xs.sum / xs.length
+    val en = mean(byLang.filter(_._1 == "en").map(_._2).toSeq)
+    val other = mean(byLang.filter(_._1 != "en").map(_._2).toSeq)
+    assert(en > other, s"mean dsir_score en=$en !> non-en=$other")
+  }
+
+  test("d45 tiers recompute from per-source cumulative counts and are monotone in n_tok") {
+    val got = TextQueries.d45QualityTiers.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    val bySrc = got.groupBy(_._2._1)
+    bySrc.foreach { case (src, rows) =>
+      val n = rows.length.toLong
+      rows.foreach { case (id, (_, nTok, cume, tier)) =>
+        val cum = rows.count(_._2._2 <= nTok).toLong
+        assert(cume == cum.toDouble / n.toDouble, s"doc $id cume")
+        assert(tier == ((cum * TextQueries.TierCount - 1) / n).toInt, s"doc $id tier")
+      }
+      // Monotone: a doc with more tokens never lands in a lower tier.
+      val sorted = rows.sortBy(_._2._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._2._4 <= b._2._4)
+        case _ => ()
+      }
+      assert(rows.map(_._2._4).forall(t => t >= 0 && t < TextQueries.TierCount))
+    }
+    // Quartiles discriminate: at least one source uses every tier.
+    assert(bySrc.values.exists(_.map(_._2._4).distinct.length == TextQueries.TierCount))
+  }
+
+  test("e16 keeps ceil(sqrt(size)) hash-ranked members per e08 cluster") {
+    import graft.functions.PortableHash.{A, B, P}
+    val rows = SimilarityQueries.e16BalancedSample.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getBoolean(4)))
+    // Same partition of the corpus as e08 (groups and sizes agree).
+    val e08 = SimilarityQueries.e08SemanticClusters.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (v, c, sz, _, _) =>
+      assert(e08(v) == ((c, sz)), s"vec $v cluster/size disagree with e08")
+    }
+    rows.groupBy(_._2).foreach { case (c, ms) =>
+      val sz = ms.head._3
+      assert(ms.length.toLong == sz)
+      val cap = math.ceil(math.sqrt(sz.toDouble)).toLong
+      assert(ms.count(_._5).toLong == cap, s"cluster $c kept != ceil(sqrt($sz))")
+      // Kept set = lowest (hash, id) ranks, recomputed independently.
+      val expKeep = ms.map(_._1)
+        .sortBy(v => ((A(5) * (v % P) + B(5)) % P, v)).take(cap.toInt).toSet
+      assert(ms.filter(_._5).map(_._1).toSet == expKeep, s"cluster $c keep set")
+    }
+    // Sublinear: some multi-member cluster drops members.
+    assert(rows.exists(r => !r._5), "nothing dropped — no multi-member cluster?")
+  }
+
+  test("d46 rollup levels are internally consistent and total the corpus") {
+    val rows = TextQueries.d46CorpusRollup.run(spark, dir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val leaves = rows.filter(_._6 == 0L)
+    val langs = rows.filter(_._6 == 1L)
+    val total = rows.filter(_._6 == 3L)
+    assert(total.length == 1 && leaves.nonEmpty && langs.nonEmpty)
+    assert(rows.length == leaves.length + langs.length + 1)
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    assert(total.head._3 == nDocs)
+    assert(leaves.map(_._3).sum == nDocs && langs.map(_._3).sum == nDocs)
+    langs.foreach { case (lang, _, nd, nt, nc, _) =>
+      val mine = leaves.filter(_._1 == lang)
+      assert((mine.map(_._3).sum, mine.map(_._4).sum, mine.map(_._5).sum)
+        == ((nd, nt, nc)), s"lang $lang leaf sums")
+    }
+  }
 }
