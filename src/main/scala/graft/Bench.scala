@@ -91,6 +91,13 @@ object Bench {
       runOnce("e07_knn_graph", sfDir)
       if (scaleDirOk) runOnce("e07_knn_graph", scaleDir)
     }
+    // The cluster-label tables are index structure too (materialized once
+    // per directory from the graph parts, shared by e08/e15/e16) — one
+    // pre-build per edge set so the medians measure the consume path.
+    for (n <- Seq("e08_semantic_clusters", "e15_semdedup") if names.contains(n)) {
+      runOnce(n, sfDir)
+      if (scaleDirOk) runOnce(n, scaleDir)
+    }
 
     // Reps interleave ROUND-ROBIN across queries — rep 1 of every query,
     // then rep 2, … — so one contended wall-clock stretch inflates ONE rep
@@ -140,6 +147,9 @@ object Bench {
             runOnce("d07_minhash_pairs", scaleUpDir) // untimed sketch build
           if (dataPath.contains("e07_knn_graph"))
             runOnce("e07_knn_graph", scaleUpDir) // untimed graph-index build
+          for (n <- Seq("e08_semantic_clusters", "e15_semdedup")
+               if dataPath.contains(n))
+            runOnce(n, scaleUpDir) // untimed cluster-label build
           interleaved(dataPath, scaleUpDir, scaleUpReps)
         } catch {
           case e: Throwable =>
