@@ -1389,6 +1389,91 @@ object StreamingQueries {
     } finally feed.unpersist()
   }
 
+  /** s26 — STREAMING LSH DEDUP ADMISSION: the streaming form of the
+    * standing-index dedup d28 runs in batch — documents arrive on the wire
+    * (doc_id-ordered JSONL-ish lines, the crawl-ingestion shape), each one's
+    * MinHash band keys (d07's exact signature pipeline, native kernels)
+    * probe a stateful per-bucket register, and the document is flagged a
+    * near-dup CANDIDATE on arrival if any of its [[PortableHash.Bands]]
+    * buckets was already claimed by an earlier document. State per bucket
+    * is ONE int64 — the min doc_id ever seen in that bucket — which IS the
+    * standing LSH index compacted to its admission-decision essence:
+    * constant bytes per occupied bucket forever, the
+    * `mapGroupsWithState`-contract bound (s24's discipline), and the
+    * decision needs no join back to a batch index.
+    *
+    * Determinism: the feed is doc_id-ordered ([[StreamHarness.rangeChunks]]),
+    * so a smaller id never arrives in a later batch, and "bucket already
+    * claimed by an earlier doc" ≡ "∃ doc' < doc in the same bucket" —
+    * independent of where batch boundaries fall (within a batch the group
+    * sees the whole batch's ids, so same-batch smaller ids count too,
+    * exactly like the min-over-partition the oracle replays). Bands are
+    * exploded BEFORE the stateful op, so the state key is the (band,
+    * bucket-hash) pair — the same shuffle key the batch LSH join uses. */
+  val s26StreamLshDedup: GraftQuery = GraftQuery(
+    "s26_stream_lsh_dedup",
+    s"streaming LSH dedup admission: per-(band, bucket) min-id state flags near-dup candidates on arrival",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      import graft.functions.DedupFunctions.bandKeys
+      val qn = "s26_sink_" + UUID.randomUUID().toString.replace("-", "")
+      val docs = Tables.load(s, dir, "documents")
+      val chunks = StreamHarness.rangeChunks(docs, "doc_id", Chunks)
+        .map(_.select(concat(col("doc_id"), lit("|"), col("text")).as("value")))
+      StreamHarness.drain(s, fileSource("s26"), chunks) { raw =>
+        val parts = split(col("value"), "\\|", 2)
+        raw
+          .select(parts.getItem(0).cast("long").as("doc_id"),
+            call_function("graft_minhash_sig",
+              call_function("graft_shingle_hashes",
+                call_function("graft_token_hashes", parts.getItem(1)),
+                lit(3))).as("sig"))
+          .select(col("doc_id"), posexplode(bandKeys(col("sig"))).as(Seq("band", "bh")))
+          .as[(Long, Int, Long)]
+          .groupByKey(r => (r._2, r._3))
+          .flatMapGroupsWithState[Long, (Long, Int, Boolean)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (key, rows, state) =>
+              val ids = rows.map(_._1).toSeq
+              val prevMin = state.getOption.getOrElse(Long.MaxValue)
+              state.update(math.min(prevMin, ids.min))
+              ids.iterator.map { id =>
+                (id, key._1, prevMin < id || ids.exists(_ < id))
+              }
+          }
+          .toDF("doc_id", "band", "collided")
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s26"))
+          .outputMode("append").start()
+      }
+      s.table(qn).groupBy(col("doc_id"))
+        .agg(sum(col("collided").cast("long")).as("n_coll"))
+        .select(col("doc_id"), col("n_coll"), (col("n_coll") > 0).as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.functions.DedupFunctions.{tokenHashesSql, hashedShinglesSql, minhashSignatureSql, bandKeysSql}
+      import graft.functions.PortableHash.Bands
+      s"""WITH th AS (
+        SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents),
+      hs AS (
+        SELECT doc_id, ${hashedShinglesSql("th", 3)} AS hs FROM th),
+      sig AS (
+        SELECT doc_id, ${minhashSignatureSql("hs")} AS sig FROM hs),
+      bands AS (
+        SELECT doc_id, band - 1 AS band, (${bandKeysSql("sig")})[band] AS bh
+        FROM sig, (SELECT unnest(generate_series(1, $Bands)) AS band)),
+      coll AS (
+        SELECT doc_id,
+          MIN(doc_id) OVER (PARTITION BY band, bh) < doc_id AS collided
+        FROM bands)
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN collided THEN 1 ELSE 0 END) AS BIGINT) AS n_coll,
+        SUM(CASE WHEN collided THEN 1 ELSE 0 END) > 0 AS is_dup
+      FROM coll GROUP BY doc_id ORDER BY doc_id"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, c02JsonlSource, c03SchemaMerge,
     s01WarningStream, s02LatestLocationSink,
@@ -1397,5 +1482,6 @@ object StreamingQueries {
     s10StreamJoin, s11TopicSink, s12MapData, s13SalesLwwExact,
     s14DedupWatermark, s15TwsCounter, s16SessionStream, s17ChainedAgg,
     s18OuterStreamJoin, s19AvailableNow, s20DualSink, s21Scd2History,
-    s22TemporalJoin, s23AsofStream, s24StreamSketch, s25ObserveMetrics)
+    s22TemporalJoin, s23AsofStream, s24StreamSketch, s25ObserveMetrics,
+    s26StreamLshDedup)
 }

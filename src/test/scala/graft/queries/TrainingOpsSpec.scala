@@ -539,6 +539,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(rows.exists(r => !r._5), "nothing dropped — no multi-member cluster?")
   }
 
+  test("s26 streaming flags equal the batch LSH rule: flagged iff an earlier doc shares a band") {
+    val s26 = StreamingQueries.s26StreamLshDedup.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // Batch truth: d07's candidate pairs ARE the band collisions, so a doc
+    // is flagged exactly when it is the LARGER side of some pair.
+    val pairs = TextQueries.d07MinhashPairs.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expFlagged = pairs.map(_._2).toSet
+    val gotFlagged = s26.collect { case (id, (_, true)) => id }.toSet
+    assert(gotFlagged == expFlagged,
+      s"flag sets differ: only-stream=${(gotFlagged -- expFlagged).take(5)}, " +
+        s"only-batch=${(expFlagged -- gotFlagged).take(5)}")
+    // Every document of the corpus got exactly one verdict; is_dup = n_coll>0.
+    assert(s26.size == Tables.load(spark, dir, "documents").count())
+    s26.foreach { case (id, (n, dup)) =>
+      assert(dup == (n > 0) && n >= 0 && n <= graft.functions.PortableHash.Bands,
+        s"doc $id n_coll=$n dup=$dup")
+    }
+  }
+
   test("d46 rollup levels are internally consistent and total the corpus") {
     val rows = TextQueries.d46CorpusRollup.run(spark, dir).collect()
       .map(r => (Option(r.getString(0)), Option(r.getString(1)),
