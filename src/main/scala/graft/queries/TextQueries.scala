@@ -1424,27 +1424,28 @@ object TextQueries {
     * Scale: the cluster labels are d21's pointer-jumping CC (log-diameter
     * rounds, keyed shuffles); the split itself is one map-side hash on the
     * label — no shuffle beyond what the labels cost. */
-  val d35LeakageSafeSplit: GraftQuery = GraftQuery(
-    "d35_leakage_safe_split",
-    "leakage-safe 90/10 split: hash-bucket the near-dup cluster id so dup clusters never straddle the split",
-    (s, dir) => {
-      import graft.functions.PortableHash.{A, B, P}
-      val cand = lshCandidates(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val nodes = docs(s, dir).select(col("doc_id").as("id"))
-      val labels = graft.operators.ConnectedComponents.label(nodes, edges)
-      val bucket = ((lit(A(0)) * (col("cluster") % lit(P)) + lit(B(0)))
-        % lit(P)) % lit(100L)
-      labels
-        .select(col("id").as("doc_id"), col("cluster"),
-          when(bucket < 90, lit("train")).otherwise(lit("eval")).as("split"))
-        .orderBy(col("doc_id"))
-    },
-    Some {
-      import graft.functions.PortableHash.{A, B, P}
-      s"""WITH RECURSIVE $lshCandidatesSql,
+  /** d35's split assignment (un-ordered): (doc_id, cluster, split) — shared
+    * with d47's pack-leakage audit. */
+  private def splitAssign(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.functions.PortableHash.{A, B, P}
+    val cand = lshCandidates(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodes = docs(s, dir).select(col("doc_id").as("id"))
+    val labels = graft.operators.ConnectedComponents.label(nodes, edges)
+    val bucket = ((lit(A(0)) * (col("cluster") % lit(P)) + lit(B(0)))
+      % lit(P)) % lit(100L)
+    labels
+      .select(col("id").as("doc_id"), col("cluster"),
+        when(bucket < 90, lit("train")).otherwise(lit("eval")).as("split"))
+  }
+
+  /** DuckDB CTE chain producing [[splitAssign]] as `sp` (doc_id, cluster,
+    * split); prefix with WITH RECURSIVE (the `reach` member). */
+  private def splitSqlCtes: String = {
+    import graft.functions.PortableHash.{A, B, P}
+    s"""$lshCandidatesSql,
       edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM cand
         UNION ALL
@@ -1454,12 +1455,20 @@ object TextQueries {
         UNION
         SELECT r.id, e.dst AS reach FROM reach r JOIN edges e ON r.reach = e.src),
       lab AS (
-        SELECT id AS doc_id, MIN(reach) AS cluster FROM reach GROUP BY id)
-      SELECT doc_id, cluster,
-        CASE WHEN ((${A(0)} * (cluster % $P) + ${B(0)}) % $P) % 100 < 90
-             THEN 'train' ELSE 'eval' END AS split
-      FROM lab ORDER BY doc_id"""
-    })
+        SELECT id AS doc_id, MIN(reach) AS cluster FROM reach GROUP BY id),
+      sp AS (
+        SELECT doc_id, cluster,
+          CASE WHEN ((${A(0)} * (cluster % $P) + ${B(0)}) % $P) % 100 < 90
+               THEN 'train' ELSE 'eval' END AS split
+        FROM lab)"""
+  }
+
+  val d35LeakageSafeSplit: GraftQuery = GraftQuery(
+    "d35_leakage_safe_split",
+    "leakage-safe 90/10 split: hash-bucket the near-dup cluster id so dup clusters never straddle the split",
+    (s, dir) => splitAssign(s, dir).orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $splitSqlCtes
+      SELECT doc_id, cluster, split FROM sp ORDER BY doc_id"""))
 
   /** HLL register count for d34 (m = 64 → standard error 1.04/√64 ≈ 13%,
     * the same accuracy class as d31's K=64 KMV — the two sketches are
@@ -1958,41 +1967,42 @@ object TextQueries {
     * (≤ n_tok/S + 1 rows per doc). Integer addition is associative, so the
     * two-level offsets are bit-identical to the oracle's single global
     * window — DuckDB replays the values, not the topology. */
-  val d40SequencePack: GraftQuery = GraftQuery(
-    "d40_sequence_pack",
-    s"cross-document packing into $PackSeqTokens-token training sequences: boundary rows (seq, doc, tok_start, tok_len)",
-    (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-      val S = PackSeqTokens
-      val t = docs(s, dir)
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-      val blockSize = packBlockSize(t.count())
-      val withBlk = t.withColumn("blk", expr(s"doc_id div $blockSize"))
-      val blkOff = withBlk.groupBy(col("blk"))
-        .agg(sum(col("n_tok")).as("bs"))
-        .withColumn("boff", coalesce(
-          sum(col("bs")).over(w.orderBy(col("blk"))
-            .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
-        .select(col("blk"), col("boff"))
-      val wD = w.partitionBy(col("blk")).orderBy(col("doc_id"))
-        .rowsBetween(w.unboundedPreceding, -1)
-      val offs = withBlk.join(broadcast(blkOff), "blk")
-        .withColumn("off",
-          col("boff") + coalesce(sum(col("n_tok")).over(wD), lit(0L)))
-        .select(col("doc_id"), col("n_tok"), col("off"))
-      offs
-        .withColumn("seq_id",
-          explode(sequence(expr(s"off div $S"), expr(s"(off + n_tok - 1) div $S"))))
-        .withColumn("gs", greatest(col("off"), col("seq_id") * S))
-        .withColumn("ge", least(col("off") + col("n_tok"), (col("seq_id") + 1) * S))
-        .select(col("seq_id"), col("doc_id"),
-          (col("gs") - col("seq_id") * S).cast("int").as("tok_start"),
-          (col("gs") - col("off")).as("doc_tok_start"),
-          (col("ge") - col("gs")).cast("int").as("tok_len"))
-        .orderBy(col("seq_id"), col("tok_start"))
-    },
-    Some(s"""WITH t AS (
+  /** d40's boundary table (un-ordered) — shared with d47's leakage audit. */
+  private def packBoundaries(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val w = org.apache.spark.sql.expressions.Window
+    val S = PackSeqTokens
+    val t = docs(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val blockSize = packBlockSize(t.count())
+    val withBlk = t.withColumn("blk", expr(s"doc_id div $blockSize"))
+    val blkOff = withBlk.groupBy(col("blk"))
+      .agg(sum(col("n_tok")).as("bs"))
+      .withColumn("boff", coalesce(
+        sum(col("bs")).over(w.orderBy(col("blk"))
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select(col("blk"), col("boff"))
+    val wD = w.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(w.unboundedPreceding, -1)
+    val offs = withBlk.join(broadcast(blkOff), "blk")
+      .withColumn("off",
+        col("boff") + coalesce(sum(col("n_tok")).over(wD), lit(0L)))
+      .select(col("doc_id"), col("n_tok"), col("off"))
+    offs
+      .withColumn("seq_id",
+        explode(sequence(expr(s"off div $S"), expr(s"(off + n_tok - 1) div $S"))))
+      .withColumn("gs", greatest(col("off"), col("seq_id") * S))
+      .withColumn("ge", least(col("off") + col("n_tok"), (col("seq_id") + 1) * S))
+      .select(col("seq_id"), col("doc_id"),
+        (col("gs") - col("seq_id") * S).cast("int").as("tok_start"),
+        (col("gs") - col("off")).as("doc_tok_start"),
+        (col("ge") - col("gs")).cast("int").as("tok_len"))
+  }
+
+  /** DuckDB CTE chain producing [[packBoundaries]] as `seg` (doc_id, n_tok,
+    * off, seq_id) — segment bounds are recomputed inline by consumers. */
+  private def packSqlCtes: String =
+    s"""t AS (
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         FROM documents),
       o AS (
@@ -2005,7 +2015,13 @@ object TextQueries {
         SELECT doc_id, n_tok, off,
           unnest(generate_series(off // $PackSeqTokens,
             (off + n_tok - 1) // $PackSeqTokens)) AS seq_id
-        FROM o)
+        FROM o)"""
+
+  val d40SequencePack: GraftQuery = GraftQuery(
+    "d40_sequence_pack",
+    s"cross-document packing into $PackSeqTokens-token training sequences: boundary rows (seq, doc, tok_start, tok_len)",
+    (s, dir) => packBoundaries(s, dir).orderBy(col("seq_id"), col("tok_start")),
+    Some(s"""WITH $packSqlCtes
       SELECT seq_id, doc_id,
         CAST(GREATEST(off, seq_id * $PackSeqTokens)
           - seq_id * $PackSeqTokens AS INT) AS tok_start,
@@ -2513,6 +2529,53 @@ object TextQueries {
       GROUP BY ROLLUP(lang, source)
       ORDER BY lvl, lang NULLS FIRST, source NULLS FIRST"""))
 
+  /** d47 — PACK-LEAKAGE AUDIT, the integration check between the packer and
+    * the split: d40 packs documents into fixed-token sequences ACROSS
+    * document boundaries, d35 assigns documents to train/eval by near-dup
+    * cluster — so any sequence straddling a split boundary carries eval
+    * tokens into a training batch (the contamination a trainer must mask or
+    * drop, and exactly the kind of cross-stage leak single-operator tests
+    * never see). Per sequence: total token mass, eval-side token mass, and
+    * the contamination flag. A pipeline consumes this as the mask/drop list
+    * next to d40's boundary table.
+    *
+    * Scale shape: reuses d40's two-level prefix-sum boundary table and
+    * d35's CC split labels unchanged (both linear, no new index work); the
+    * audit itself is ONE doc_id-keyed join of two n-row tables plus a
+    * partial-aggregated seq_id rollup. Token counts are exact int64; the
+    * flag is an integer comparison — the oracle replays both stages and
+    * the join bit-exactly. */
+  val d47PackLeakage: GraftQuery = GraftQuery(
+    "d47_pack_leakage",
+    s"pack-leakage audit: per $PackSeqTokens-token sequence, eval-split token mass + contamination flag",
+    (s, dir) => {
+      val seg = packBoundaries(s, dir)
+      val sp = splitAssign(s, dir).select(col("doc_id"), col("split"))
+      seg.join(sp, "doc_id")
+        .groupBy(col("seq_id"))
+        .agg(sum(col("tok_len").cast("long")).as("n_tok"),
+          sum(when(col("split") === "eval", col("tok_len").cast("long"))
+            .otherwise(lit(0L))).as("n_eval_tok"))
+        .select(col("seq_id"), col("n_tok"), col("n_eval_tok"),
+          (col("n_eval_tok") > 0).as("contaminated"))
+        .orderBy(col("seq_id"))
+    },
+    Some(s"""WITH RECURSIVE $splitSqlCtes,
+      $packSqlCtes,
+      segs AS (
+        SELECT seq_id, doc_id,
+          LEAST(off + n_tok, (seq_id + 1) * $PackSeqTokens)
+            - GREATEST(off, seq_id * $PackSeqTokens) AS tok_len
+        FROM seg)
+      SELECT seq_id,
+        CAST(SUM(tok_len) AS BIGINT) AS n_tok,
+        CAST(SUM(CASE WHEN split = 'eval' THEN tok_len ELSE 0 END)
+          AS BIGINT) AS n_eval_tok,
+        SUM(CASE WHEN split = 'eval' THEN tok_len ELSE 0 END) > 0
+          AS contaminated
+      FROM segs JOIN sp USING (doc_id)
+      GROUP BY seq_id ORDER BY seq_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     d01DedupExact, d02Fingerprint, d03TokenStats, d04QualityScore,
     d05LangId, d06RollingHash, d07MinhashPairs, d08Simhash, d09NgramJaccard,
@@ -2524,5 +2587,5 @@ object TextQueries {
     d32SubstringDup, d33MixtureWeights, d34HllDistinct, d35LeakageSafeSplit,
     d36CmsHeavy, d37ContainmentDup, d38BigramLm, d39QualityCanonical,
     d40SequencePack, d41GopherRepetition, d42Bm25Rank, d43MixtureApply,
-    d44DsirWeights, d45QualityTiers, d46CorpusRollup)
+    d44DsirWeights, d45QualityTiers, d46CorpusRollup, d47PackLeakage)
 }

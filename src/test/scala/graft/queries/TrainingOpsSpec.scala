@@ -559,6 +559,25 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("d47 recomputes from d40 x d35 and flags exactly the split-straddling sequences") {
+    val got = TextQueries.d47PackLeakage.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val seg = TextQueries.d40SequencePack.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))  // seq, doc, tok_len
+    val split = TextQueries.d35LeakageSafeSplit.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val exp = seg.groupBy(_._1).map { case (sq, xs) =>
+      val tot = xs.map(_._3.toLong).sum
+      val ev = xs.filter(x => split(x._2) == "eval").map(_._3.toLong).sum
+      sq -> ((tot, ev, ev > 0))
+    }
+    assert(got == exp)
+    // The audit is non-trivial on this corpus: contaminated sequences exist
+    // (the packer crosses split boundaries) but are not the whole corpus.
+    val n = got.values.count(_._3)
+    assert(n > 0 && n < got.size, s"contaminated $n of ${got.size}")
+  }
+
   test("d46 rollup levels are internally consistent and total the corpus") {
     val rows = TextQueries.d46CorpusRollup.run(spark, dir).collect()
       .map(r => (Option(r.getString(0)), Option(r.getString(1)),
