@@ -2552,10 +2552,47 @@ object SimilarityQueries {
       FROM rk ORDER BY vec_id""")
     })
 
+  /** e17 — INDEX HEALTH REPORT: per-IVF-list occupancy of the materialized
+    * graph index — the operational dashboard every deployed ANN index
+    * needs (skewed lists mean a bad codebook: hot lists degrade recall
+    * through the [[CandCap]] subsample, empty lists waste probes; FAISS
+    * ships exactly this as imbalance stats). Per coarse list: member
+    * count, share of the corpus, and whether the list is at the
+    * [[CandCap]] probe-contribution cap (capped lists are where the
+    * hash-subsample recall trade is actually being paid).
+    *
+    * Scale shape: reads ONLY the materialized postings part ("cap") of the
+    * index tables — never the vectors — so the report is one
+    * partial-aggregated groupBy over an (n)-row two-column table plus a
+    * window over the ≤√n-row list aggregate: index-metadata-sized
+    * everywhere. */
+  val e17IndexStats: GraftQuery = GraftQuery(
+    "e17_index_stats",
+    s"ANN index health: per-list occupancy, corpus share, at-cap ($CandCap) flag from the materialized postings",
+    (s, dir) => {
+      val (_, _, _, cap, _) = graphTables(s, dir)
+      val w = Window.partitionBy(lit(1))
+      cap.groupBy(col("list"))
+        .agg(count(lit(1)).as("n_members"))
+        .withColumn("share",
+          col("n_members").cast("double")
+            / sum(col("n_members")).over(w).cast("double"))
+        .select(col("list"), col("n_members"), col("share"),
+          (col("n_members") === CandCap).as("at_cap"))
+        .orderBy(col("list"))
+    },
+    Some(materializeCtes(s"""WITH $listPairsSql,
+      occ AS (SELECT list, COUNT(*) AS n_members FROM capped GROUP BY list)
+      SELECT list, n_members,
+        CAST(n_members AS DOUBLE)
+          / CAST(SUM(n_members) OVER () AS DOUBLE) AS share,
+        n_members = $CandCap AS at_cap
+      FROM occ ORDER BY list""")))
+
   val all: Seq[GraftQuery] =
     Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8,
       e05AnnIvfTrained, e06AnnRerank, e07KnnGraph, e08SemanticClusters,
       e09AnnPq, e10RangeSearch, e11AnnFiltered, e12KcenterCoreset,
       e13IncrementalIndex, e14HybridRrf, e15Semdedup, e16BalancedSample,
-      d10EmbeddingNeardup)
+      e17IndexStats, d10EmbeddingNeardup)
 }

@@ -2529,6 +2529,62 @@ object TextQueries {
       GROUP BY ROLLUP(lang, source)
       ORDER BY lvl, lang NULLS FIRST, source NULLS FIRST"""))
 
+  /** Epoch cap for d48 — the "~4 epochs before repeated data stops
+    * helping" rule of data-constrained scaling (Muennighoff et al. 2023,
+    * §4: repeating up to ~4 epochs is nearly as good as fresh data, decay
+    * after). A policy constant of the recipe, not a corpus property. */
+  val EpochCap: Int = 4
+  /** d48's total token budget, as a multiple of the corpus: 2× — the
+    * data-constrained regime (budget exceeds the corpus, so sources must
+    * repeat). */
+  val BudgetMult: Int = 2
+
+  /** d48 — DATA-CONSTRAINED EPOCH ALLOCATION: d33/d43 decide how to
+    * DOWN-sample when the corpus exceeds the budget; this is the opposite
+    * regime — the budget exceeds the corpus (here [[BudgetMult]]× its
+    * token mass), so each source must be REPEATED, and the question is how
+    * many epochs each gets. The uniform target share (budget div nsrc,
+    * d33's discipline) is granted up to the [[EpochCap]]-epoch ceiling
+    * (Muennighoff et al. 2023's repeat rule: beyond ~4 epochs, repeated
+    * tokens stop buying loss); small sources hit the cap and the report
+    * flags them — the unfilled remainder is the number a mixture designer
+    * reallocates (single-pass by design; the redistribution loop is
+    * policy, not engine).
+    *
+    * Scale shape: one bounded-domain shuffle (per-source token sums, the
+    * d33 plan), windows only over the nsrc-row aggregate table, exact
+    * int64 throughout; `epochs` is the single IEEE division at the end. */
+  val d48EpochAlloc: GraftQuery = GraftQuery(
+    "d48_epoch_alloc",
+    s"data-constrained epoch allocation: ${BudgetMult}x-corpus budget, uniform share, $EpochCap-epoch cap",
+    (s, dir) => {
+      val whole = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(size(tokens(col("text"))).cast("long")).as("stok"))
+        .withColumn("tot", sum(col("stok")).over(whole))
+        .withColumn("nsrc", count(lit(1)).over(whole))
+        .withColumn("share", expr(s"($BudgetMult * tot) div nsrc"))
+        .withColumn("alloc", least(col("share"), col("stok") * EpochCap))
+        .select(col("source"), col("stok"), col("alloc"),
+          (col("alloc").cast("double") / col("stok").cast("double")).as("epochs"),
+          (col("alloc") === col("stok") * EpochCap).as("capped"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH per AS (
+        SELECT source, CAST(SUM(len(${tokensSql("text")})) AS BIGINT) AS stok
+        FROM documents GROUP BY source),
+      sh AS (
+        SELECT source, stok,
+          ($BudgetMult * CAST(SUM(stok) OVER () AS BIGINT))
+            // (COUNT(*) OVER ()) AS share
+        FROM per)
+      SELECT source, stok, LEAST(share, stok * $EpochCap) AS alloc,
+        CAST(LEAST(share, stok * $EpochCap) AS DOUBLE) / CAST(stok AS DOUBLE)
+          AS epochs,
+        LEAST(share, stok * $EpochCap) = stok * $EpochCap AS capped
+      FROM sh ORDER BY source"""))
+
   /** d47 — PACK-LEAKAGE AUDIT, the integration check between the packer and
     * the split: d40 packs documents into fixed-token sequences ACROSS
     * document boundaries, d35 assigns documents to train/eval by near-dup
@@ -2587,5 +2643,6 @@ object TextQueries {
     d32SubstringDup, d33MixtureWeights, d34HllDistinct, d35LeakageSafeSplit,
     d36CmsHeavy, d37ContainmentDup, d38BigramLm, d39QualityCanonical,
     d40SequencePack, d41GopherRepetition, d42Bm25Rank, d43MixtureApply,
-    d44DsirWeights, d45QualityTiers, d46CorpusRollup, d47PackLeakage)
+    d44DsirWeights, d45QualityTiers, d46CorpusRollup, d47PackLeakage,
+    d48EpochAlloc)
 }

@@ -578,6 +578,37 @@ class TrainingOpsSpec extends SparkSpec {
     assert(n > 0 && n < got.size, s"contaminated $n of ${got.size}")
   }
 
+  test("d48 allocations respect the epoch cap and never exceed the uniform share") {
+    val rows = TextQueries.d48EpochAlloc.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    val total = rows.map(_._2).sum
+    val share = TextQueries.BudgetMult * total / rows.length
+    rows.foreach { case (src, stok, alloc, epochs, capped) =>
+      assert(alloc == math.min(share, stok * TextQueries.EpochCap), s"$src alloc")
+      assert(epochs == alloc.toDouble / stok.toDouble, s"$src epochs")
+      assert(capped == (alloc == stok * TextQueries.EpochCap), s"$src capped")
+      assert(epochs <= TextQueries.EpochCap.toDouble + 1e-12)
+    }
+    // The 2x budget in a near-uniform corpus grants >1 epoch everywhere.
+    assert(rows.forall(_._4 >= 1.0))
+  }
+
+  test("e17 occupancy totals the indexed corpus and flags exactly the capped lists") {
+    val rows = SimilarityQueries.e17IndexStats.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val total = rows.map(_._2).sum
+    // Every indexed vector sits in exactly one list (postings = assignment,
+    // subsampled only above the cap), so shares sum to 1 over the postings.
+    assert(rows.map(_._3).sum > 0.999 && rows.map(_._3).sum < 1.001)
+    rows.foreach { case (list, n, share, atCap) =>
+      assert(n > 0 && n <= SimilarityQueries.CandCap, s"list $list n=$n")
+      assert(share == n.toDouble / total.toDouble)
+      assert(atCap == (n == SimilarityQueries.CandCap))
+    }
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
   test("d46 rollup levels are internally consistent and total the corpus") {
     val rows = TextQueries.d46CorpusRollup.run(spark, dir).collect()
       .map(r => (Option(r.getString(0)), Option(r.getString(1)),
