@@ -101,11 +101,13 @@ object Bench {
     // The cluster-label tables are index structure too (materialized once
     // per directory from the graph parts, shared by e08/e15/e16) — one
     // pre-build per edge set so the medians measure the consume path. Same
-    // for d36's trained CMS and e12's greedy centers (memoized per
-    // directory): the derivation is index/training work, so the single-rep
-    // scaling columns should time the probe/assignment path.
+    // for d36's trained CMS, e12's greedy centers, and the e05/e09 trained
+    // codebooks (memoized per directory): the derivation is index/training
+    // work, so the single-rep scaling columns should time the
+    // probe/assignment path.
     for (n <- Seq("e08_semantic_clusters", "e15_semdedup", "d36_cms_heavy",
-                  "e12_kcenter_coreset") if names.contains(n)) {
+                  "e12_kcenter_coreset", "e05_ann_ivf_trained",
+                  "e09_ann_pq") if names.contains(n)) {
       runOnce(n, sfDir)
       if (scaleDirOk) runOnce(n, scaleDir)
     }
@@ -158,9 +160,11 @@ object Bench {
             runOnce("d07_minhash_pairs", scaleUpDir) // untimed sketch build
           if (dataPath.contains("e07_knn_graph"))
             runOnce("e07_knn_graph", scaleUpDir) // untimed graph-index build
-          for (n <- Seq("e08_semantic_clusters", "e15_semdedup")
+          for (n <- Seq("e08_semantic_clusters", "e15_semdedup",
+                        "d36_cms_heavy", "e12_kcenter_coreset",
+                        "e05_ann_ivf_trained", "e09_ann_pq")
                if dataPath.contains(n))
-            runOnce(n, scaleUpDir) // untimed cluster-label build
+            runOnce(n, scaleUpDir) // untimed cluster/sketch/codebook build
           interleaved(dataPath, scaleUpDir, scaleUpReps)
         } catch {
           case e: Throwable =>

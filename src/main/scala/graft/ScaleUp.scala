@@ -19,15 +19,16 @@ import org.apache.spark.sql.functions._
   *    offset by the referenced table's stride (orders.o_custkey moves with
   *    customer, lineitem.l_orderkey with orders, …) so join fan-outs and
   *    group cardinalities scale the way a genuinely bigger dataset's would;
-  *  - document text Caesar-shifted by i within [a-z]/[A-Z] (`translate`,
-  *    codegen'd): lengths, token shapes and WITHIN-replica near-dup
-  *    structure are preserved, while token/shingle/bigram hashes across
-  *    replicas decorrelate — near-dup pair density stays constant per
-  *    replica, so dedup cost scales like real corpus growth;
-  *  - embedding vectors rotated left by i positions: rotation is an
-  *    orthogonal transform (all intra-replica cosines exactly preserved)
-  *    that decorrelates inter-replica vectors, so ANN index/bucket load
-  *    scales linearly in corpus size;
+  *  - document text mapped through a per-replica alphabet BIJECTION
+  *    (Caesar shift ∘ seeded permutation; `translate`, codegen'd): lengths,
+  *    token shapes and WITHIN-replica near-dup structure are preserved,
+  *    while token/shingle/bigram hashes across replicas decorrelate — at
+  *    EVERY factor, not just ≤ 26 — so near-dup pair density stays
+  *    constant per replica and dedup cost scales like real corpus growth;
+  *  - embedding vectors rotated left by i % dim positions with a ±1
+  *    sign-flip overlay for i ≥ dim: both transforms are orthogonal (all
+  *    intra-replica cosines exactly preserved) and jointly distinct per
+  *    replica, so ANN index/bucket load scales linearly in corpus size;
   *  - dimension tables (region, nation) copied as-is — at any real scale
   *    these stay broadcast-sized, and inflating them would distort every
   *    star-join plan the bench is trying to measure.
@@ -47,7 +48,7 @@ object ScaleUp {
   /** Build `outDir` as `factor`× `srcDir` unless an up-to-date build is
     * already there. Returns true when the derived dir is ready. */
   def ensure(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Boolean = {
-    val want = s"src=$srcDir factor=$factor v1"
+    val want = s"src=$srcDir factor=$factor v2"
     val m = marker(outDir)
     if (java.nio.file.Files.exists(m) &&
         java.nio.file.Files.readString(m).trim == want) return true
@@ -109,29 +110,73 @@ object ScaleUp {
     write(replicate(events, factor)((d, i) =>
       shiftKeys(d, i, "event_id" -> eventS)), "events", 16)
 
-    // Documents: Caesar shift by i decorrelates token/shingle/bigram hashes
-    // across replicas while preserving within-replica near-dup structure.
+    // Documents: a per-replica alphabet BIJECTION decorrelates token/
+    // shingle/bigram hashes across replicas while preserving within-replica
+    // near-dup structure (a bijective char map preserves every equality
+    // relation between texts of the same replica). A bare Caesar shift
+    // (i % 26) hands replicas 26 apart VERBATIM twin texts at factor > 26 —
+    // the quadratic-clique fixture artifact this generator exists to avoid
+    // — so the map is caesar(i % 26) composed with a Fisher–Yates
+    // permutation seeded by i / 26 (identity at i < 26, keeping every
+    // factor ≤ 26 build byte-identical to the v1 outputs), with pairwise
+    // distinctness of the built maps asserted.
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
+    def alphaMap(i: Int): String = {
+      val k = i % 26
+      val shifted = (lower.drop(k) + lower.take(k)).toCharArray
+      val g = i / 26
+      if (g > 0) {
+        var st = g.toLong
+        def nxt(bound: Int): Int = {
+          st = st * 6364136223846793005L + 1442695040888963407L
+          math.floorMod(st >>> 17, bound.toLong).toInt
+        }
+        var j = shifted.length - 1
+        while (j > 0) {
+          val p = nxt(j + 1)
+          val t = shifted(j); shifted(j) = shifted(p); shifted(p) = t
+          j -= 1
+        }
+      }
+      val lo = new String(shifted)
+      lo + lo.toUpperCase
+    }
+    val maps = (0 until factor).map(alphaMap)
+    require(maps.distinct.size == factor,
+      s"replica alphabet maps collide at factor=$factor — decorrelation broken")
     val documents = raw(spark, srcDir, "documents")
     val docS = stride(documents, "doc_id")
     write(replicate(documents, factor) { (d, i) =>
-      val k = i % 26
-      val mapped = lower.drop(k) + lower.take(k) + upper.drop(k) + upper.take(k)
       shiftKeys(d, i, "doc_id" -> docS)
-        .withColumn("text", translate(col("text"), lower + upper, mapped))
+        .withColumn("text", translate(col("text"), lower + upper, maps(i)))
     }, "documents", 8)
 
-    // Embeddings: rotate dimensions by i (orthogonal ⇒ intra-replica
-    // cosines exact; inter-replica decorrelated).
+    // Embeddings: rotate dimensions by i % dim, then for i >= dim overlay a
+    // per-group ±1 sign flip (flip dim j when bit (i/dim − 1) of j is 0).
+    // Rotations and diagonal ±1 matrices are both ORTHOGONAL — every
+    // intra-replica cosine is exactly preserved — while the overlay keeps
+    // replicas dim apart from being verbatim vector twins (a bare rotation
+    // wraps: slice-based rotation by i >= dim degenerated to the identity,
+    // handing factor-100 builds 37 exact copies of replica 0). i < dim
+    // builds stay byte-identical to v1.
     val embeddings = raw(spark, srcDir, "embeddings")
     val vecS = stride(embeddings, "vec_id")
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(factor <= dim * (1 + 31 - Integer.numberOfLeadingZeros(dim)),
+      s"factor=$factor exceeds the distinct (rotation × sign-flip) budget for dim=$dim")
     write(replicate(embeddings, factor) { (d, i) =>
+      val r = i % dim
       val rot =
-        if (i == 0) col("embedding")
-        else concat(slice(col("embedding"), i + 1, 100000),
-          slice(col("embedding"), 1, i))
-      shiftKeys(d, i, "vec_id" -> vecS).withColumn("embedding", rot)
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 100000),
+          slice(col("embedding"), 1, r))
+      val g = i / dim
+      val out =
+        if (g == 0) rot
+        else transform(rot, (x, idx) =>
+          when(shiftright(idx, g - 1) % 2 === 0, -x).otherwise(x))
+      shiftKeys(d, i, "vec_id" -> vecS).withColumn("embedding", out)
     }, "embeddings", 2)
   }
 

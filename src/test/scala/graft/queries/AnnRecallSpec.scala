@@ -51,6 +51,26 @@ class AnnRecallSpec extends SparkSpec {
     assert(e05 >= e04 - 1e-9, s"trained codebook recall $e05 trails seed codebook $e04")
   }
 
+  test("e18 recall monitor equals the independently recomputed per-query recall") {
+    // e18 is the recall computation AS A QUERY; this spec recomputes the
+    // same quantity from the two legs' collected outputs (set intersection
+    // over raw rows, no shared code path) and pins equality — plus the e05
+    // floor the monitor exists to watch.
+    val exact = top5(SimilarityQueries.e01CosineKnn)
+    val ann = top5(SimilarityQueries.e05AnnIvfTrained)
+    val got = SimilarityQueries.e18RecallEval.run(spark, dir)
+      .select("qid", "hits", "recall").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == exact.keySet, "e18 must emit one row per query point")
+    exact.foreach { case (qid, tops) =>
+      val hits = tops.intersect(ann.getOrElse(qid, Set.empty)).size
+      assert(got(qid) == ((hits.toLong, hits.toDouble / 5.0)),
+        s"qid $qid: e18 ${got(qid)} != recomputed ($hits, ${hits / 5.0})")
+    }
+    val mean = got.values.map(_._2).sum / got.size
+    assert(mean >= 0.8, s"e18 mean recall@5 $mean < 0.8")
+  }
+
   test("e11 filtered ANN: label predicate holds and recall vs exact filtered top-5 >= 0.8") {
     val got = SimilarityQueries.e11AnnFiltered.run(spark, dir)
       .select("qid", "vec_id").collect()

@@ -5,16 +5,18 @@ import graft.SparkSpec
 /** Registry-wide physical-plan audit: no accidental cartesian products or
   * nested-loop joins anywhere in the batch query surface. e01 is the single
   * allowed exception (an intentional broadcast corpus × 8-query cross join,
-  * superseded by e02's bucketed plan at scale). Streaming-harness queries
-  * execute streams on construction, so they are audited by their own e2e
-  * specs instead.
+  * superseded by e02's bucketed plan at scale) — and e18 contains e01
+  * verbatim as its exact-recall leg (the offline recall harness is DEFINED
+  * against the brute-force baseline), so it inherits the same allowance.
+  * Streaming-harness queries execute streams on construction, so they are
+  * audited by their own e2e specs instead.
   */
 class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any batch plan") {
-    val allowedCross = Set("e01_cosine_knn")
+    val allowedCross = Set("e01_cosine_knn", "e18_recall_eval")
     // s\d\d queries drive real streaming drains on construction — their
     // returned DataFrame is a sort over a sink, so "auditing" them just
     // re-runs the stream; their plans are covered by the streaming specs.
