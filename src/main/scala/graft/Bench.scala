@@ -101,13 +101,16 @@ object Bench {
     // The cluster-label tables are index structure too (materialized once
     // per directory from the graph parts, shared by e08/e15/e16) — one
     // pre-build per edge set so the medians measure the consume path. Same
-    // for d36's trained CMS, e12's greedy centers, and the e05/e09 trained
-    // codebooks (memoized per directory): the derivation is index/training
-    // work, so the single-rep scaling columns should time the
-    // probe/assignment path.
+    // for d36's trained CMS, e12's greedy centers, the e05/e09 trained
+    // codebooks, and the IVF postings frames (all memoized per directory):
+    // the derivation is index/training work, so the single-rep scaling
+    // columns should time the probe path. e02 also populates the float-seed
+    // postings e14's vector leg shares; e04 populates the quantized-seed
+    // postings e06 shares.
     for (n <- Seq("e08_semantic_clusters", "e15_semdedup", "d36_cms_heavy",
-                  "e12_kcenter_coreset", "e05_ann_ivf_trained",
-                  "e09_ann_pq") if names.contains(n)) {
+                  "e12_kcenter_coreset", "e05_ann_ivf_trained", "e09_ann_pq",
+                  "e02_ann_ivf", "e04_ann_int8", "e11_ann_filtered")
+         if names.contains(n)) {
       runOnce(n, sfDir)
       if (scaleDirOk) runOnce(n, scaleDir)
     }
@@ -162,9 +165,10 @@ object Bench {
             runOnce("e07_knn_graph", scaleUpDir) // untimed graph-index build
           for (n <- Seq("e08_semantic_clusters", "e15_semdedup",
                         "d36_cms_heavy", "e12_kcenter_coreset",
-                        "e05_ann_ivf_trained", "e09_ann_pq")
+                        "e05_ann_ivf_trained", "e09_ann_pq",
+                        "e02_ann_ivf", "e04_ann_int8", "e11_ann_filtered")
                if dataPath.contains(n))
-            runOnce(n, scaleUpDir) // untimed cluster/sketch/codebook build
+            runOnce(n, scaleUpDir) // untimed cluster/sketch/index build
           interleaved(dataPath, scaleUpDir, scaleUpReps)
         } catch {
           case e: Throwable =>
