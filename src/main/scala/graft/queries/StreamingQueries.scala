@@ -1474,6 +1474,101 @@ object StreamingQueries {
       FROM coll GROUP BY doc_id ORDER BY doc_id"""
     })
 
+  /** Pack streams for s27 — a DEPLOYMENT knob, not an index parameter: a
+    * production ingest packer writes one sequence stream per output shard
+    * (the unit a trainer's data loader reads), so the count tracks the
+    * write parallelism you want, like `spark.sql.shuffle.partitions`, not
+    * the corpus size. 4 keeps every shard multi-sequence at the gate SFs. */
+  val PackShards: Int = 4
+
+  /** s27 — STREAMING SEQUENCE PACKING: the ingest-time form of d40's batch
+    * packer. Documents arrive on the wire in doc_id order (the s26 crawl-
+    * ingestion feed), are routed to one of [[PackShards]] independent pack
+    * streams (shard = doc_id % shards), and each stream lays arrivals on
+    * its own token axis, cutting every `PackSeqTokens` tokens — documents
+    * straddle cuts, zero padding — emitting boundary rows (shard, seq_id,
+    * doc_id, tok_start, doc_tok_start, tok_len) ON ARRIVAL: the attention-
+    * mask contract, produced while the crawl is still arriving instead of
+    * in a post-hoc batch job.
+    *
+    * State per pack stream is ONE int64 — the stream's running token
+    * offset — constant bytes per shard forever (the s24/s26
+    * `mapGroupsWithState` bound); segment emission is pure arithmetic on
+    * that offset. Sharding is what makes the streaming form scale: offsets
+    * are per-stream, so no global coordination exists to bottleneck, and
+    * each shard's sequences are a valid training stream on their own.
+    *
+    * Determinism: the feed is doc_id-ordered, so within a shard arrivals
+    * are doc_id-ordered regardless of where micro-batch boundaries fall
+    * (within a batch the group handler sorts its slice); offsets therefore
+    * equal the batch prefix sum PARTITIONED by shard, which is exactly
+    * what the oracle replays — d40's SQL with a shard partition. */
+  val s27StreamPack: GraftQuery = GraftQuery(
+    "s27_stream_pack",
+    s"streaming sequence packing: per-shard stateful token offsets cut ${TextQueries.PackSeqTokens}-token sequences on arrival",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val qn = "s27_sink_" + UUID.randomUUID().toString.replace("-", "")
+      val S = TextQueries.PackSeqTokens.toLong
+      val docs = Tables.load(s, dir, "documents")
+      val chunks = StreamHarness.rangeChunks(docs, "doc_id", Chunks)
+        .map(_.select(concat(col("doc_id"), lit("|"), col("text")).as("value")))
+      StreamHarness.drain(s, fileSource("s27"), chunks) { raw =>
+        val parts = split(col("value"), "\\|", 2)
+        raw
+          .select(parts.getItem(0).cast("long").as("doc_id"),
+            size(split(parts.getItem(1), " ")).cast("long").as("n_tok"))
+          .withColumn("shard", col("doc_id") % PackShards)
+          .as[(Long, Long, Long)]
+          .groupByKey(_._3)
+          .flatMapGroupsWithState[Long, (Long, Long, Long, Int, Long, Int)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (shard, rows, state) =>
+              var off = state.getOption.getOrElse(0L)
+              val out = rows.toSeq.sortBy(_._1).flatMap { case (docId, nTok, _) =>
+                val segs = (off / S to (off + nTok - 1) / S).map { seq =>
+                  val gs = math.max(off, seq * S)
+                  val ge = math.min(off + nTok, (seq + 1) * S)
+                  (shard, seq, docId, (gs - seq * S).toInt, gs - off, (ge - gs).toInt)
+                }
+                off += nTok
+                segs
+              }
+              state.update(off)
+              out.iterator
+          }
+          .toDF("shard", "seq_id", "doc_id", "tok_start", "doc_tok_start", "tok_len")
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s27"))
+          .outputMode("append").start()
+      }
+      s.table(qn).orderBy(col("shard"), col("seq_id"), col("tok_start"))
+    },
+    Some {
+      val S = TextQueries.PackSeqTokens
+      s"""WITH t AS (
+        SELECT doc_id, doc_id % $PackShards AS shard,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      o AS (
+        SELECT doc_id, shard, n_tok,
+          CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS off
+        FROM t),
+      seg AS (
+        SELECT doc_id, shard, n_tok, off,
+          unnest(generate_series(off // $S, (off + n_tok - 1) // $S)) AS seq_id
+        FROM o)
+      SELECT shard, seq_id, doc_id,
+        CAST(GREATEST(off, seq_id * $S) - seq_id * $S AS INT) AS tok_start,
+        GREATEST(off, seq_id * $S) - off AS doc_tok_start,
+        CAST(LEAST(off + n_tok, (seq_id + 1) * $S)
+          - GREATEST(off, seq_id * $S) AS INT) AS tok_len
+      FROM seg ORDER BY shard, seq_id, tok_start"""
+    })
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, c02JsonlSource, c03SchemaMerge,
     s01WarningStream, s02LatestLocationSink,
@@ -1483,5 +1578,5 @@ object StreamingQueries {
     s14DedupWatermark, s15TwsCounter, s16SessionStream, s17ChainedAgg,
     s18OuterStreamJoin, s19AvailableNow, s20DualSink, s21Scd2History,
     s22TemporalJoin, s23AsofStream, s24StreamSketch, s25ObserveMetrics,
-    s26StreamLshDedup)
+    s26StreamLshDedup, s27StreamPack)
 }

@@ -1946,7 +1946,7 @@ object TextQueries {
   /** Tokens per packed training sequence for d40 — the training contract's
     * context length (a USER parameter like d17's [[ChunkTokens]], not a
     * corpus-derived index constant). */
-  private val PackSeqTokens = 128
+  private[queries] val PackSeqTokens = 128
 
   /** Block width for d40's distributed prefix sum, derived from the corpus:
     * ⌈√n⌉ blocks of ⌈√n⌉ docs balance the two levels — the per-block sum

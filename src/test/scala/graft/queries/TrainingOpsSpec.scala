@@ -559,6 +559,40 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("s27 streaming boundaries equal an independent per-shard batch pack") {
+    val S = 128L // PackSeqTokens — the training contract this spec pins
+    val got = StreamingQueries.s27StreamPack.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getInt(5))).toSet
+    // Independent truth: per shard, docs in doc_id order, running offset,
+    // segments cut every S tokens — plain Scala, no shared code path.
+    val nTok = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exp = nTok.groupBy(_._1 % StreamingQueries.PackShards).toSeq.flatMap {
+      case (shard, ds) =>
+        var off = 0L
+        ds.sortBy(_._1).flatMap { case (docId, n) =>
+          val segs = (off / S to (off + n - 1) / S).map { seq =>
+            val gs = math.max(off, seq * S)
+            val ge = math.min(off + n, (seq + 1) * S)
+            (shard, seq, docId, (gs - seq * S).toInt, gs - off, (ge - gs).toInt)
+          }
+          off += n
+          segs
+        }
+    }.toSet
+    assert(got == exp,
+      s"only-stream=${(got -- exp).take(3)}, only-batch=${(exp -- got).take(3)}")
+    // Token conservation: per (shard, doc), segment lengths sum to n_tok.
+    val byDoc = got.groupBy(x => (x._1, x._3))
+      .view.mapValues(_.toSeq.map(_._6.toLong).sum)
+    nTok.foreach { case (docId, n) =>
+      assert(byDoc((docId % StreamingQueries.PackShards, docId)) == n,
+        s"doc $docId: packed ${byDoc.get((docId % StreamingQueries.PackShards, docId))} of $n")
+    }
+  }
+
   test("d47 recomputes from d40 x d35 and flags exactly the split-straddling sequences") {
     val got = TextQueries.d47PackLeakage.run(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
