@@ -30,6 +30,21 @@ import org.apache.spark.sql.SparkSession
   *    just plan-shape arguments.
   */
 object Bench {
+  /** Queries whose first run per directory BUILDS a memoized index/training
+    * structure (sketch tables, graph + cluster-label tables, IVF postings,
+    * trained codebooks, CMS, coreset centers) — pre-run untimed at every
+    * measured scale so medians and single-rep columns time the probe path.
+    * d07 and e07 are pre-built first (their tables feed whole families);
+    * e02 also populates the float-seed postings e14's vector leg shares,
+    * e04 the quantized-seed postings e06 shares. `BenchRegistrySpec` pins
+    * every name to the live registry so a rename cannot silently drop a
+    * pre-build (the `if contains` guard would just skip it). */
+  val IndexPrebuild: Seq[String] = Seq(
+    "d07_minhash_pairs", "e07_knn_graph",
+    "e08_semantic_clusters", "e15_semdedup", "d36_cms_heavy",
+    "e12_kcenter_coreset", "e05_ann_ivf_trained", "e09_ann_pq",
+    "e02_ann_ivf", "e04_ann_int8", "e11_ann_filtered")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -81,36 +96,12 @@ object Bench {
     val scaleDirOk = scaleDir != sfDir &&
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(scaleDir))
     runOnce(names.head, sfDir) // warmup: JVM + codegen + parquet footer caches
-    // Pre-build the memoized MinHash sketch table at BOTH scale factors so
-    // the d07-family medians and the sf-slope comparison measure query time,
-    // not a first-rep sketch write that lands asymmetrically (ADVICE r6).
-    if (names.contains("d07_minhash_pairs")) {
-      runOnce("d07_minhash_pairs", sfDir)
-      if (scaleDirOk) runOnce("d07_minhash_pairs", scaleDir)
-    }
-    // Same treatment for the corpus-graph index tables (e07/e08 both read
-    // them; built once per directory): the build is INDEX work — one job at
-    // corpus load time in production — so medians measure the probe/consume
-    // path. With reps >= 2 the median excludes the build anyway; the
-    // explicit pre-build makes that the documented methodology rather than
-    // an artifact of rep count, symmetric with d07's sketch table.
-    if (names.contains("e07_knn_graph")) {
-      runOnce("e07_knn_graph", sfDir)
-      if (scaleDirOk) runOnce("e07_knn_graph", scaleDir)
-    }
-    // The cluster-label tables are index structure too (materialized once
-    // per directory from the graph parts, shared by e08/e15/e16) — one
-    // pre-build per edge set so the medians measure the consume path. Same
-    // for d36's trained CMS, e12's greedy centers, the e05/e09 trained
-    // codebooks, and the IVF postings frames (all memoized per directory):
-    // the derivation is index/training work, so the single-rep scaling
-    // columns should time the probe path. e02 also populates the float-seed
-    // postings e14's vector leg shares; e04 populates the quantized-seed
-    // postings e06 shares.
-    for (n <- Seq("e08_semantic_clusters", "e15_semdedup", "d36_cms_heavy",
-                  "e12_kcenter_coreset", "e05_ann_ivf_trained", "e09_ann_pq",
-                  "e02_ann_ivf", "e04_ann_int8", "e11_ann_filtered")
-         if names.contains(n)) {
+    // Pre-build every memoized index/training structure at BOTH scale
+    // factors ([[IndexPrebuild]]): index construction is one job at
+    // corpus-load time in production, so medians and the single-rep scaling
+    // column measure the probe/consume path (ADVICE r6; VERDICT r10 #1's
+    // methodology made uniform).
+    for (n <- IndexPrebuild if names.contains(n)) {
       runOnce(n, sfDir)
       if (scaleDirOk) runOnce(n, scaleDir)
     }
@@ -159,16 +150,8 @@ object Bench {
       else
         try {
           ScaleUp.ensure(spark, sfDir, scaleUpDir, scaleUpFactor)
-          if (dataPath.contains("d07_minhash_pairs"))
-            runOnce("d07_minhash_pairs", scaleUpDir) // untimed sketch build
-          if (dataPath.contains("e07_knn_graph"))
-            runOnce("e07_knn_graph", scaleUpDir) // untimed graph-index build
-          for (n <- Seq("e08_semantic_clusters", "e15_semdedup",
-                        "d36_cms_heavy", "e12_kcenter_coreset",
-                        "e05_ann_ivf_trained", "e09_ann_pq",
-                        "e02_ann_ivf", "e04_ann_int8", "e11_ann_filtered")
-               if dataPath.contains(n))
-            runOnce(n, scaleUpDir) // untimed cluster/sketch/index build
+          for (n <- IndexPrebuild if dataPath.contains(n))
+            runOnce(n, scaleUpDir) // untimed index/training build
           interleaved(dataPath, scaleUpDir, scaleUpReps)
         } catch {
           case e: Throwable =>
