@@ -43,7 +43,40 @@ object Bench {
     "d07_minhash_pairs", "e07_knn_graph",
     "e08_semantic_clusters", "e15_semdedup", "d36_cms_heavy",
     "e12_kcenter_coreset", "e05_ann_ivf_trained", "e09_ann_pq",
-    "e02_ann_ivf", "e04_ann_int8", "e11_ann_filtered")
+    "e02_ann_ivf", "e04_ann_int8", "e11_ann_filtered",
+    "e13_incremental_index", "m04_media_dup_clusters")
+
+  /** Memoized-structure dependencies by CONSUMER: queries that read an
+    * index/training table whose build is OWNED by a different query.
+    * Under `SPARK_GRAFT_ONLY` the prebuild set is the dependency closure of
+    * the selected names — a subset containing a consumer (e.g. e06) but not
+    * its build owner (e04) must still pre-build the shared structure, or
+    * the consumer's first rep and single-rep scaling cells silently
+    * re-absorb build cost (ADVICE r11). Owners pre-build themselves via
+    * membership in [[IndexPrebuild]]; this map adds only cross-query edges.
+    * `BenchRegistrySpec` pins every key and value to the live registry. */
+  val BuildDeps: Map[String, Seq[String]] = Map(
+    "d09_ngram_jaccard" -> Seq("d07_minhash_pairs"),
+    "d11_minhash_union" -> Seq("d07_minhash_pairs"),
+    "d13_minhash_udaf" -> Seq("d07_minhash_pairs"),
+    "d21_dup_clusters" -> Seq("d07_minhash_pairs"),
+    "d28_incremental_dedup" -> Seq("d07_minhash_pairs"),
+    "e06_ann_rerank" -> Seq("e04_ann_int8"),
+    "e08_semantic_clusters" -> Seq("e07_knn_graph"),
+    "e14_hybrid_rrf" -> Seq("e02_ann_ivf"),
+    "e15_semdedup" -> Seq("e07_knn_graph"),
+    "e16_balanced_sample" -> Seq("e07_knn_graph", "e08_semantic_clusters"),
+    "e17_index_stats" -> Seq("e07_knn_graph"),
+    "e18_recall_eval" -> Seq("e05_ann_ivf_trained"),
+    "m07_crossmodal_dedup" ->
+      Seq("e07_knn_graph", "e15_semdedup", "m04_media_dup_clusters"),
+    "s28_stream_ann_maintain" -> Seq("e13_incremental_index"))
+
+  /** The pre-build list for a selected name set: every [[IndexPrebuild]]
+    * owner that is selected itself OR depended on by a selected consumer. */
+  def prebuildFor(names: Seq[String]): Seq[String] =
+    IndexPrebuild.filter(b => names.contains(b) ||
+      names.exists(n => BuildDeps.getOrElse(n, Nil).contains(b)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,7 +134,7 @@ object Bench {
     // corpus-load time in production, so medians and the single-rep scaling
     // column measure the probe/consume path (ADVICE r6; VERDICT r10 #1's
     // methodology made uniform).
-    for (n <- IndexPrebuild if names.contains(n)) {
+    for (n <- prebuildFor(names)) {
       runOnce(n, sfDir)
       if (scaleDirOk) runOnce(n, scaleDir)
     }
@@ -150,7 +183,7 @@ object Bench {
       else
         try {
           ScaleUp.ensure(spark, sfDir, scaleUpDir, scaleUpFactor)
-          for (n <- IndexPrebuild if dataPath.contains(n))
+          for (n <- prebuildFor(dataPath))
             runOnce(n, scaleUpDir) // untimed index/training build
           interleaved(dataPath, scaleUpDir, scaleUpReps)
         } catch {

@@ -162,7 +162,14 @@ object ScaleUp {
     // builds stay byte-identical to v1.
     val embeddings = raw(spark, srcDir, "embeddings")
     val vecS = stride(embeddings, "vec_id")
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    // Ragged embeddings fail LOUDLY (ADVICE r11): dim was probed from an
+    // arbitrary first row, so mixed lengths would make the budget check and
+    // the per-replica transforms silently inconsistent instead of erroring.
+    val dimRow = embeddings
+      .agg(min(size(col("embedding"))), max(size(col("embedding")))).head()
+    require(dimRow.getInt(0) == dimRow.getInt(1),
+      s"ragged embedding lengths: min ${dimRow.getInt(0)} != max ${dimRow.getInt(1)}")
+    val dim = dimRow.getInt(0)
     require(factor <= dim * (1 + 31 - Integer.numberOfLeadingZeros(dim)),
       s"factor=$factor exceeds the distinct (rotation × sign-flip) budget for dim=$dim")
     write(replicate(embeddings, factor) { (d, i) =>

@@ -42,13 +42,20 @@ object SimilarityQueries {
     * sf0.1) where every other flagship op sat at 3–7× — the O(n^1.25)
     * router term belongs in the build job, not the query. The cached value
     * is a persisted DISTRIBUTED frame (never driver state); variants that
-    * share a codebook (e04/e06's quantized seed) share one entry. */
+    * share a codebook (e04/e06's quantized seed) share one entry. The key
+    * includes the OWNING SESSION (ADVICE r11): a persisted frame is bound
+    * to its session's block manager, so a second SparkSession in the same
+    * JVM must build (and persist) its own postings rather than be served a
+    * dead session's — unlike [[graphDirs]]/[[labelDirs]], which persist
+    * parquet PATHS and are safely session-free. */
   private val postingsCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), org.apache.spark.sql.DataFrame]()
+    (org.apache.spark.sql.SparkSession, String, String),
+    org.apache.spark.sql.DataFrame]()
 
-  private def postings(dir: String, variant: String)(
+  private def postings(s: org.apache.spark.sql.SparkSession, dir: String,
+                       variant: String)(
       build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    postingsCache.computeIfAbsent((dir, variant), _ =>
+    postingsCache.computeIfAbsent((s, dir, variant), _ =>
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Brute-force cosine top-5 for the derived query set. */
@@ -252,7 +259,7 @@ object SimilarityQueries {
     // caller of this float-seed variant. The QUERY side keeps the flat
     // ranking — qsz = √n/16 rows × nlist = √n dots is O(n/16), linear,
     // and the flat order probes each query's TRUE nProbe nearest lists.
-    val assigned = postings(dir, "ivf_seed_float") {
+    val assigned = postings(s, dir, "ivf_seed_float") {
       prepared.withColumn("list",
         element_at(cbRank2(s, tag, codebook, col("ve"), col("nrm")), 1))
     }
@@ -482,58 +489,70 @@ object SimilarityQueries {
     * recall-floored in AnnRecallSpec alongside e02). Zero vectors (scale=0)
     * quantize to all-zero codes and are excluded on both engines rather
     * than producing 0/0. */
+  /** e04's quantized-IVF pipeline, parameterized by ranking depth and
+    * shared VERBATIM by e06's stage 1 (ADVICE r11: the two bodies
+    * previously duplicated the quant + codebook + postings build around the
+    * first-writer-wins 'ivf_seed_quant' cache entry — one helper makes
+    * divergence structurally impossible, the ivfRanked discipline applied
+    * to the quantized seed).
+    *
+    * Quantization is ONE native kernel call (graft_quantize): the r7
+    * declarative form re-reduced amax per element after CollapseProject
+    * inlined the scale subtree into the codes lambda — O(dim²) interpreted
+    * work per row, measured 2 ms/row (r8). The quantized table IS the
+    * stored index at scale — persisted once; it feeds the codebook collect,
+    * the assignment, and the probes. Corpus assignment routes through the
+    * two-level router and is materialized once per directory ([[postings]]);
+    * the query side keeps the flat ranking (O(n/16), linear).
+    *
+    * Returns (ranked, qsz): ranked = (qid, vec_id, rnk ≤ depth, qcos),
+    * unsorted — each caller orders its own output. */
+  private def quantIvfRanked(s: org.apache.spark.sql.SparkSession, dir: String,
+                             tag: String, depth: Int)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    val ve = transform(col("embedding"), x => x.cast("double"))
+    val quant = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), ve.as("ve"))
+      .withColumn("qv", call_function("graft_quantize", col("ve")))
+      .withColumn("qnrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
+      .filter(col("qnrm") > 0.0)
+      .select(col("vec_id"), col("qv"), col("qnrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTotal = quant.count()
+    val nList = graphNList(nTotal)
+    val nProbe = queryNProbe(nList)
+    val qsz = annQuerySetSize(nTotal)
+    val codebook = quant.filter(col("vec_id") < nList)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val assigned = postings(s, dir, "ivf_seed_quant") {
+      quant.withColumn("list",
+        element_at(cbRank2(s, tag, codebook, col("qv"), col("qnrm")), 1))
+    }
+    val probes = quant.filter(col("vec_id") < qsz)
+      .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qnrm").as("pnrm"))
+      .withColumn("list",
+        explode(slice(cbRank(s, tag, codebook, col("pv"), col("pnrm")),
+          1, nProbe)))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    val ranked = assigned.join(broadcast(probes), Seq("list"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("qcos",
+        call_function("graft_dot", col("pv"), col("qv"))
+          / (col("pnrm") * col("qnrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= depth)
+      .select(col("qid"), col("vec_id"), col("rnk"), col("qcos"))
+    (ranked, qsz)
+  }
+
   val e04AnnInt8: GraftQuery = GraftQuery(
     "e04_ann_int8",
     "IVF ANN over int8 codes: scale-free quantized cosine (exact integer dots), NProbe probe + re-rank",
-    (s, dir) => {
-      val ve = transform(col("embedding"), x => x.cast("double"))
-      // Quantization is ONE native kernel call (graft_quantize): the r7
-      // declarative form re-reduced amax per element after CollapseProject
-      // inlined the scale subtree into the codes lambda — O(dim²)
-      // interpreted work per row, measured 2 ms/row (r8). Value semantics
-      // identical (floor(x·127/amax + 0.5); oracle unchanged).
-      val quant = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), ve.as("ve"))
-        .withColumn("qv", call_function("graft_quantize", col("ve")))
-        .withColumn("qnrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
-        .filter(col("qnrm") > 0.0)
-        .select(col("vec_id"), col("qv"), col("qnrm"))
-        // The quantized table IS the stored index at scale — materialize it
-        // once; it feeds the codebook collect, the assignment, and the probes.
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nTotal = quant.count()
-      val nList = graphNList(nTotal)
-      val nProbe = queryNProbe(nList)
-      val qsz = annQuerySetSize(nTotal)
-      val codebook = quant.filter(col("vec_id") < nList)
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-        .sortBy(_._1)
-      // Two-level corpus assignment, flat query-side ranking — e02's
-      // routing split (O(n^1.25) corpus dots, O(n/16) query dots); the
-      // postings are materialized once per directory and SHARED with e06
-      // (identical quantized seed codebook ⇒ identical inverted lists).
-      val assigned = postings(dir, "ivf_seed_quant") {
-        quant.withColumn("list",
-          element_at(cbRank2(s, "e04", codebook, col("qv"), col("qnrm")), 1))
-      }
-      val probes = quant.filter(col("vec_id") < qsz)
-        .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qnrm").as("pnrm"))
-        .withColumn("list",
-          explode(slice(cbRank(s, "e04", codebook, col("pv"), col("pnrm")),
-            1, nProbe)))
-      val scored = assigned.join(broadcast(probes), Seq("list"))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("qcos",
-          call_function("graft_dot", col("pv"), col("qv"))
-            / (col("pnrm") * col("qnrm")))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("qcos").desc, col("vec_id"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("qid"), col("vec_id"), col("rnk"), col("qcos"))
-        .orderBy(col("qid"), col("rnk"))
-    },
+    (s, dir) => quantIvfRanked(s, dir, "e04", 5)._1
+      .orderBy(col("qid"), col("rnk")),
     Some(s"""WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
         FROM embeddings),
@@ -687,7 +706,7 @@ object SimilarityQueries {
       // e04's probe pipeline, fed by the trained codebook: two-level
       // corpus assignment materialized once per directory (the trained
       // inverted lists — index structure, not query work).
-      val assigned = postings(dir, "ivf_trained_quant") {
+      val assigned = postings(s, dir, "ivf_trained_quant") {
         quant.withColumn("list",
           element_at(cbRank2(s, "e05", codebook, col("qv"), col("qnrm")), 1))
       }
@@ -813,45 +832,11 @@ object SimilarityQueries {
     s"two-stage ANN: int8 IVF top-$RerankC shortlist, exact float cosine re-rank to top-5",
     (s, dir) => {
       val ve = transform(col("embedding"), x => x.cast("double"))
-      // Stage 1 — e04's quantized IVF pipeline (identical logical plan, so
-      // the persisted quantized index is shared across e04/e05/e06).
-      val quant = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), ve.as("ve"))
-        .withColumn("qv", call_function("graft_quantize", col("ve")))
-        .withColumn("qnrm", sqrt(call_function("graft_dot", col("qv"), col("qv"))))
-        .filter(col("qnrm") > 0.0)
-        .select(col("vec_id"), col("qv"), col("qnrm"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nTotal = quant.count()
-      val nList = graphNList(nTotal)
-      val nProbe = queryNProbe(nList)
-      val qsz = annQuerySetSize(nTotal)
-      val codebook = quant.filter(col("vec_id") < nList)
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-        .sortBy(_._1)
-      // Two-level corpus assignment, flat query-side ranking (e02's
-      // split); same quantized seed codebook as e04, so stage 1 reuses
-      // e04's materialized postings verbatim.
-      val assigned = postings(dir, "ivf_seed_quant") {
-        quant.withColumn("list",
-          element_at(cbRank2(s, "e06", codebook, col("qv"), col("qnrm")), 1))
-      }
-      val probes = quant.filter(col("vec_id") < qsz)
-        .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qnrm").as("pnrm"))
-        .withColumn("list",
-          explode(slice(cbRank(s, "e06", codebook, col("pv"), col("pnrm")),
-            1, nProbe)))
-      val wq = Window.partitionBy(col("qid"))
-        .orderBy(col("qcos").desc, col("vec_id"))
-      val shortlist = assigned.join(broadcast(probes), Seq("list"))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("qcos",
-          call_function("graft_dot", col("pv"), col("qv"))
-            / (col("pnrm") * col("qnrm")))
-        .withColumn("crnk", row_number().over(wq))
-        .filter(col("crnk") <= RerankC)
-        .select(col("qid"), col("vec_id"))
+      // Stage 1 — e04's quantized IVF pipeline at depth RerankC (the shared
+      // [[quantIvfRanked]] helper: identical codebook and materialized
+      // 'ivf_seed_quant' postings, so divergence from e04 is impossible).
+      val (ranked, qsz) = quantIvfRanked(s, dir, "e06", RerankC)
+      val shortlist = ranked.select(col("qid"), col("vec_id"))
       // Stage 2 — exact float re-rank of the shortlist only.
       val fv = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), ve.as("fe"))
@@ -1018,7 +1003,7 @@ object SimilarityQueries {
     * sprobe·nlist/nsuper) ≈ 9·n^1.25 dots instead of the flat n·√n =
     * O(n^1.5) (VERDICT r10 #1, the engine's last superlinear data-path
     * term). */
-  private def cbRank2(s: org.apache.spark.sql.SparkSession, tag: String,
+  private[queries] def cbRank2(s: org.apache.spark.sql.SparkSession, tag: String,
                       codebook: Array[(Long, Seq[Double], Double)],
                       vec: org.apache.spark.sql.Column,
                       nrm: org.apache.spark.sql.Column) = {
@@ -1212,7 +1197,7 @@ object SimilarityQueries {
     * e13 to route APPENDED vectors through the FROZEN router without
     * retraining (the incremental-maintenance contract). Bounded index
     * metadata: √n centroids × Dim doubles per key. */
-  private val cbCache = new java.util.concurrent.ConcurrentHashMap[
+  private[queries] val cbCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Boolean, Long), Array[(Long, Seq[Double], Double)]]()
 
   /** Oracle CTE chain replaying the full index build value-exactly:
@@ -1404,7 +1389,7 @@ object SimilarityQueries {
   private val graphDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Boolean, Long), String]()
 
-  private def graphTables(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[queries] def graphTables(s: org.apache.spark.sql.SparkSession, dir: String,
                           trained: Boolean = true,
                           maxId: Long = Long.MaxValue) = {
     val base = graphDirs.computeIfAbsent((dir, trained, maxId), { _ =>
@@ -1450,7 +1435,7 @@ object SimilarityQueries {
   private val labelDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Boolean), String]()
 
-  private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[queries] def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String,
                             ptauOnly: Boolean) = {
     val path = labelDirs.computeIfAbsent((dir, ptauOnly), { _ =>
       val out = graft.streaming.StreamHarness.tempDir("cclab")
@@ -2092,7 +2077,7 @@ object SimilarityQueries {
       // stage predicate); the QUERY side must stay flat — the selectivity-
       // widened width can reach the FULL list set, which only the flat
       // ranking covers, and it costs qsz·nlist = O(n/16) dots, linear.
-      val assigned = postings(dir, "ivf_seed_float_label") {
+      val assigned = postings(s, dir, "ivf_seed_float_label") {
         prepared.withColumn("list",
           element_at(cbRank2(s, "e11", codebook, col("ve"), col("nrm")), 1))
       }
@@ -2170,15 +2155,27 @@ object SimilarityQueries {
         FROM scored)
       WHERE rnk <= 5 ORDER BY qid, rnk"""))
 
+  /** Hard cap on e12's coreset size (VERDICT r11 next #7): each greedy
+    * round is one full scan plus one driver round-trip (the textbook
+    * Gonzalez trade), so an UNCAPPED corpus-derived K makes the selection
+    * job K·n = n^1.5/16 total scan work. The cap bounds the build at
+    * [[CoresetKCap]]−1 scans — ≤ 63·n, linear — whatever the corpus size;
+    * past it a deployment wanting more centers switches to k-means||-style
+    * oversampling (one scan, K candidates), which trades the 2-approx
+    * bound, not this operator's scope. */
+  val CoresetKCap: Int = 64
+
   /** Coreset size for e12, derived from the corpus through the same family
     * as every other index parameter (VERDICT r10 next #5 — the last fixed
     * constant): K = max(8, [[graphNList]](n)/16) = √n/16 centers, so the
     * cover grows with the index granularity while the greedy loop's K − 1
-    * scans stay sublinear. At every committed bench scale (n ≤ 20k) this
-    * evaluates to exactly 8 — backward-consistent — and the oracle replays
-    * the dynamic K with a WITH RECURSIVE greedy loop instead of a
-    * compile-time CTE unroll. */
-  def coresetK(n: Long): Int = math.max(8, graphNList(n) / 16)
+    * scans stay sublinear — capped at [[CoresetKCap]] so total selection
+    * work stays linear in n (VERDICT r11 next #7). At every committed bench
+    * scale (n ≤ 20k) this evaluates to exactly 8 — backward-consistent —
+    * and the oracle replays the dynamic K (with the same LEAST cap) in a
+    * WITH RECURSIVE greedy loop instead of a compile-time CTE unroll. */
+  def coresetK(n: Long): Int =
+    math.min(CoresetKCap, math.max(8, graphNList(n) / 16))
 
   /** e12's trained centers — (K, selected (vec_id, vector, norm) rows) —
     * memoized per corpus directory: the K − 1 greedy selection scans plus
@@ -2205,9 +2202,11 @@ object SimilarityQueries {
     * quantities a curation pass thresholds ("cap each mode", "drop
     * outlier modes").
     *
-    * Scale shape: the greedy loop is [[CoresetK]] − 1 full scans (the
-    * textbook trade of greedy k-center; a k-means||-style oversampled
-    * variant would cut passes at the cost of the approximation bound), but
+    * Scale shape: the greedy loop is [[coresetK]] − 1 ≤ [[CoresetKCap]] − 1
+    * full scans (the textbook trade of greedy k-center; a k-means||-style
+    * oversampled variant would cut passes at the cost of the approximation
+    * bound) — the cap bounds build cost at 63 scans + 63 driver round-trips
+    * of ONE row each, linear in n however large the corpus — but
     * each scan is ONE map-side distance projection against the selected
     * centers riding as literals (bounded index metadata: ≤ K·Dim doubles
     * collected over the whole run, the ANN-codebook discipline) and a
@@ -2294,8 +2293,8 @@ object SimilarityQueries {
         SELECT vec_id, ve, sqrt(${dotSql("v.ve", "v.ve")}) AS nrm
         FROM v),
       kp AS (
-        SELECT GREATEST(8, GREATEST(16,
-          CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) // 16) AS k FROM n),
+        SELECT LEAST($CoresetKCap, GREATEST(8, GREATEST(16,
+          CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) // 16)) AS k FROM n),
       rec AS (
         SELECT 1 AS it,
           [(SELECT vec_id FROM n ORDER BY vec_id LIMIT 1)] AS cs
@@ -2376,11 +2375,16 @@ object SimilarityQueries {
       val batch = allV.filter(col("vec_id") >= nBase)
       def ranked = cbRank2(s, "e13", cb, col("ve"), col("nrm"))
       val bAssigned = batch.withColumn("list", element_at(ranked, 1))
-      val lrnW = Window.partitionBy(col("list")).orderBy(
-        ((lit(PortableHash.A(0)) * col("vec_id") + lit(PortableHash.B(0)))
-          % lit(PortableHash.P)).asc, col("vec_id"))
-      // The increment's own postings, capped by the same deterministic
-      // subsample rule as the stored base postings.
+      // The increment's own postings, capped in ARRIVAL (vec_id) order —
+      // deliberately NOT the base tables' hash-order subsample: an
+      // append-only admission rule must be PREFIX-MONOTONE (a member once
+      // admitted is never displaced by a later arrival), or the streaming
+      // form of this merge (s28) could not reproduce the batch result
+      // without retracting emitted edges. First-CandCap-in-arrival-order is
+      // exactly what a production streaming index does (admit until the
+      // list's increment quota is full); the hash-uniform subsample remains
+      // the BASE index's rule, where the build sees the full set at once.
+      val lrnW = Window.partitionBy(col("list")).orderBy(col("vec_id"))
       val bCap = bAssigned.withColumn("lrn", row_number().over(lrnW))
         .filter(col("lrn") <= CandCap)
         .select(col("list"), col("vec_id").as("nid"),
@@ -2435,9 +2439,7 @@ object SimilarityQueries {
       bcap AS (
         SELECT list, vec_id AS nid FROM (
           SELECT list, vec_id,
-            row_number() OVER (PARTITION BY list ORDER BY
-              (${PortableHash.A(0)} * vec_id + ${PortableHash.B(0)})
-                % ${PortableHash.P}, vec_id) AS lrn
+            row_number() OVER (PARTITION BY list ORDER BY vec_id) AS lrn
           FROM basg) WHERE lrn <= $CandCap),
       targets AS (
         SELECT list, vec_id AS nid, ve AS nve, nrm AS nnrm FROM capped
@@ -2673,27 +2675,70 @@ object SimilarityQueries {
         n_members = $CandCap AS at_cap
       FROM occ ORDER BY list""")))
 
-  /** e18 — ANN recall evaluation as a first-class query: per-query-point
-    * recall@5 of the flagship trained-IVF index (e05) against the exact
-    * brute-force baseline (e01), the continuous index-quality monitor every
-    * deployed ANN system runs next to e17's occupancy dashboard (recall is
-    * WHY occupancy matters). Both legs are the registered queries
-    * themselves — same plans, same oracles — so this row is also the
-    * cross-operator integration check the single-query oracles can't see.
+  /** Query-point count for e18's recall monitor — a CONSTANT, deliberately
+    * DECOUPLED from [[annQuerySetSize]] (VERDICT r11 wrong #1): the r11
+    * monitor evaluated ALL √n/16 query points against the full corpus, an
+    * n^1.5 term — the engine's last superlinear data path. A monitor's
+    * statistical power needs a fixed sample, not a growing one; 64
+    * hash-ranked points keep the exact leg at 64·n dots — linear — at any
+    * corpus size. At every committed gate scale the query set itself is ≤ 64,
+    * so the sample is the whole set and r11 values are reproduced exactly. */
+  val MonitorQ: Int = 64
+
+  /** e18 — ANN recall evaluation as a first-class query: recall@5 of the
+    * flagship trained-IVF index (e05) against the exact brute-force answer,
+    * the continuous index-quality monitor every deployed ANN system runs
+    * next to e17's occupancy dashboard (recall is WHY occupancy matters).
+    * The monitor's query points are a [[MonitorQ]]-point hash-ranked sample
+    * of the query set (portable affine hash — deterministic, unbiased
+    * w.r.t. vec_id order, replayed exactly by the oracle); the approximate
+    * leg is the registered e05 itself restricted to the sample, so this row
+    * stays the cross-operator integration check the single-query oracles
+    * can't see.
     *
-    * Scale: the exact leg is |Q|·n work over the [[annQuerySetSize]] query
-    * set — the standard OFFLINE recall harness (an audit job over a sampled
-    * query set, never a serving path; |Q| grows as √n/16, so the harness is
-    * n^1.5/16 over the SAMPLE, run once per index build, not per query).
-    * The join is |Q|·5 vs |Q|·5 rows — driver-free, broadcast-sized.
-    * recall = hits/5.0 is one IEEE division of exact small ints — bitwise
-    * reproducible in DuckDB. */
+    * Scale: the exact leg is [[MonitorQ]]·n dots — CONSTANT query count ×
+    * one corpus scan, linear in n forever (r11's |Q| = √n/16 leg was
+    * n^1.5) — and the top-5 cut is a map-side bounded aggregation
+    * ([[graft.functions.TopKCosAggregator]]), so the shuffle carries ≤ 5
+    * entries per (partition, query) instead of the full |sample|·n
+    * candidate stream. The recall join is |sample|·5 vs |sample|·5 rows —
+    * broadcast-sized. recall = hits/5.0 is one IEEE division of exact small
+    * ints — bitwise reproducible in DuckDB. */
   val e18RecallEval: GraftQuery = GraftQuery(
     "e18_recall_eval",
-    "index quality monitor: per-query recall@5 of e05's trained IVF vs e01's exact top-5",
+    s"index quality monitor: recall@5 of e05's trained IVF vs exact top-5 over a constant $MonitorQ-point sample",
     (s, dir) => {
-      val exact = e01CosineKnn.run(s, dir).select(col("qid"), col("vec_id"))
+      import PortableHash.{A, B, P}
+      val v = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ve"))
+      val qsz = annQuerySetSize(v.count())
+      val n = v.withColumn("nrm",
+        sqrt(call_function("graft_dot", col("ve"), col("ve"))))
+      // Constant-size monitor sample: hash-ranked top-MonitorQ of the query
+      // set. The global window ranks qsz = √n/16 rows — index-metadata-sized
+      // (e17's √n-row window class), never corpus data.
+      val wS = Window.orderBy(col("h"), col("qid"))
+      val samp = n.filter(col("vec_id") < qsz)
+        .select(col("vec_id").as("qid"), col("ve").as("qv"), col("nrm").as("qnrm"))
+        .withColumn("h", (lit(A(6)) * (col("qid") % lit(P)) + lit(B(6))) % lit(P))
+        .withColumn("srn", row_number().over(wS))
+        .filter(col("srn") <= MonitorQ)
+        .select(col("qid"), col("qv"), col("qnrm"))
+      // Exact leg: one corpus scan against the broadcast sample; top-5 via
+      // the bounded map-side aggregator (same (cosine DESC, vec_id) total
+      // order as e01's window — values identical where both are defined).
+      val exact = n.crossJoin(broadcast(samp))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine",
+          call_function("graft_dot", col("qv"), col("ve"))
+            / (col("qnrm") * col("nrm")))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKCosAggregator.top5(
+          col("cosine"), col("vec_id")).as("tops"))
+        .select(col("qid"), explode(col("tops")).as("t"))
+        .select(col("qid"), col("t._2").as("vec_id"))
       val approx = e05AnnIvfTrained.run(s, dir).select(col("qid"), col("vec_id"))
+        .join(broadcast(samp.select(col("qid"))), Seq("qid"), "left_semi")
       val hits = exact.join(approx, Seq("qid", "vec_id"))
         .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
       exact.select(col("qid")).distinct()
@@ -2703,10 +2748,24 @@ object SimilarityQueries {
           (coalesce(col("hits"), lit(0L)).cast("double") / lit(5.0)).as("recall"))
         .orderBy(col("qid"))
     },
-    Some(s"""WITH exact AS (
+    Some {
+      import PortableHash.{A, B, P}
+      // The oracle filters both registered legs' full answers to the sample
+      // — per-query top-5 is per-query-independent, so "compute only the
+      // sampled queries" (the Spark plan) and "compute all, keep the
+      // sampled" (this SQL) are value-identical.
+      s"""WITH exact0 AS (
         SELECT qid, vec_id FROM (${e01CosineKnn.oracle.get})),
-      approx AS (
+      approx0 AS (
         SELECT qid, vec_id FROM (${e05AnnIvfTrained.oracle.get})),
+      samp AS (
+        SELECT qid FROM (
+          SELECT qid, row_number() OVER (
+            ORDER BY (${A(6)} * (qid % $P) + ${B(6)}) % $P, qid) AS srn
+          FROM (SELECT DISTINCT qid FROM exact0))
+        WHERE srn <= $MonitorQ),
+      exact AS (SELECT e.qid, e.vec_id FROM exact0 e JOIN samp USING (qid)),
+      approx AS (SELECT a.qid, a.vec_id FROM approx0 a JOIN samp USING (qid)),
       h AS (
         SELECT e.qid, COUNT(*) AS hits
         FROM exact e JOIN approx a ON e.qid = a.qid AND e.vec_id = a.vec_id
@@ -2715,7 +2774,8 @@ object SimilarityQueries {
         CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(5.0 AS DOUBLE) AS recall
       FROM (SELECT DISTINCT qid FROM exact) q
       LEFT JOIN h ON q.qid = h.qid
-      ORDER BY q.qid"""))
+      ORDER BY q.qid"""
+    })
 
   val all: Seq[GraftQuery] =
     Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8,

@@ -17,6 +17,23 @@ class BenchRegistrySpec extends AnyFunSuite {
       s"Bench.IndexPrebuild names not in the registry (renamed?): $missing")
   }
 
+  test("every BuildDeps consumer and owner is registered; owners pre-build") {
+    val registered = SparkEntry.queries.keySet
+    val badKeys = Bench.BuildDeps.keys.filterNot(registered)
+    assert(badKeys.isEmpty, s"BuildDeps consumers not in registry: $badKeys")
+    val badVals = Bench.BuildDeps.values.flatten.filterNot(registered)
+    assert(badVals.isEmpty, s"BuildDeps owners not in registry: $badVals")
+    // An owner that is not in IndexPrebuild would never be pre-run, making
+    // the dependency edge a no-op.
+    val unowned = Bench.BuildDeps.values.flatten.toSet -- Bench.IndexPrebuild.toSet
+    assert(unowned.isEmpty, s"BuildDeps owners missing from IndexPrebuild: $unowned")
+    // The closure does what ADVICE r11 asked: selecting only a consumer
+    // still pre-builds its owner.
+    assert(Bench.prebuildFor(Seq("e06_ann_rerank")) == Seq("e04_ann_int8"))
+    assert(Bench.prebuildFor(Seq("e18_recall_eval")) == Seq("e05_ann_ivf_trained"))
+    assert(Bench.prebuildFor(Seq("q01_pricing_summary")).isEmpty)
+  }
+
   test("pre-build names are unique and every registry name has an oracle") {
     assert(Bench.IndexPrebuild.distinct.size == Bench.IndexPrebuild.size)
     // The driver's gate needs BOTH a queries entry and an oracleSql entry;

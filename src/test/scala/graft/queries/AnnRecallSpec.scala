@@ -55,9 +55,14 @@ class AnnRecallSpec extends SparkSpec {
     // e18 is the recall computation AS A QUERY; this spec recomputes the
     // same quantity from the two legs' collected outputs (set intersection
     // over raw rows, no shared code path) and pins equality — plus the e05
-    // floor the monitor exists to watch.
+    // floor the monitor exists to watch. At this fixture the query set
+    // (qsz = 8) is smaller than the monitor's constant sample cap
+    // (MonitorQ), so the hash-ranked sample is the WHOLE query set and e18
+    // must cover every query point exactly.
     val exact = top5(SimilarityQueries.e01CosineKnn)
     val ann = top5(SimilarityQueries.e05AnnIvfTrained)
+    assert(exact.size <= SimilarityQueries.MonitorQ,
+      "fixture query set exceeds MonitorQ — update this spec's sample expectation")
     val got = SimilarityQueries.e18RecallEval.run(spark, dir)
       .select("qid", "hits", "recall").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap

@@ -5,11 +5,13 @@ import graft.SparkSpec
 /** Registry-wide physical-plan audit: no accidental cartesian products or
   * nested-loop joins anywhere in the batch query surface. e01 is the single
   * allowed exception (an intentional broadcast corpus × 8-query cross join,
-  * superseded by e02's bucketed plan at scale) — and e18 contains e01
-  * verbatim as its exact-recall leg (the offline recall harness is DEFINED
-  * against the brute-force baseline), so it inherits the same allowance.
-  * Streaming-harness queries execute streams on construction, so they are
-  * audited by their own e2e specs instead.
+  * superseded by e02's bucketed plan at scale) — and e18's exact-recall leg
+  * is the same brute-force shape bounded at a CONSTANT MonitorQ-point
+  * broadcast sample (the recall monitor is DEFINED against exact truth;
+  * since r12 its total work is MonitorQ·n — linear — with the top-5 cut
+  * done by a map-side bounded aggregator, not a corpus-wide window), so it
+  * keeps the allowance. Streaming-harness queries execute streams on
+  * construction, so they are audited by their own e2e specs instead.
   */
 class PlanAuditSpec extends SparkSpec {
 
