@@ -199,8 +199,12 @@ object Bench {
     // trigger interval's worth each), reported against the reference's
     // implicit 1000 ms bound. Skipped (with an err) rather than failing the
     // bench: latency is an attestation, not a correctness gate.
+    // Default arrival rate is 10× the reference-like 1000 rows/batch
+    // (VERDICT r11 next #6): the r11 artifact showed 218 ms max at 1k
+    // rows/batch, leaving headroom unquantified; the committed attestation
+    // now runs at 10k rows per 1 s-trigger batch.
     val latBatches = sys.env.getOrElse("SPARK_GRAFT_LAT_BATCHES", "20").toInt
-    val latRows = sys.env.getOrElse("SPARK_GRAFT_LAT_ROWS", "1000").toInt
+    val latRows = sys.env.getOrElse("SPARK_GRAFT_LAT_ROWS", "10000").toInt
     val latency: Either[String, Seq[Long]] =
       if (only.isDefined) Left("skipped: SPARK_GRAFT_ONLY filter active")
       else

@@ -2741,7 +2741,9 @@ object SimilarityQueries {
         .join(broadcast(samp.select(col("qid"))), Seq("qid"), "left_semi")
       val hits = exact.join(approx, Seq("qid", "vec_id"))
         .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
-      exact.select(col("qid")).distinct()
+      // The monitor's row set IS the sample (every sampled qid has exact
+      // top-5 rows — corpus > 5), so no distinct over the exploded leg.
+      samp.select(col("qid"))
         .join(hits, Seq("qid"), "left")
         .select(col("qid"),
           coalesce(col("hits"), lit(0L)).as("hits"),
