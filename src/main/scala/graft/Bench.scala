@@ -68,6 +68,7 @@ object Bench {
     "e16_balanced_sample" -> Seq("e07_knn_graph", "e08_semantic_clusters"),
     "e17_index_stats" -> Seq("e07_knn_graph"),
     "e18_recall_eval" -> Seq("e05_ann_ivf_trained"),
+    "e19_maintained_recall" -> Seq("e13_incremental_index"),
     "m07_crossmodal_dedup" ->
       Seq("e07_knn_graph", "e15_semdedup", "m04_media_dup_clusters"),
     "s28_stream_ann_maintain" -> Seq("e13_incremental_index"))

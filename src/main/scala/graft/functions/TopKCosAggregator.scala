@@ -65,4 +65,10 @@ object TopKCosAggregator {
   val top5: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopKCosAggregator(5),
       ExpressionEncoder[(Double, Long)]())
+
+  /** Top-[[graft.queries.SimilarityQueries.KnnK]] form for graph-index
+    * monitors (e19). */
+  val top3: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKCosAggregator(3),
+      ExpressionEncoder[(Double, Long)]())
 }

@@ -36,8 +36,9 @@ object MultimodalQueries {
 
   /** DuckDB CTE chain reproducing `graft_phash` signatures, their 4×16-bit
     * bands, and the banded candidate pairs (with both signatures attached) —
-    * shared by the m03 (pairs) and m04 (clusters) oracles. */
-  private val phashCandSql: String = s"""grams AS (
+    * shared by the m03 (pairs) and m04 (clusters) oracles at Hamming ≤ 3
+    * and by m08's evidence table at the relaxed [[JointHamming]] cut. */
+  private def phashCandSqlAt(maxHamming: Int): String = s"""grams AS (
         SELECT doc_id,
           ord(substring(text, i, 1)) AS b1,
           ord(substring(text, i + 1, 1)) AS b2
@@ -82,7 +83,9 @@ object MultimodalQueries {
           bit_count(xor(a.sig1, b.sig1)) + bit_count(xor(a.sig2, b.sig2)) AS hamming
         FROM bands a JOIN capped b
           ON a.bn = b.bn AND a.bv = b.bv AND a.doc_id <> b.doc_id
-        WHERE bit_count(xor(a.sig1, b.sig1)) + bit_count(xor(a.sig2, b.sig2)) <= 3)"""
+        WHERE bit_count(xor(a.sig1, b.sig1)) + bit_count(xor(a.sig2, b.sig2)) <= $maxHamming)"""
+
+  private val phashCandSql: String = phashCandSqlAt(3)
 
   /** m01 — binary payload metadata: byte length, content digest, head-bytes
     * hex sample, and the deterministic fake "decode" fields. */
@@ -146,43 +149,51 @@ object MultimodalQueries {
     * never corpus²; the signature scan is one map-side
     * whole-stage-codegen projection — the d10 shape applied to opaque
     * media bytes. */
+  /** Banded pHash candidate pairs at a given exact-Hamming cut — m03's
+    * machinery shared with m08's relaxed-evidence pass: map-side signature
+    * kernel, 4×16-bit bands, per-bucket [[MediaBandCap]] index-side cap,
+    * `bit_count(xor)` verification confined to band collisions, pairs
+    * canonicalized (doc_a < doc_b) and distinct. Returns
+    * (doc_a, doc_b, hamming: int), unordered. */
+  private def phashCandidates(s: org.apache.spark.sql.SparkSession,
+                              dir: String, maxHamming: Int) = {
+    val sigs = docs(s, dir)
+      .select(col("doc_id"),
+        call_function("graft_phash", col("text").cast("binary")).as("ph"))
+      .select(col("doc_id"), col("ph.sig1").as("sig1"), col("ph.sig2").as("sig2"))
+    val bands = sigs.select(col("doc_id"), col("sig1"), col("sig2"),
+      posexplode(array(
+        col("sig1").bitwiseAND(lit(65535L)), shiftright(col("sig1"), 16),
+        col("sig2").bitwiseAND(lit(65535L)), shiftright(col("sig2"), 16)))
+        .as(Seq("bn", "bv")))
+    // Index side capped per bucket (uniform hash-ordered subsample); the
+    // probe side stays full and pairs are canonicalized least/greatest,
+    // so a pair survives if EITHER endpoint is in the other's subsample —
+    // the same symmetric-union shape as e07's capped probe.
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bn"), col("bv"))
+      .orderBy(((lit(graft.functions.PortableHash.A(0)) * col("doc_id")
+        + lit(graft.functions.PortableHash.B(0)))
+        % lit(graft.functions.PortableHash.P)).asc, col("doc_id"))
+    val right = bands.withColumn("brn", row_number().over(capW))
+      .filter(col("brn") <= MediaBandCap)
+      .select(col("bn"), col("bv"), col("doc_id").as("doc_b"),
+        col("sig1").as("s1b"), col("sig2").as("s2b"))
+    bands.join(right, Seq("bn", "bv"))
+      .filter(col("doc_id") =!= col("doc_b"))
+      .withColumn("hamming",
+        expr("bit_count(sig1 ^ s1b) + bit_count(sig2 ^ s2b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("doc_id"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_id"), col("doc_b")).as("doc_b"),
+        col("hamming").cast("int").as("hamming"))
+      .distinct()
+  }
+
   val m03PhashNeardup: GraftQuery = GraftQuery(
     "m03_phash_neardup",
     "perceptual-hash near-dup pairs over binary payload: 4x16-bit bands + Hamming <= 3",
-    (s, dir) => {
-      val sigs = docs(s, dir)
-        .select(col("doc_id"),
-          call_function("graft_phash", col("text").cast("binary")).as("ph"))
-        .select(col("doc_id"), col("ph.sig1").as("sig1"), col("ph.sig2").as("sig2"))
-      val bands = sigs.select(col("doc_id"), col("sig1"), col("sig2"),
-        posexplode(array(
-          col("sig1").bitwiseAND(lit(65535L)), shiftright(col("sig1"), 16),
-          col("sig2").bitwiseAND(lit(65535L)), shiftright(col("sig2"), 16)))
-          .as(Seq("bn", "bv")))
-      // Index side capped per bucket (uniform hash-ordered subsample); the
-      // probe side stays full and pairs are canonicalized least/greatest,
-      // so a pair survives if EITHER endpoint is in the other's subsample —
-      // the same symmetric-union shape as e07's capped probe.
-      val capW = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("bn"), col("bv"))
-        .orderBy(((lit(graft.functions.PortableHash.A(0)) * col("doc_id")
-          + lit(graft.functions.PortableHash.B(0)))
-          % lit(graft.functions.PortableHash.P)).asc, col("doc_id"))
-      val right = bands.withColumn("brn", row_number().over(capW))
-        .filter(col("brn") <= MediaBandCap)
-        .select(col("bn"), col("bv"), col("doc_id").as("doc_b"),
-          col("sig1").as("s1b"), col("sig2").as("s2b"))
-      bands.join(right, Seq("bn", "bv"))
-        .filter(col("doc_id") =!= col("doc_b"))
-        .withColumn("hamming",
-          expr("bit_count(sig1 ^ s1b) + bit_count(sig2 ^ s2b)"))
-        .filter(col("hamming") <= 3)
-        .select(least(col("doc_id"), col("doc_b")).as("doc_a"),
-          greatest(col("doc_id"), col("doc_b")).as("doc_b"),
-          col("hamming").cast("int").as("hamming"))
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, dir) => phashCandidates(s, dir, 3).orderBy(col("doc_a"), col("doc_b")),
     Some(s"""WITH $phashCandSql
       SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
       FROM cand
@@ -449,7 +460,111 @@ object MultimodalQueries {
       FROM assets a JOIN ulab l USING (doc_id) JOIN usz USING (cluster)
       ORDER BY a.doc_id"""))
 
+  /** Relaxed Hamming cut for m08's joint-evidence pass: pairs this close in
+    * pHash space are "media-suspicious" without clearing m03's ≤ 3 dup bar.
+    * Candidates at 4–6 bits are found when a band still collides — the
+    * pigeonhole guarantee covers ≤ 3 exactly; beyond it recall is the
+    * banding's, the documented m03 trade — so m08 scores evidence on the
+    * SAME candidate stream the media family already generates. */
+  val JointHamming: Int = 6
+
+  /** Text-cosine floor for joint evidence — deliberately below
+    * [[SimilarityQueries.SemTau]] (0.38): alone it proves nothing, which is
+    * the point — it only fires TOGETHER with a sub-threshold media signal. */
+  val JointTau: Double = 0.30
+
+  /** m08 — CROSS-MODAL EVIDENCE pairs: m07 unifies the per-modality
+    * verdicts transitively, but a pair whose text similarity and media
+    * similarity are each just UNDER their own family's threshold is still
+    * invisible — weak evidence in two independent modalities is strong
+    * evidence about the asset. This table scores every banded media
+    * candidate (Hamming ≤ [[JointHamming]]) with BOTH signals and keeps the
+    * pairs with any evidence: `media` (Hamming ≤ 3, m03's bar), `text`
+    * (cosine ≥ SemTau, e15's bar), `both`, or `joint` (neither bar alone,
+    * but Hamming ≤ 6 AND cosine ≥ [[JointTau]]). Assets without embeddings
+    * carry a NULL cosine and can only present media evidence.
+    *
+    * Scale: the candidate stream is m03's banded join (Σ bucket² with the
+    * [[MediaBandCap]] cap — never corpus²); the text signal is two keyed
+    * LEFT joins against the embeddings table plus one left-fold dot per
+    * candidate — per-pair bounded work, no new shuffle class. Cosines are
+    * the engine-portable fold, so evidence classes replay exactly in
+    * DuckDB. */
+  val m08CrossmodalEvidence: GraftQuery = GraftQuery(
+    "m08_crossmodal_evidence",
+    s"cross-modal evidence pairs: media (<=3) / text (>=${SimilarityQueries.SemTau}) / joint (<=$JointHamming & >=$JointTau) classes over banded candidates",
+    (s, dir) => {
+      val cand = phashCandidates(s, dir, JointHamming)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("ve"))
+        .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
+      val ea = emb.select(col("vec_id").as("doc_a"), col("ve").as("va"),
+        col("nrm").as("na"))
+      val eb = emb.select(col("vec_id").as("doc_b"), col("ve").as("vb"),
+        col("nrm").as("nb"))
+      val scored = cand
+        .join(ea, Seq("doc_a"), "left")
+        .join(eb, Seq("doc_b"), "left")
+        .withColumn("cosine",
+          when(col("va").isNotNull && col("vb").isNotNull,
+            call_function("graft_dot", col("va"), col("vb"))
+              / (col("na") * col("nb"))))
+        .withColumn("media_dup", col("hamming") <= 3)
+        .withColumn("text_dup",
+          coalesce(col("cosine") >= SimilarityQueries.SemTau, lit(false)))
+        .withColumn("joint_dup",
+          !col("media_dup") && !col("text_dup") &&
+            coalesce(col("cosine") >= JointTau, lit(false)))
+      scored
+        .filter(col("media_dup") || col("text_dup") || col("joint_dup"))
+        .select(col("doc_a"), col("doc_b"), col("hamming"), col("cosine"),
+          when(col("media_dup") && col("text_dup"), "both")
+            .when(col("media_dup"), "media")
+            .when(col("text_dup"), "text")
+            .otherwise("joint").as("evidence"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some {
+      val dot = (a: String, b: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"""
+      s"""WITH ${phashCandSqlAt(JointHamming)},
+      xv AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+      xn AS (
+        SELECT vec_id, ve,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS nrm
+        FROM xv),
+      xscored AS (
+        SELECT c.doc_a, c.doc_b, CAST(c.hamming AS INT) AS hamming,
+          CASE WHEN a.vec_id IS NOT NULL AND b.vec_id IS NOT NULL
+               THEN ${dot("a.ve", "b.ve")} / (a.nrm * b.nrm) END AS cosine,
+          c.hamming <= 3 AS media_dup,
+          COALESCE(
+            CASE WHEN a.vec_id IS NOT NULL AND b.vec_id IS NOT NULL
+                 THEN ${dot("a.ve", "b.ve")} / (a.nrm * b.nrm) END
+              >= ${SimilarityQueries.SemTau}, FALSE) AS text_dup
+        FROM cand c
+        LEFT JOIN xn a ON a.vec_id = c.doc_a
+        LEFT JOIN xn b ON b.vec_id = c.doc_b),
+      xcls AS (
+        SELECT *, (NOT media_dup) AND (NOT text_dup)
+          AND COALESCE(cosine >= $JointTau, FALSE) AS joint_dup
+        FROM xscored)
+      SELECT doc_a, doc_b, hamming, cosine,
+        CASE WHEN media_dup AND text_dup THEN 'both'
+             WHEN media_dup THEN 'media'
+             WHEN text_dup THEN 'text'
+             ELSE 'joint' END AS evidence
+      FROM xcls
+      WHERE media_dup OR text_dup OR joint_dup
+      ORDER BY doc_a, doc_b"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(m01BinaryMeta, m02FrameSample, m03PhashNeardup, m04MediaDupClusters,
-      m05FrameOverlap, m06PpmDecode, m07CrossmodalDedup)
+      m05FrameOverlap, m06PpmDecode, m07CrossmodalDedup, m08CrossmodalEvidence)
 }

@@ -2779,10 +2779,102 @@ object SimilarityQueries {
       ORDER BY q.qid"""
     })
 
+  /** e19 — MAINTAINED-index quality monitor: e18 watches the trained batch
+    * index; this watches the index a deployment actually serves BETWEEN
+    * rebuilds — e13/s28's merged incremental graph — closing the
+    * maintenance loop (append → merge → MEASURE the drift the frozen-router
+    * append trades away). recall@[[KnnK]] of the merged graph's neighbor
+    * lists against the exact top-[[KnnK]], over a constant [[MonitorQ]]
+    * hash-ranked sample of the WHOLE corpus (base and appended vectors
+    * alike — the appended tail is exactly where drift concentrates).
+    *
+    * Scale: the exact leg is MonitorQ·n dots with the top-K cut by the
+    * bounded map-side aggregator (e18's r12 shape — linear in n forever);
+    * the approx leg reads e13's merged output filtered to the sample
+    * (broadcast semi join). A vector absent from the merged graph (its
+    * candidates all lost) scores recall 0 rather than vanishing — absence
+    * is exactly what the monitor must surface. hits/K is one IEEE division
+    * of exact small ints. */
+  val e19MaintainedRecall: GraftQuery = GraftQuery(
+    "e19_maintained_recall",
+    s"maintained-index monitor: recall@$KnnK of e13's merged incremental graph vs exact top-$KnnK over a constant $MonitorQ-point sample",
+    (s, dir) => {
+      import PortableHash.{A, B, P}
+      val v = Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ve"))
+      val n = v.withColumn("nrm",
+        sqrt(call_function("graft_dot", col("ve"), col("ve"))))
+      val wS = Window.orderBy(col("h"), col("qid"))
+      val samp = n.select(col("vec_id").as("qid"), col("ve").as("qv"),
+        col("nrm").as("qnrm"))
+        .withColumn("h", (lit(A(7)) * (col("qid") % lit(P)) + lit(B(7))) % lit(P))
+        .withColumn("srn", row_number().over(wS))
+        .filter(col("srn") <= MonitorQ)
+        .select(col("qid"), col("qv"), col("qnrm"))
+      val exact = n.crossJoin(broadcast(samp))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine",
+          call_function("graft_dot", col("qv"), col("ve"))
+            / (col("qnrm") * col("nrm")))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKCosAggregator.top3(
+          col("cosine"), col("vec_id")).as("tops"))
+        .select(col("qid"), explode(col("tops")).as("t"))
+        .select(col("qid"), col("t._2").as("nid"))
+      val approx = e13IncrementalIndex.run(s, dir)
+        .select(col("vec_id").as("qid"), col("nid"))
+        .join(broadcast(samp.select(col("qid"))), Seq("qid"), "left_semi")
+      val hits = exact.join(approx, Seq("qid", "nid"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      samp.select(col("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double")
+            / lit(KnnK.toDouble)).as("recall"))
+        .orderBy(col("qid"))
+    },
+    Some {
+      import PortableHash.{A, B, P}
+      s"""WITH merged19 AS (
+        SELECT vec_id AS qid, nid FROM (${e13IncrementalIndex.oracle.get})),
+      mv AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings),
+      mn AS (
+        SELECT vec_id, ve,
+          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(ve, x -> x * x)), (a, b) -> a + b)) AS nrm
+        FROM mv),
+      msamp AS (
+        SELECT qid FROM (
+          SELECT vec_id AS qid, row_number() OVER (
+            ORDER BY (${A(7)} * (vec_id % $P) + ${B(7)}) % $P, vec_id) AS srn
+          FROM mn)
+        WHERE srn <= $MonitorQ),
+      mexact AS (
+        SELECT qid, nid FROM (
+          SELECT s.qid, x.vec_id AS nid,
+            row_number() OVER (PARTITION BY s.qid ORDER BY
+              ${dotSql("q.ve", "x.ve")} / (q.nrm * x.nrm) DESC, x.vec_id) AS rnk
+          FROM msamp s, mn q, mn x
+          WHERE q.vec_id = s.qid AND x.vec_id <> s.qid)
+        WHERE rnk <= $KnnK),
+      mapprox AS (SELECT m.qid, m.nid FROM merged19 m JOIN msamp USING (qid)),
+      mh AS (
+        SELECT e.qid, COUNT(*) AS hits
+        FROM mexact e JOIN mapprox a ON e.qid = a.qid AND e.nid = a.nid
+        GROUP BY e.qid)
+      SELECT s.qid, COALESCE(mh.hits, 0) AS hits,
+        CAST(COALESCE(mh.hits, 0) AS DOUBLE) / CAST($KnnK AS DOUBLE) AS recall
+      FROM msamp s LEFT JOIN mh USING (qid)
+      ORDER BY s.qid"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8,
       e05AnnIvfTrained, e06AnnRerank, e07KnnGraph, e08SemanticClusters,
       e09AnnPq, e10RangeSearch, e11AnnFiltered, e12KcenterCoreset,
       e13IncrementalIndex, e14HybridRrf, e15Semdedup, e16BalancedSample,
-      e17IndexStats, e18RecallEval, d10EmbeddingNeardup)
+      e17IndexStats, e18RecallEval, e19MaintainedRecall, d10EmbeddingNeardup)
 }

@@ -239,6 +239,46 @@ class AnnRecallSpec extends SparkSpec {
       s"merged graph covers ${merged.size} of $nTotal vectors")
   }
 
+  test("e19 maintained-index monitor equals an independent recomputation") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.PortableHash.{A, B, P}
+    val vecs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ve"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    // The monitor's sample: hash-ranked top-MonitorQ over ALL corpus ids.
+    val sample = vecs.map(_._1)
+      .sortBy(id => ((A(7) * (id % P) + B(7)) % P, id))
+      .take(SimilarityQueries.MonitorQ).toSet
+    val byId = vecs.toMap
+    val merged = SimilarityQueries.e13IncrementalIndex.run(spark, dir)
+      .select("vec_id", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val got = SimilarityQueries.e19MaintainedRecall.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == sample, "e19 must emit exactly the sampled ids")
+    sample.foreach { id =>
+      val exact = vecs.filter(_._1 != id)
+        .map { case (oid, ov) => (oid, cos(byId(id), ov)) }
+        .sortBy { case (oid, c) => (-c, oid) }
+        .take(SimilarityQueries.KnnK).map(_._1).toSet
+      val hits = exact.intersect(merged.getOrElse(id, Set.empty)).size
+      assert(got(id) == ((hits.toLong, hits.toDouble / SimilarityQueries.KnnK)),
+        s"id $id: e19 ${got(id)} != recomputed ($hits, ${hits.toDouble / SimilarityQueries.KnnK})")
+    }
+    // The monitor is watching a real (lossy) index: recall must be high but
+    // this fixture's merged graph is not perfect — both sides of that are
+    // informative, so pin a floor rather than equality with 1.0.
+    val mean = got.values.map(_._2).sum / got.size
+    assert(mean >= 0.75, s"e19 mean recall@${SimilarityQueries.KnnK} $mean < 0.75")
+  }
+
   test("fixture embedding dimensionality matches SimilarityQueries.Dim") {
     // e05's oracle unrolls per-dimension sums over 1..Dim; a fixture with a
     // different dim would silently truncate the training sums.

@@ -18,7 +18,10 @@ class PlanAuditSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any batch plan") {
-    val allowedCross = Set("e01_cosine_knn", "e18_recall_eval")
+    // e19 inherits e18's allowance: its exact leg is the same
+    // constant-sample bounded broadcast cross join.
+    val allowedCross = Set("e01_cosine_knn", "e18_recall_eval",
+      "e19_maintained_recall")
     // s\d\d queries drive real streaming drains on construction — their
     // returned DataFrame is a sort over a sink, so "auditing" them just
     // re-runs the stream; their plans are covered by the streaming specs.
