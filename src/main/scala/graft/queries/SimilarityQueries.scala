@@ -2804,12 +2804,17 @@ object SimilarityQueries {
         transform(col("embedding"), x => x.cast("double")).as("ve"))
       val n = v.withColumn("nrm",
         sqrt(call_function("graft_dot", col("ve"), col("ve"))))
-      val wS = Window.orderBy(col("h"), col("qid"))
+      // Hash-ranked top-MonitorQ over the WHOLE corpus: orderBy+limit is a
+      // distributed TakeOrderedAndProject (per-partition top-64 heaps, one
+      // 64-row merge) — e18's row_number window ranks its √n/16-row query
+      // set, but HERE the ranked set is all n rows and a global window
+      // would drag the corpus through one partition (measured 33 s at x100;
+      // TakeOrdered reads 9 s). Same rows: ascending (h, qid) is a total
+      // order, so top-64 ≡ row_number ≤ 64, which is what the oracle plays.
       val samp = n.select(col("vec_id").as("qid"), col("ve").as("qv"),
         col("nrm").as("qnrm"))
         .withColumn("h", (lit(A(7)) * (col("qid") % lit(P)) + lit(B(7))) % lit(P))
-        .withColumn("srn", row_number().over(wS))
-        .filter(col("srn") <= MonitorQ)
+        .orderBy(col("h"), col("qid")).limit(MonitorQ)
         .select(col("qid"), col("qv"), col("qnrm"))
       val exact = n.crossJoin(broadcast(samp))
         .filter(col("vec_id") =!= col("qid"))
