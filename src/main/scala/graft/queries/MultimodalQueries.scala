@@ -34,11 +34,11 @@ object MultimodalQueries {
     * a uniform-subsample approximation — mirrored exactly by the oracle. */
   val MediaBandCap: Int = 256
 
-  /** DuckDB CTE chain reproducing `graft_phash` signatures, their 4×16-bit
-    * bands, and the banded candidate pairs (with both signatures attached) —
-    * shared by the m03 (pairs) and m04 (clusters) oracles at Hamming ≤ 3
-    * and by m08's evidence table at the relaxed [[JointHamming]] cut. */
-  private def phashCandSqlAt(maxHamming: Int): String = s"""grams AS (
+  /** DuckDB CTE chain reproducing `graft_phash` signatures and their
+    * 4×16-bit bands (`grams` → … → `bands`) — the prefix shared by the
+    * m03/m04/m08 candidate chain below and by s29's media-admission oracle
+    * (which needs the band keys, not the pairwise candidates). */
+  private[queries] val phashBandsSql: String = s"""grams AS (
         SELECT doc_id,
           ord(substring(text, i, 1)) AS b1,
           ord(substring(text, i + 1, 1)) AS b2
@@ -68,7 +68,13 @@ object MultimodalQueries {
         SELECT doc_id, sig1, sig2, bn,
           CASE bn WHEN 0 THEN sig1 & 65535 WHEN 1 THEN sig1 >> 16
                   WHEN 2 THEN sig2 & 65535 ELSE sig2 >> 16 END AS bv
-        FROM sigs, LATERAL (SELECT unnest(generate_series(0, 3)) AS bn)),
+        FROM sigs, LATERAL (SELECT unnest(generate_series(0, 3)) AS bn))"""
+
+  /** Banded candidate pairs (with both signatures attached) at a given
+    * exact-Hamming cut — shared by the m03 (pairs) and m04 (clusters)
+    * oracles at Hamming ≤ 3 and by m08's evidence table at the relaxed
+    * [[JointHamming]] cut. */
+  private def phashCandSqlAt(maxHamming: Int): String = s"""$phashBandsSql,
       capped AS (
         SELECT doc_id, sig1, sig2, bn, bv FROM (
           SELECT doc_id, sig1, sig2, bn, bv,
@@ -246,7 +252,7 @@ object MultimodalQueries {
           (col("id") === col("cluster")).cast("int").as("is_canonical"))
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH RECURSIVE $phashCandSql,
+    Some(GraftQuery.materializeCtes(s"""WITH RECURSIVE $phashCandSql,
       pairs AS (
         SELECT doc_a, doc_b FROM cand),
       edges AS (
@@ -264,7 +270,7 @@ object MultimodalQueries {
       SELECT l.doc_id, l.cluster, sz.cluster_size,
         CAST(l.doc_id = l.cluster AS INT) AS is_canonical
       FROM lab l JOIN sz USING (cluster)
-      ORDER BY l.doc_id"""))
+      ORDER BY l.doc_id""")))
 
   /** Frames sampled and window width for m05. */
   private val NFrames = 8
@@ -434,7 +440,11 @@ object MultimodalQueries {
           (col("doc_id") === col("cluster")).cast("int").as("is_canonical"))
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH RECURSIVE mlab AS (
+    // Round-13 gate fix (VERDICT r12 #1): the nested m04/e15 oracles in
+    // `mlab`/`tlab` MUST be materialized — un-materialized, DuckDB re-runs
+    // both full recursive sub-oracles on every `ureach` iteration (787 s at
+    // sf0.01, ~1500× every sibling; the round-12 empty-gate root cause).
+    Some(GraftQuery.materializeCtes(s"""WITH RECURSIVE mlab AS (
         SELECT doc_id, cluster AS mcluster FROM (${m04MediaDupClusters.oracle.get})),
       tlab AS (
         SELECT vec_id AS doc_id, grp AS tcluster
@@ -458,7 +468,7 @@ object MultimodalQueries {
       SELECT a.doc_id, a.mcluster, a.tcluster, l.cluster, usz.cluster_size,
         CAST(a.doc_id = l.cluster AS INT) AS is_canonical
       FROM assets a JOIN ulab l USING (doc_id) JOIN usz USING (cluster)
-      ORDER BY a.doc_id"""))
+      ORDER BY a.doc_id""")))
 
   /** Relaxed Hamming cut for m08's joint-evidence pass: pairs this close in
     * pHash space are "media-suspicious" without clearing m03's ≤ 3 dup bar.

@@ -9,12 +9,18 @@ parquet output in outDir/<name>/ — columns sorted by name, rows compared in
 order, doubles compared exactly (bitwise, which our deterministic-aggregation
 design guarantees). Strictly harsher than the driver (which may sort rows).
 """
-import duckdb, json, sys, glob
+import duckdb, json, sys, glob, os, time
 import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Per-oracle wall-time budget (seconds). One slow oracle zeroed the round-12
+# driver gate (m07's un-materialized recursive CTE ran 787 s at sf0.01); any
+# oracle past this budget is a FAIL so the hazard can never again pass
+# silently. Override with GRAFT_ORACLE_BUDGET.
+BUDGET_S = float(os.environ.get("GRAFT_ORACLE_BUDGET", "60"))
 
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -24,11 +30,19 @@ def main():
         con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     fails = 0
+    slowest = (0.0, "")
     for name, sql in sorted(oracle.items()):
+        t0 = time.monotonic()
         try:
             exp = con.sql(sql).df()
         except Exception as e:
             print(f"{name}: ORACLE SQL ERROR: {str(e).splitlines()[0]}")
+            fails += 1
+            continue
+        dt = time.monotonic() - t0
+        slowest = max(slowest, (dt, name))
+        if dt > BUDGET_S:
+            print(f"{name}: FAIL ORACLE OVER BUDGET ({dt:.1f}s > {BUDGET_S:.0f}s)")
             fails += 1
             continue
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
@@ -59,7 +73,8 @@ def main():
             print(f"{name}: FAIL " + " | ".join(problems))
             fails += 1
         else:
-            print(f"{name}: OK ({len(exp)} rows)")
+            print(f"{name}: OK ({len(exp)} rows, oracle {dt:.2f}s)")
+    print(f"SLOWEST ORACLE: {slowest[1]} {slowest[0]:.2f}s (budget {BUDGET_S:.0f}s)")
     print(f"FAILS: {fails}/{len(oracle)}")
     sys.exit(1 if fails else 0)
 
