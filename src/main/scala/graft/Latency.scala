@@ -22,7 +22,17 @@ object Latency {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ms = graft.queries.StreamingQueries.latencyProbe(spark, sfDir, batches, rows)
-    println(s"""{"latency":{"pipeline":"s01-shaped","batches":${ms.size},"rows_per_batch":$rows,"max_batch_ms":${ms.max},"median_batch_ms":${ms.sorted.apply(ms.size / 2)},"bound_ms":1000,"all_ms":${ms.mkString("[", ",", "]")}}}""")
+    // An empty run (LAT_BATCHES=0, or a drain that yielded only no-data
+    // triggers) must emit an explicit error object, not crash the
+    // attestation tool with an opaque max-of-empty exception.
+    if (ms.isEmpty)
+      println(s"""{"latency":{"error":"no measured batches","batches":0,"rows_per_batch":$rows}}""")
+    else {
+      val sorted = ms.sorted
+      def pct(p: Double) =
+        sorted(math.min(sorted.size - 1, math.ceil(p * sorted.size).toInt - 1).max(0))
+      println(s"""{"latency":{"pipeline":"s01-shaped","batches":${ms.size},"rows_per_batch":$rows,"max_batch_ms":${sorted.last},"p99_batch_ms":${pct(0.99)},"median_batch_ms":${pct(0.5)},"bound_ms":1000,"all_ms":${ms.mkString("[", ",", "]")}}}""")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** s-series scale evidence (VERDICT r12 next #7): the x100 bench artifact
+  * excludes the s-series on the argument that streaming cost is per-batch
+  * micro-batch machinery, not data volume — this main turns that argument
+  * into a committed measurement. It drives the s01-shaped drain (the same
+  * [[graft.queries.StreamingQueries.latencyProbe]] pipeline the latency
+  * attestation uses: file stream → demux → typed parse → warning classifier
+  * → memory sink) at 1×, 10×, and 100× the reference-like 1000 rows/batch
+  * arrival rate and prints per-rate batch-time stats. The claim being
+  * evidenced: batch time grows far sublinearly in rows/batch (the fixed
+  * trigger/state-store overhead dominates), so corpus volume spread over
+  * more batches costs proportional wall-clock with CONSTANT per-batch
+  * latency — which is why an x100 corpus cell would measure trigger count,
+  * not engine scaling.
+  *
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_SCALE_BATCHES (default 20),
+  * SPARK_GRAFT_SCALE_RATES (default "1000,10000,100000"),
+  * SPARK_GRAFT_STREAM_SCALE_OUT (default stream_scale.json). */
+object StreamScale {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val batches = sys.env.getOrElse("SPARK_GRAFT_SCALE_BATCHES", "20").toInt
+    val rates = sys.env.getOrElse("SPARK_GRAFT_SCALE_RATES", "1000,10000,100000")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def stats(ms: Seq[Long]): String = {
+      val sorted = ms.sorted
+      def pct(p: Double) = sorted(
+        math.min(sorted.size - 1, math.max(0, math.ceil(p * sorted.size).toInt - 1)))
+      s"""{"batches":${ms.size},"median_batch_ms":${pct(0.5)},"p99_batch_ms":${pct(0.99)},"max_batch_ms":${sorted.last}}"""
+    }
+    val cells = rates.map { r =>
+      val ms = graft.queries.StreamingQueries.latencyProbe(spark, sfDir, batches, r)
+      require(ms.nonEmpty, s"no measured batches at $r rows/batch")
+      s""""$r":${stats(ms)}"""
+    }
+    val json =
+      s"""{"stream_scale":{"pipeline":"s01-shaped","sf":"$sfDir","rows_per_batch":${cells.mkString("{", ",", "}")}}}"""
+    println(json)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALE_OUT", "stream_scale.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

@@ -1369,10 +1369,27 @@ object StreamingQueries {
   def latencyProbe(s: SparkSession, dir: String,
                    batches: Int, rowsPerBatch: Int): Seq[Long] = {
     val qn = "lat_sink_" + UUID.randomUUID().toString.replace("-", "")
+    val ev = Tables.load(s, dir, "events")
+    // The probe must actually FEED rowsPerBatch rows per batch: the r12
+    // attestation asked for 20×10k over a 100k-row fixture and the old
+    // limit silently delivered 5k/batch. Replicate the slice with unique
+    // shifted event_ids (ids are dense 0..n-1, so after the replicate +
+    // limit the id space is dense 0..need-1 and rangeChunks cuts EXACT
+    // rowsPerBatch batches). Content repetition is irrelevant here — the
+    // probe measures per-batch pipeline cost, not dedup semantics.
+    val need = batches.toLong * rowsPerBatch
+    val have = ev.count()
+    val copies = math.max(1L, (need + have - 1) / have)
+    val replicated =
+      if (copies == 1L) ev
+      else ev
+        .select(col("*"), explode(sequence(lit(0L), lit(copies - 1))).as("_r"))
+        .withColumn("event_id", col("event_id") + col("_r") * lit(have))
+        .drop("_r")
     // Materialize the feed slice before chunking so the 2×batches range
     // filters re-scan a cached slice, not the parquet sort each time.
-    val feed = Tables.load(s, dir, "events")
-      .orderBy(col("event_id")).limit(batches * rowsPerBatch)
+    val feed = replicated
+      .orderBy(col("event_id")).limit(need.toInt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       feed.count()
@@ -1646,11 +1663,27 @@ object StreamingQueries {
     * memory (the memory-state path holds ZERO bytes; checkpointing covers
     * only source offsets). No base vector is re-assigned, no Lloyd round
     * re-runs. */
-  val s28StreamAnnMaintain: GraftQuery = GraftQuery(
-    "s28_stream_ann_maintain",
-    "streaming ANN maintenance: arrivals routed through the frozen router in foreachBatch, postings + top-K lists append-merged without rebuild",
-    (s, dir) => {
-      import SimilarityQueries.{CandCap, GraphNProbe, KnnK, e13BatchSize}
+  /** The s28 drain, factored out so `StreamOutOfOrderSpec` can drive the
+    * IDENTICAL pipeline with a permuted arrival schedule: builds the frozen
+    * base index, seeds the standing on-disk tables, and drains the increment
+    * chunks (reordered by `permute`; identity = the registered
+    * vec_id-ordered feed) through the foreachBatch maintenance step.
+    * Returns (postDir, probeDir, edgeDir, nBase) — the standing index tables
+    * an operator would keep serving from.
+    *
+    * Unordered-feed contract (pinned by the spec): admission is FIRST-SEEN
+    * WINS per list at micro-batch granularity — per list, arrivals are
+    * admitted in (batch, vec_id-within-batch) order until
+    * [[SimilarityQueries.CandCap]]; a member once admitted is never
+    * displaced by a later (even smaller-id) arrival. On the id-ordered feed
+    * this replays e13's first-CandCap-by-vec_id cap exactly (prefix-monotone
+    * admission), which is why streamed ≡ batch there; an unordered feed
+    * keeps the same admission discipline but defines its own merge. */
+  def s28Maintain(s: SparkSession, dir: String,
+      permute: Seq[DataFrame] => Seq[DataFrame] = identity,
+      candCap: Int = SimilarityQueries.CandCap)
+    : (String, String, String, Long) = {
+      import SimilarityQueries.{GraphNProbe, e13BatchSize}
       import org.apache.spark.sql.expressions.Window
       val allV = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -1662,7 +1695,7 @@ object StreamingQueries {
         val nBase = nTotal - e13BatchSize(nTotal)
         // Standing base index: materialized tables + the frozen codebook
         // (bounded index metadata — never retrained by an append).
-        val (_, g3B, hopsB, capB, _) =
+        val (_, _, _, capB, _) =
           SimilarityQueries.graphTables(s, dir, trained = true, maxId = nBase)
         val cb = SimilarityQueries.cbCache.get((dir, true, nBase))
         require(cb != null, "s28: base index build did not cache its codebook")
@@ -1682,8 +1715,8 @@ object StreamingQueries {
           lit(0L).as("list")).write.mode("overwrite").parquet(probeDir)
         allV.limit(0).select(col("vec_id"), col("vec_id").as("nid"),
           col("nrm").as("cosine")).write.mode("overwrite").parquet(edgeDir)
-        val chunks = StreamHarness.rangeChunks(
-          allV.filter(col("vec_id") >= nBase), "vec_id", Chunks)
+        val chunks = permute(StreamHarness.rangeChunks(
+          allV.filter(col("vec_id") >= nBase), "vec_id", Chunks))
           .map(_.select(concat(col("vec_id"), lit("|"), concat_ws(",",
             transform(col("ve"), x => x.cast("string")))).as("value")))
         val cosine = call_function("graft_dot", col("ve"), col("nve")) /
@@ -1708,9 +1741,13 @@ object StreamingQueries {
               val prior = bs.read.parquet(postDir)
               val priorCnt = prior.groupBy(col("list"))
                 .agg(count(lit(1)).as("npost"))
-              // Prefix-monotone admission: prior members all carry smaller
-              // vec_ids (ordered feed), so prior-count + within-batch rank
-              // replays e13's first-CandCap-by-vec_id cap exactly.
+              // First-seen-wins admission: prior-count + within-batch
+              // vec_id rank admits until CandCap and never displaces an
+              // admitted member. On the id-ordered feed prior members all
+              // carry smaller vec_ids, so this replays e13's
+              // first-CandCap-by-vec_id cap exactly (prefix-monotone); on a
+              // permuted feed the same rule is the s26 first-seen contract,
+              // pinned by StreamOutOfOrderSpec.
               // localCheckpoint cuts the lineage back to postDir, so the
               // later postDir append can never recompute this frame against
               // its own output.
@@ -1719,7 +1756,7 @@ object StreamingQueries {
                 .withColumn("list", element_at(col("rl"), 1))
                 .withColumn("brn", row_number().over(bw))
                 .join(broadcast(priorCnt), Seq("list"), "left")
-                .filter(coalesce(col("npost"), lit(0L)) + col("brn") <= CandCap)
+                .filter(coalesce(col("npost"), lit(0L)) + col("brn") <= candCap)
                 .select(col("list"), col("vec_id").as("nid"),
                   col("ve").as("nve"), col("nrm").as("nnrm"))
                 .localCheckpoint(true)
@@ -1747,31 +1784,225 @@ object StreamingQueries {
             .option("checkpointLocation", StreamHarness.checkpointDir("s28"))
             .start()
         }
-        // Merge = e13's tail over the streamed candidate edges: top-K(base ∪
-        // appended), one window over KnnK·n + emitted rows.
-        val wK = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cosine").desc, col("nid"))
-        val baseGraph = g3B.union(hopsB).distinct()
-          .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= KnnK)
-          .select(col("vec_id"), col("nid"), col("cosine"))
-        val newEdges = s.read.parquet(edgeDir)
-          .select(explode(array(
-            struct(col("vec_id"), col("nid"), col("cosine")),
-            struct(col("nid").as("vec_id"), col("vec_id").as("nid"),
-              col("cosine")))).as("p"))
-          .select(col("p.vec_id"), col("p.nid"), col("p.cosine"))
-          .distinct()
-        baseGraph.union(newEdges)
-          .withColumn("rnk", row_number().over(wK))
-          .filter(col("rnk") <= KnnK)
-          .select(col("vec_id"), col("nid"), col("rnk"), col("cosine"),
-            (col("vec_id") >= nBase).cast("int").as("is_new"))
-          .orderBy(col("vec_id"), col("rnk"))
+        (postDir, probeDir, edgeDir, nBase)
       } finally allV.unpersist()
+    }
+
+  val s28StreamAnnMaintain: GraftQuery = GraftQuery(
+    "s28_stream_ann_maintain",
+    "streaming ANN maintenance: arrivals routed through the frozen router in foreachBatch, postings + top-K lists append-merged without rebuild",
+    (s, dir) => {
+      import SimilarityQueries.KnnK
+      import org.apache.spark.sql.expressions.Window
+      val (_, _, edgeDir, nBase) = s28Maintain(s, dir)
+      val (_, g3B, hopsB, _, _) =
+        SimilarityQueries.graphTables(s, dir, trained = true, maxId = nBase)
+      // Merge = e13's tail over the streamed candidate edges: top-K(base ∪
+      // appended), one window over KnnK·n + emitted rows.
+      val wK = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cosine").desc, col("nid"))
+      val baseGraph = g3B.union(hopsB).distinct()
+        .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= KnnK)
+        .select(col("vec_id"), col("nid"), col("cosine"))
+      val newEdges = s.read.parquet(edgeDir)
+        .select(explode(array(
+          struct(col("vec_id"), col("nid"), col("cosine")),
+          struct(col("nid").as("vec_id"), col("vec_id").as("nid"),
+            col("cosine")))).as("p"))
+        .select(col("p.vec_id"), col("p.nid"), col("p.cosine"))
+        .distinct()
+      baseGraph.union(newEdges)
+        .withColumn("rnk", row_number().over(wK))
+        .filter(col("rnk") <= KnnK)
+        .select(col("vec_id"), col("nid"), col("rnk"), col("cosine"),
+          (col("vec_id") >= nBase).cast("int").as("is_new"))
+        .orderBy(col("vec_id"), col("rnk"))
     },
     // The streamed merge equals the batch merge by construction (see above),
     // so the oracle replays the SAME merged index e13's oracle replays.
     SimilarityQueries.e13IncrementalIndex.oracle)
+
+  /** s29's wire→admission transform (factored like [[s26Admission]] so a
+    * spec can drive it with a planted feed): each arriving document probes
+    * ONE stateful register with keys from BOTH modalities — its
+    * [[graft.functions.PortableHash.Bands]] text MinHash band keys (s26's
+    * signal) AND its 4×16-bit media pHash band keys (m03's signal), the
+    * modality folded into the state key so the bucket spaces never collide.
+    *
+    * Media buckets are 16-bit (dense on natural-language bigram
+    * histograms — a bare band collision flags most of the corpus, measured
+    * 89% at sf0.001), so the media state holds the bucket's min-id
+    * claimant's full 64-bit signature (three int64s per bucket — still
+    * constant) and an arrival is media-flagged only when VERIFIED within
+    * Hamming ≤ [[MultimodalQueries.JointHamming]] of that representative —
+    * the m03 band-then-verify discipline compacted to admission state. The
+    * trade, documented: verification is against the bucket's one stored
+    * claimant only (a near-dup pair whose shared bucket is claimed by an
+    * unrelated smaller-id doc is missed), which is what bounds state at
+    * three words per bucket.
+    * Output is one row per (doc, modality, band): `cand` = bucket already
+    * claimed, `collided` = claimed AND verified (text: ≡ cand, the s26
+    * semantics). */
+  private[queries] def s29Admission(raw: DataFrame): DataFrame = {
+    import raw.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import graft.functions.DedupFunctions.bandKeys
+    val maxH = MultimodalQueries.JointHamming
+    val parts = split(col("value"), "\\|", 2)
+    val sig = call_function("graft_minhash_sig",
+      call_function("graft_shingle_hashes",
+        call_function("graft_token_hashes", col("text")), lit(3)))
+    // Both modalities' band keys in ONE map-side projection + explode (no
+    // stream self-union): text bands carry modality 0, media bands 1. Media
+    // rows carry the full signature halves for the state-side verification;
+    // text rows carry zeros.
+    val tKeys = transform(bandKeys(sig), (bh, i) =>
+      struct(lit(0).as("modality"), i.cast("int").as("band"), bh.as("bh"),
+        lit(0L).as("sig1"), lit(0L).as("sig2")))
+    def mKey(band: Int, bh: org.apache.spark.sql.Column) =
+      struct(lit(1).as("modality"), lit(band).as("band"), bh.as("bh"),
+        col("ph.sig1").as("sig1"), col("ph.sig2").as("sig2"))
+    val mKeys = array(
+      mKey(0, col("ph.sig1").bitwiseAND(lit(65535L))),
+      mKey(1, shiftright(col("ph.sig1"), 16)),
+      mKey(2, col("ph.sig2").bitwiseAND(lit(65535L))),
+      mKey(3, shiftright(col("ph.sig2"), 16)))
+    raw
+      .select(parts.getItem(0).cast("long").as("doc_id"),
+        parts.getItem(1).as("text"))
+      .withColumn("ph", call_function("graft_phash", col("text").cast("binary")))
+      .select(col("doc_id"), explode(concat(tKeys, mKeys)).as("k"))
+      .select(col("doc_id"), col("k.modality").as("modality"),
+        col("k.band").as("band"), col("k.bh").as("bh"),
+        col("k.sig1").as("sig1"), col("k.sig2").as("sig2"))
+      .as[(Long, Int, Int, Long, Long, Long)]
+      .groupByKey(r => (r._2, r._3, r._4))
+      // State per (modality, band, bucket): the SMALLEST-ID claimant's
+      // (doc_id, sig1, sig2) seen so far — exactly s26's min-id register
+      // (displaced downward if a smaller id arrives later, so ordered and
+      // permuted feeds share one contract: "flagged iff a smaller-id doc
+      // has been seen in this bucket"), extended with the claimant's
+      // signature for the media verification.
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Int, Int, Boolean, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val rs = rows.toSeq
+          val batchRep = rs.minBy(_._1)
+          val rep = state.getOption.getOrElse((Long.MaxValue, 0L, 0L))
+          if (batchRep._1 < rep._1)
+            state.update((batchRep._1, batchRep._5, batchRep._6))
+          val (repId, repS1, repS2) =
+            if (rep._1 < batchRep._1) rep
+            else (batchRep._1, batchRep._5, batchRep._6)
+          rs.iterator.map { case (id, modality, band, _, s1, s2) =>
+            val cand = repId < id
+            val verified = cand && (modality == 0 ||
+              java.lang.Long.bitCount(s1 ^ repS1) +
+                java.lang.Long.bitCount(s2 ^ repS2) <= maxH)
+            (id, modality, band, cand, verified)
+          }
+      }
+      .toDF("doc_id", "modality", "band", "cand", "collided")
+  }
+
+  /** s29 — STREAMING CROSS-MODAL dedup admission (VERDICT r12 next #6): s26
+    * admits on text LSH alone, so a media duplicate whose text was scrubbed
+    * or paraphrased sails through admission and is invisible until the next
+    * BATCH m07 run — the streaming regime needs m03's pHash signal fused
+    * into the admission state, the way s28 is the streaming half of e13.
+    * Each arrival probes the per-bucket registers of BOTH modalities on
+    * arrival; the verdict is per-modality counts — text band collisions,
+    * media band candidates, media VERIFIED collisions (Hamming ≤
+    * [[MultimodalQueries.JointHamming]] against the bucket's stored
+    * claimant signature, see [[s29Admission]]) — plus the fused `is_dup`
+    * (text collision OR verified media). `CrossmodalAdmissionSpec` plants a
+    * media-dup arrival (equal byte-bigram histogram, different tokens) that
+    * text-LSH admission provably misses.
+    *
+    * State/scale: identical class to s26 — three int64s per occupied
+    * (modality, band, bucket); the media side adds at most 4·65536 buckets
+    * EVER (16-bit bands), the text side s26's accepted vocab-shaped growth.
+    * The per-arrival work is two map-side native kernels + a 12-key state
+    * probe; no join, no index rebuild, no batch m03 rerun. Determinism: the
+    * ordered feed makes "claimed earlier" ≡ "∃ smaller doc_id in bucket"
+    * per modality (s26's argument, applied twice), so the oracle replays
+    * the register as min-over-bucket plus a signature join; the UNORDERED
+    * contract is s26's smallest-id-seen-wins, inherited key-for-key from
+    * the shared state discipline. */
+  val s29CrossmodalAdmission: GraftQuery = GraftQuery(
+    "s29_crossmodal_admission",
+    "streaming cross-modal admission: text MinHash bands + verified media pHash bands probe one stateful register; either modality flags a dup on arrival",
+    (s, dir) => {
+      val qn = "s29_sink_" + UUID.randomUUID().toString.replace("-", "")
+      val docs = Tables.load(s, dir, "documents")
+      val chunks = StreamHarness.rangeChunks(docs, "doc_id", Chunks)
+        .map(_.select(concat(col("doc_id"), lit("|"), col("text")).as("value")))
+      StreamHarness.drain(s, fileSource("s29"), chunks) { raw =>
+        s29Admission(raw)
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", StreamHarness.checkpointDir("s29"))
+          .outputMode("append").start()
+      }
+      s.table(qn).groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("modality") === 0 && col("collided"), 1L)
+            .otherwise(0L)).as("n_text_coll"),
+          sum(when(col("modality") === 1 && col("cand"), 1L)
+            .otherwise(0L)).as("n_media_cand"),
+          sum(when(col("modality") === 1 && col("collided"), 1L)
+            .otherwise(0L)).as("n_media_coll"))
+        .select(col("doc_id"), col("n_text_coll"), col("n_media_cand"),
+          col("n_media_coll"),
+          (col("n_text_coll") > 0).as("is_text_dup"),
+          (col("n_media_coll") > 0).as("is_media_dup"),
+          (col("n_text_coll") > 0 || col("n_media_coll") > 0).as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.functions.DedupFunctions.{tokenHashesSql, hashedShinglesSql, minhashSignatureSql, bandKeysSql}
+      import graft.functions.PortableHash.Bands
+      s"""WITH t29 AS (
+        SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents),
+      h29 AS (
+        SELECT doc_id, ${hashedShinglesSql("th", 3)} AS hs FROM t29),
+      g29 AS (
+        SELECT doc_id, ${minhashSignatureSql("hs")} AS sig FROM h29),
+      tb29 AS (
+        SELECT doc_id, band - 1 AS band, (${bandKeysSql("sig")})[band] AS bh
+        FROM g29, (SELECT unnest(generate_series(1, $Bands)) AS band)),
+      tc29 AS (
+        SELECT doc_id,
+          MIN(doc_id) OVER (PARTITION BY band, bh) < doc_id AS collided
+        FROM tb29),
+      ${MultimodalQueries.phashBandsSql},
+      mrep AS (SELECT bn, bv, MIN(doc_id) AS rep FROM bands GROUP BY bn, bv),
+      mc29 AS (
+        SELECT b.doc_id,
+          b.doc_id > r.rep AS cand,
+          b.doc_id > r.rep AND
+            bit_count(xor(b.sig1, s.sig1)) + bit_count(xor(b.sig2, s.sig2))
+              <= ${MultimodalQueries.JointHamming} AS collided
+        FROM bands b
+        JOIN mrep r ON r.bn = b.bn AND r.bv = b.bv
+        JOIN sigs s ON s.doc_id = r.rep),
+      ta29 AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN collided THEN 1 ELSE 0 END) AS BIGINT) AS n_text_coll
+        FROM tc29 GROUP BY doc_id),
+      ma29 AS (
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_media_cand,
+          CAST(SUM(CASE WHEN collided THEN 1 ELSE 0 END) AS BIGINT) AS n_media_coll
+        FROM mc29 GROUP BY doc_id)
+      SELECT d.doc_id, ta29.n_text_coll, ma29.n_media_cand, ma29.n_media_coll,
+        ta29.n_text_coll > 0 AS is_text_dup,
+        ma29.n_media_coll > 0 AS is_media_dup,
+        ta29.n_text_coll > 0 OR ma29.n_media_coll > 0 AS is_dup
+      FROM documents d
+      JOIN ta29 ON ta29.doc_id = d.doc_id
+      JOIN ma29 ON ma29.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
+    })
 
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, c02JsonlSource, c03SchemaMerge,
@@ -1782,5 +2013,6 @@ object StreamingQueries {
     s14DedupWatermark, s15TwsCounter, s16SessionStream, s17ChainedAgg,
     s18OuterStreamJoin, s19AvailableNow, s20DualSink, s21Scd2History,
     s22TemporalJoin, s23AsofStream, s24StreamSketch, s25ObserveMetrics,
-    s26StreamLshDedup, s27StreamPack, s28StreamAnnMaintain)
+    s26StreamLshDedup, s27StreamPack, s28StreamAnnMaintain,
+    s29CrossmodalAdmission)
 }

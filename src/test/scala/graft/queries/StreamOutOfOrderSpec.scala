@@ -133,4 +133,55 @@ class StreamOutOfOrderSpec extends SparkSpec {
     assert(expected != orderedExpected,
       "permuted and ordered packings coincide — pick a different permutation")
   }
+
+  test("s28 admission under a permuted feed is first-seen-wins per list") {
+    // The registered CandCap (96) never engages at this scale (50 increment
+    // vectors over 22 lists), which would make the contract vacuously true;
+    // a cap of 2 makes admission genuinely schedule-dependent while driving
+    // the IDENTICAL pipeline.
+    val cap = 2
+    val swap = (cs: Seq[org.apache.spark.sql.DataFrame]) => Seq(cs(1), cs(0))
+    val (postDir, _, _, nBase) =
+      StreamingQueries.s28Maintain(spark, dir, swap, cap)
+    val got = spark.read.parquet(postDir)
+      .select("list", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // Each arrival's top-1 list comes from the frozen router (bounded index
+    // metadata, same as the pipeline); ADMISSION itself is simulated in
+    // plain Scala over the arrival schedule — first-seen-wins per list at
+    // micro-batch granularity, vec_id order within a batch, never displaced.
+    val cb = SimilarityQueries.cbCache.get((dir, true, nBase))
+    assert(cb != null, "base index build did not cache its codebook")
+    val inc = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ve"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
+      .filter(col("vec_id") >= nBase)
+    val listOf = inc
+      .withColumn("rl",
+        SimilarityQueries.cbRank2(spark, "oo28", cb, col("ve"), col("nrm")))
+      .select(col("vec_id"), element_at(col("rl"), 1).as("list"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunkIds = StreamHarness.rangeChunks(inc, "vec_id", 2)
+      .map(_.select("vec_id").collect().map(_.getLong(0)).toSet)
+    def simulate(batches: Seq[Set[Long]]): Set[(Long, Long)] = {
+      val n = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+      val admitted = Set.newBuilder[(Long, Long)]
+      for (batch <- batches; id <- batch.toSeq.sorted) {
+        val l = listOf(id)
+        if (n(l) < cap) { admitted += ((l, id)); n(l) += 1 }
+      }
+      admitted.result()
+    }
+    val expected = simulate(Seq(chunkIds(1), chunkIds(0)))
+    assert(got == expected,
+      s"streamed admissions != first-seen simulation: only-streamed=" +
+        s"${(got -- expected).take(3)} only-sim=${(expected -- got).take(3)}")
+    // The permuted schedule actually discriminates: at least one list admits
+    // a different member set than the id-ordered feed would.
+    val orderedExpected = simulate(Seq(chunkIds(0), chunkIds(1)))
+    assert(expected != orderedExpected,
+      "permuted and ordered admissions coincide — lower the cap")
+  }
 }
