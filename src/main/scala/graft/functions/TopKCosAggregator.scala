@@ -27,8 +27,20 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKCosAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** Total order even for NaN scores (a zero-norm embedding yields 0/0
+    * cosine): primitive `>`/`==` are both false against NaN, which would
+    * order NaN candidates arbitrarily and drop them nondeterministically.
+    * NaN ranks FIRST (better than every real score), matching Spark's
+    * window sort under DESC and DuckDB's ORDER BY (both treat NaN as
+    * greatest); NaN-NaN ties break by id like any tie. Real scores keep the
+    * primitive comparison so -0.0 == 0.0 stays a tie (id break), exactly as
+    * both engines' sorts treat it. */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val an = a._1.isNaN
+    val bn = b._1.isNaN
+    if (an || bn) (an && !bn) || (an && bn && a._2 < b._2)
+    else a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  }
 
   override def zero: Seq[(Double, Long)] = Seq.empty
 

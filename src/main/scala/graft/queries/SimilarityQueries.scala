@@ -54,9 +54,16 @@ object SimilarityQueries {
 
   private def postings(s: org.apache.spark.sql.SparkSession, dir: String,
                        variant: String)(
-      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // Evict entries owned by stopped sessions (ADVICE r12): a dead session's
+    // persisted frames are unreachable garbage, and without eviction a
+    // long-lived multi-session process grows the map without bound. An
+    // on-access sweep bounds the map to live sessions with no listener
+    // machinery; the sweep is O(entries) over a handful of keys.
+    postingsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     postingsCache.computeIfAbsent((s, dir, variant), _ =>
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Brute-force cosine top-5 for the derived query set. */
   val e01CosineKnn: GraftQuery = GraftQuery(
@@ -1363,15 +1370,11 @@ object SimilarityQueries {
     * same chain over the base subset via [[listPairsSqlFor]]. */
   private val listPairsSql: String = listPairsSqlFor("embeddings")
 
-  /** Mark every non-recursive CTE `AS MATERIALIZED` (DuckDB planner hint;
-    * value-neutral). Under e08's `WITH RECURSIVE`, DuckDB stops
-    * auto-materializing multiply-referenced CTEs, and the trained-codebook
-    * chain references each Lloyd round's output ~5× — un-materialized, the
-    * re-expansion is exponential in chain depth (measured: >10 min vs 1.6 s
-    * at sf0.01). The recursive `reach` member itself cannot be materialized
-    * and is excluded. */
+  /** See [[GraftQuery.materializeCtes]] — hoisted to the shared companion in
+    * round 13 so MultimodalQueries (m04/m07) applies the same rewrite; the
+    * e08 trained-codebook chain was the original motivating case. */
   private def materializeCtes(sql: String): String =
-    sql.replaceAll("\\b(?!reach\\b)(\\w+) AS \\(", "$1 AS MATERIALIZED (")
+    GraftQuery.materializeCtes(sql)
 
   /** Materialized corpus-graph tables, built ONCE per (directory, training)
     * and shared by every consumer — the d07 signature-table discipline
@@ -2876,10 +2879,61 @@ object SimilarityQueries {
       ORDER BY s.qid"""
     })
 
+  /** Per-query recall floor for [[e20RecallAlert]]: a sampled query whose
+    * maintained-index recall drops below this is "below floor" — half its
+    * true top-[[KnnK]] lost, the point where serving quality is visibly
+    * degraded rather than merely drifted. */
+  val RecallFloor: Double = 0.5
+
+  /** Mean-recall alert threshold for [[e20RecallAlert]] — the pager rule:
+    * the monitor's whole point is ONE boolean a deployment acts on
+    * (rebuild the index) instead of 64 rows someone has to eyeball. */
+  val MeanRecallFloor: Double = 0.75
+
+  /** e20 — the ALERT surface over e19 (VERDICT r12 next #8): e19 emits
+    * per-query recall but no aggregate/threshold row, so the "monitor"
+    * framing had no consumable output. One row: sample size, mean recall
+    * (exact int sum of hits ÷ n·K — ONE IEEE division, bit-replayed by the
+    * oracle), worst query, how many queries sit below [[RecallFloor]], and
+    * the `alert` boolean (`mean < `[[MeanRecallFloor]]) a scheduler can gate
+    * an index rebuild on.
+    *
+    * Scale: everything here is an aggregation over e19's [[MonitorQ]]-row
+    * output — constant-sized whatever the corpus does; the cost IS e19's
+    * (shared materialized index tables, linear exact leg). */
+  val e20RecallAlert: GraftQuery = GraftQuery(
+    "e20_recall_alert",
+    s"monitor alert surface: mean/min recall + below-$RecallFloor count over e19's sample, alert fires at mean < $MeanRecallFloor",
+    (s, dir) => {
+      e19MaintainedRecall.run(s, dir)
+        .agg(
+          count(lit(1)).as("n_queries"),
+          sum(col("hits")).as("sum_hits"),
+          min(col("recall")).as("min_recall"),
+          sum((col("recall") < RecallFloor).cast("long")).as("n_below_floor"))
+        .select(col("n_queries"),
+          (col("sum_hits").cast("double")
+            / (col("n_queries") * lit(KnnK.toLong)).cast("double"))
+            .as("mean_recall"),
+          col("min_recall"), col("n_below_floor"))
+        .withColumn("alert", col("mean_recall") < MeanRecallFloor)
+    },
+    Some(s"""WITH r20 AS (SELECT * FROM (${e19MaintainedRecall.oracle.get}))
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        CAST(SUM(hits) AS DOUBLE)
+          / CAST(COUNT(*) * $KnnK AS DOUBLE) AS mean_recall,
+        MIN(recall) AS min_recall,
+        CAST(SUM(CASE WHEN recall < $RecallFloor THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_below_floor,
+        CAST(SUM(hits) AS DOUBLE)
+          / CAST(COUNT(*) * $KnnK AS DOUBLE) < $MeanRecallFloor AS alert
+      FROM r20"""))
+
   val all: Seq[GraftQuery] =
     Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8,
       e05AnnIvfTrained, e06AnnRerank, e07KnnGraph, e08SemanticClusters,
       e09AnnPq, e10RangeSearch, e11AnnFiltered, e12KcenterCoreset,
       e13IncrementalIndex, e14HybridRrf, e15Semdedup, e16BalancedSample,
-      e17IndexStats, e18RecallEval, e19MaintainedRecall, d10EmbeddingNeardup)
+      e17IndexStats, e18RecallEval, e19MaintainedRecall, e20RecallAlert,
+      d10EmbeddingNeardup)
 }

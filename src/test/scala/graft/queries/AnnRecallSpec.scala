@@ -279,6 +279,27 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.75, s"e19 mean recall@${SimilarityQueries.KnnK} $mean < 0.75")
   }
 
+  test("e20 alert surface equals the aggregate of e19's per-query rows") {
+    // VERDICT r12 next #8: the alert row must be EXACTLY the aggregation of
+    // the rows the monitor emits — recomputed here from e19's collected
+    // output with plain Scala, no shared aggregation path.
+    val rows = SimilarityQueries.e19MaintainedRecall.run(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val got = SimilarityQueries.e20RecallAlert.run(spark, dir).collect()
+    assert(got.length == 1, "alert surface must be one row")
+    val g = got.head
+    val n = rows.length
+    val meanExp = rows.map(_._1).sum.toDouble / (n.toLong * SimilarityQueries.KnnK)
+    assert(g.getLong(0) == n.toLong, s"n_queries ${g.getLong(0)} != $n")
+    assert(g.getDouble(1) == meanExp, s"mean_recall ${g.getDouble(1)} != $meanExp")
+    assert(g.getDouble(2) == rows.map(_._2).min, "min_recall mismatch")
+    assert(g.getLong(3) ==
+      rows.count(_._2 < SimilarityQueries.RecallFloor).toLong,
+      "n_below_floor mismatch")
+    assert(g.getBoolean(4) == (meanExp < SimilarityQueries.MeanRecallFloor),
+      "alert flag must be exactly the mean-vs-threshold comparison")
+  }
+
   test("fixture embedding dimensionality matches SimilarityQueries.Dim") {
     // e05's oracle unrolls per-dimension sums over 1..Dim; a fixture with a
     // different dim would silently truncate the training sums.

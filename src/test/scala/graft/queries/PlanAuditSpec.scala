@@ -19,9 +19,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no CartesianProduct or BroadcastNestedLoopJoin in any batch plan") {
     // e19 inherits e18's allowance: its exact leg is the same
-    // constant-sample bounded broadcast cross join.
+    // constant-sample bounded broadcast cross join. e20 is e19's aggregate
+    // alert row — the identical plan plus one constant-sized aggregation.
     val allowedCross = Set("e01_cosine_knn", "e18_recall_eval",
-      "e19_maintained_recall")
+      "e19_maintained_recall", "e20_recall_alert")
     // s\d\d queries drive real streaming drains on construction — their
     // returned DataFrame is a sort over a sink, so "auditing" them just
     // re-runs the stream; their plans are covered by the streaming specs.
