@@ -115,11 +115,9 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, err)
     }
 
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-    }
+    // One shared median/percentile definition across Bench, Latency, and
+    // StreamScale (ADVICE r13) — see [[Stats]].
+    def median(xs: Seq[Double]): Double = Stats.median(xs)
 
     // Optional comma-separated name filter (exact names or prefixes) so a
     // caller — e.g. BenchAB — can time a subset without paying for the
@@ -262,10 +260,8 @@ object Bench {
     val nErr = results.size - ok.size
     val lat = latency match {
       case Right(ms) if ms.nonEmpty =>
-        val sorted = ms.sorted
-        val p99 = sorted(math.min(sorted.size - 1,
-          math.max(0, math.ceil(0.99 * sorted.size).toInt - 1)))
-        s""","latency":{"pipeline":"s01-shaped","batches":${ms.size},"rows_per_batch":$latRows,"max_batch_ms":${ms.max},"p99_batch_ms":$p99,"median_batch_ms":${median(ms.map(_.toDouble))},"bound_ms":1000}"""
+        val p99 = Stats.percentileMs(ms, 0.99)
+        s""","latency":{"pipeline":"s01-shaped","batches":${ms.size},"rows_per_batch":$latRows,"max_batch_ms":${ms.max},"p99_batch_ms":$p99,"median_batch_ms":${Stats.medianMs(ms)},"bound_ms":1000}"""
       case Right(_) => s""","latency":{"err":"no data batches observed"}"""
       case Left(e)  => s""","latency":{"err":${jstr(e)}}"""
     }

@@ -28,10 +28,9 @@ object Latency {
     if (ms.isEmpty)
       println(s"""{"latency":{"error":"no measured batches","batches":0,"rows_per_batch":$rows}}""")
     else {
-      val sorted = ms.sorted
-      def pct(p: Double) =
-        sorted(math.min(sorted.size - 1, math.ceil(p * sorted.size).toInt - 1).max(0))
-      println(s"""{"latency":{"pipeline":"s01-shaped","batches":${ms.size},"rows_per_batch":$rows,"max_batch_ms":${sorted.last},"p99_batch_ms":${pct(0.99)},"median_batch_ms":${pct(0.5)},"bound_ms":1000,"all_ms":${ms.mkString("[", ",", "]")}}}""")
+      // Shared order-statistic definitions with Bench/StreamScale
+      // (ADVICE r13): interpolating median, nearest-rank p99 — see [[Stats]].
+      println(s"""{"latency":{"pipeline":"s01-shaped","batches":${ms.size},"rows_per_batch":$rows,"max_batch_ms":${ms.max},"p99_batch_ms":${Stats.percentileMs(ms, 0.99)},"median_batch_ms":${Stats.medianMs(ms)},"bound_ms":1000,"all_ms":${ms.mkString("[", ",", "]")}}}""")
     }
     spark.stop()
   }

@@ -33,12 +33,9 @@ object StreamScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def stats(ms: Seq[Long]): String = {
-      val sorted = ms.sorted
-      def pct(p: Double) = sorted(
-        math.min(sorted.size - 1, math.max(0, math.ceil(p * sorted.size).toInt - 1)))
-      s"""{"batches":${ms.size},"median_batch_ms":${pct(0.5)},"p99_batch_ms":${pct(0.99)},"max_batch_ms":${sorted.last}}"""
-    }
+    // Shared order statistics with Bench/Latency (ADVICE r13) — see [[Stats]].
+    def stats(ms: Seq[Long]): String =
+      s"""{"batches":${ms.size},"median_batch_ms":${Stats.medianMs(ms)},"p99_batch_ms":${Stats.percentileMs(ms, 0.99)},"max_batch_ms":${ms.max}}"""
     val cells = rates.map { r =>
       val ms = graft.queries.StreamingQueries.latencyProbe(spark, sfDir, batches, r)
       require(ms.nonEmpty, s"no measured batches at $r rows/batch")
@@ -48,10 +45,8 @@ object StreamScale {
       s"""{"stream_scale":{"pipeline":"s01-shaped","sf":"$sfDir","rows_per_batch":${cells.mkString("{", ",", "}")}}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALE_OUT", "stream_scale.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    val wrote = ArtifactOut.write(outFile, json)
     spark.stop()
+    if (!wrote) sys.exit(2)
   }
 }

@@ -25,11 +25,94 @@ object GraftQuery {
     * oracles cost 787 s vs seconds (the round-12 gate zero). Recursive CTEs
     * themselves cannot be materialized and must be listed in `exclude`
     * (every oracle in this repo names its recursive members `reach` or
-    * `ureach`). */
+    * `ureach`).
+    *
+    * The rewrite is anchored to actual CTE positions (ADVICE r13: the old
+    * `\\w+ AS \\(` regex would also corrupt a named `WINDOW w AS (...)`
+    * clause into invalid SQL): a scanner walks every `WITH [RECURSIVE]`
+    * keyword — including ones nested inside CTE bodies or subqueries — and
+    * parses its comma-separated CTE list with balanced-paren matching,
+    * skipping single-quoted string literals, so only a name in CTE-defining
+    * position gets `MATERIALIZED` inserted. Already-annotated CTEs
+    * (`AS [NOT] MATERIALIZED`) pass through untouched. */
   def materializeCtes(
       sql: String,
       exclude: Set[String] = Set("reach", "ureach")): String = {
-    val excl = exclude.mkString("|")
-    sql.replaceAll(s"\\b(?!(?:$excl)\\b)(\\w+) AS \\(", "$1 AS MATERIALIZED (")
+    val n = sql.length
+    // Precompute single-quoted string regions ('' is the escape) so a WITH
+    // inside a literal is never treated as a CTE opener and paren matching
+    // never counts parens inside literals.
+    val inStr = new Array[Boolean](n)
+    var si = 0
+    var quoted = false
+    while (si < n) {
+      if (sql.charAt(si) == '\'') { quoted = !quoted; inStr(si) = true }
+      else inStr(si) = quoted
+      si += 1
+    }
+    def skipWs(from: Int): Int = {
+      var i = from
+      while (i < n && sql.charAt(i).isWhitespace) i += 1
+      i
+    }
+    def ident(from: Int): Int = {
+      var i = from
+      while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+      i
+    }
+    // From the index of '(' return the index just past its match.
+    def skipBalanced(from: Int): Int = {
+      var i = from
+      var depth = 0
+      while (i < n) {
+        if (!inStr(i)) {
+          if (sql.charAt(i) == '(') depth += 1
+          else if (sql.charAt(i) == ')') { depth -= 1; if (depth == 0) return i + 1 }
+        }
+        i += 1
+      }
+      i
+    }
+    def kw(at: Int, word: String): Boolean =
+      sql.regionMatches(true, at, word, 0, word.length) && {
+        val e = at + word.length
+        e >= n || !(sql.charAt(e).isLetterOrDigit || sql.charAt(e) == '_')
+      }
+    val inserts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val withRe = java.util.regex.Pattern
+      .compile("\\bWITH\\b", java.util.regex.Pattern.CASE_INSENSITIVE)
+    val m = withRe.matcher(sql)
+    while (m.find()) {
+      if (!inStr(m.start())) {
+        var i = skipWs(m.end())
+        if (kw(i, "RECURSIVE")) i = skipWs(i + "RECURSIVE".length)
+        var more = true
+        while (more) {
+          more = false
+          val ns = i
+          val ne = ident(ns)
+          val name = sql.substring(ns, ne)
+          if (name.nonEmpty) {
+            i = skipWs(ne)
+            // Optional explicit column list: name(col, ...) AS (...)
+            if (i < n && sql.charAt(i) == '(') i = skipWs(skipBalanced(i))
+            if (kw(i, "AS")) {
+              i = skipWs(i + 2)
+              if (kw(i, "NOT")) i = skipWs(i + 3)
+              val already = kw(i, "MATERIALIZED")
+              if (already) i = skipWs(i + "MATERIALIZED".length)
+              if (i < n && sql.charAt(i) == '(') {
+                if (!already && !exclude.contains(name)) inserts += i
+                i = skipWs(skipBalanced(i))
+                if (i < n && sql.charAt(i) == ',') { i = skipWs(i + 1); more = true }
+              }
+            }
+          }
+        }
+      }
+    }
+    val sb = new StringBuilder(sql)
+    inserts.sorted.reverseIterator.foreach(p => sb.insert(p, "MATERIALIZED "))
+    sb.toString
   }
 }

@@ -1373,18 +1373,24 @@ object StreamingQueries {
     // The probe must actually FEED rowsPerBatch rows per batch: the r12
     // attestation asked for 20×10k over a 100k-row fixture and the old
     // limit silently delivered 5k/batch. Replicate the slice with unique
-    // shifted event_ids (ids are dense 0..n-1, so after the replicate +
-    // limit the id space is dense 0..need-1 and rangeChunks cuts EXACT
-    // rowsPerBatch batches). Content repetition is irrelevant here — the
-    // probe measures per-batch pipeline cost, not dedup semantics.
+    // shifted event_ids. The shift stride is max(event_id)+1 — NOT count()
+    // — so ids stay collision-free even if the fixture's ids are sparse
+    // (ADVICE r13: a count stride under sparse ids collides copies with
+    // originals and silently under-fills batches, the exact bug class this
+    // replication exists to fix). Content repetition is irrelevant here —
+    // the probe measures per-batch pipeline cost, not dedup semantics.
     val need = batches.toLong * rowsPerBatch
-    val have = ev.count()
+    require(need <= Int.MaxValue,
+      s"latencyProbe feed of $batches x $rowsPerBatch = $need rows exceeds Int.MaxValue")
+    val mm = ev.agg(count(lit(1)), max(col("event_id")).cast("long")).head()
+    val have = mm.getLong(0)
+    val stride = mm.getLong(1) + 1
     val copies = math.max(1L, (need + have - 1) / have)
     val replicated =
       if (copies == 1L) ev
       else ev
         .select(col("*"), explode(sequence(lit(0L), lit(copies - 1))).as("_r"))
-        .withColumn("event_id", col("event_id") + col("_r") * lit(have))
+        .withColumn("event_id", col("event_id") + col("_r") * lit(stride))
         .drop("_r")
     // Materialize the feed slice before chunking so the 2×batches range
     // filters re-scan a cached slice, not the parquet sort each time.

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, max, min}
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryProgress}
 
 /** Drives a real `StreamingQuery` to completion over a [[StreamSource]] —
   * the deterministic stand-in for the reference's Kafka subscription
@@ -94,13 +94,14 @@ object StreamHarness {
     * as total state / comfortable-store-size, independent of executor count. */
   val StreamShufflePartitions: Int = 4
 
-  /** Run `body` with [[StreamShufflePartitions]] as the session's shuffle
-    * partition count, restoring the caller's setting afterwards (batch
-    * queries outside the drain keep their cluster-sized parallelism). */
-  private def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
+  /** Run `body` with `partitions` as the session's shuffle partition count,
+    * restoring the caller's setting afterwards (batch queries outside the
+    * drain keep their cluster-sized parallelism). */
+  private def withStreamShuffle[T](spark: SparkSession,
+      partitions: Int = StreamShufflePartitions)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, StreamShufflePartitions.toString)
+    spark.conf.set(key, partitions.toString)
     try body
     finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
@@ -127,7 +128,21 @@ object StreamHarness {
   def drainMeasured(spark: SparkSession, source: StreamSource,
                     chunks: Seq[DataFrame])(
       start: DataFrame => StreamingQuery): Seq[Long] =
-    withStreamShuffle(spark) {
+    drainProgressed(spark, source, chunks)(start)
+      .map(_.durationMs.get("triggerExecution").longValue())
+
+  /** [[drainMeasured]] generalized to return the full per-batch
+    * [[StreamingQueryProgress]] objects for data-carrying triggers — the
+    * stateful scale probes read state-store row counts
+    * (`stateOperators.numRowsTotal`) alongside trigger times, the evidence
+    * that watermarks bound state in stream length (VERDICT r13 #1).
+    * `partitions` overrides the state-sized shuffle-partition default so a
+    * probe can measure the partition-count axis explicitly. */
+  def drainProgressed(spark: SparkSession, source: StreamSource,
+                      chunks: Seq[DataFrame],
+                      partitions: Int = StreamShufflePartitions)(
+      start: DataFrame => StreamingQuery): Seq[StreamingQueryProgress] =
+    withStreamShuffle(spark, partitions) {
       val q = start(source.open(spark))
       try {
         chunks.foreach { chunk =>
@@ -135,7 +150,25 @@ object StreamHarness {
           q.processAllAvailable()
         }
         q.recentProgress.toSeq.filter(_.numInputRows > 0)
-          .map(_.durationMs.get("triggerExecution").longValue())
+      } finally q.stop()
+    }
+
+  /** Two-source variant of [[drainProgressed]] (stream-stream probes). */
+  def drain2Progressed(spark: SparkSession,
+                       sourceA: StreamSource, chunksA: Seq[DataFrame],
+                       sourceB: StreamSource, chunksB: Seq[DataFrame],
+                       partitions: Int = StreamShufflePartitions)(
+      start: (DataFrame, DataFrame) => StreamingQuery): Seq[StreamingQueryProgress] =
+    withStreamShuffle(spark, partitions) {
+      val q = start(sourceA.open(spark), sourceB.open(spark))
+      try {
+        chunksA.map(Option(_)).zipAll(chunksB.map(Option(_)), None, None)
+          .foreach { case (a, b) =>
+            a.foreach(sourceA.append)
+            b.foreach(sourceB.append)
+            q.processAllAvailable()
+          }
+        q.recentProgress.toSeq.filter(_.numInputRows > 0)
       } finally q.stop()
     }
 
