@@ -72,7 +72,8 @@ object Bench {
     "e20_recall_alert" -> Seq("e13_incremental_index"),
     "m07_crossmodal_dedup" ->
       Seq("e07_knn_graph", "e15_semdedup", "m04_media_dup_clusters"),
-    "s28_stream_ann_maintain" -> Seq("e13_incremental_index"))
+    "s28_stream_ann_maintain" -> Seq("e13_incremental_index"),
+    "s30_stream_recall_alert" -> Seq("e13_incremental_index"))
 
   /** The pre-build list for a selected name set: every [[IndexPrebuild]]
     * owner that is selected itself OR depended on by a selected consumer. */
@@ -145,16 +146,19 @@ object Bench {
     // few queries that happened to run inside it (VERDICT r10 #2: the
     // driver-box artifact carried c01 = 48.6 s vs 1.38 s quiet because all
     // consecutive reps landed in a single contended window).
-    def interleaved(ns: Seq[String], dir: String, r: Int)
-        : Seq[(String, (Double, Option[String]))] = {
+    def interleavedFull(ns: Seq[String], dir: String, r: Int)
+        : (Seq[(String, (Double, Option[String]))], Seq[(String, Seq[Double])]) = {
       val byRep = (1 to r).map(_ => ns.map(n => runOnce(n, dir)))
-      ns.zipWithIndex.map { case (n, i) =>
+      val med = ns.zipWithIndex.map { case (n, i) =>
         val runs = byRep.map(_(i))
         n -> (median(runs.map(_._1)), runs.flatMap(_._2).headOption)
       }
+      (med, ns.zipWithIndex.map { case (n, i) => n -> byRep.map(_(i)._1) })
     }
+    def interleaved(ns: Seq[String], dir: String, r: Int)
+        : Seq[(String, (Double, Option[String]))] = interleavedFull(ns, dir, r)._1
 
-    val results = interleaved(names, sfDir, reps)
+    val (results, repTimes) = interleavedFull(names, sfDir, reps)
     // Scale slope: one rep per query at the secondary SF (skipped when it
     // is missing or identical to the primary). Failures null the time and
     // land in the scaling err map — never a fast-looking elapsed (ADVICE r6).
@@ -265,18 +269,28 @@ object Bench {
       case Right(_) => s""","latency":{"err":"no data batches observed"}"""
       case Left(e)  => s""","latency":{"err":${jstr(e)}}"""
     }
+    // Per-query raw rep times (SPARK_GRAFT_BENCH_ALLREPS=1): BenchAB's
+    // noise qualifier computes per-query rep CV from these — the medians
+    // alone cannot say how wide the rep spread was (VERDICT r13 next #5).
+    val repsOut =
+      if (!sys.env.get("SPARK_GRAFT_BENCH_ALLREPS").contains("1")) ""
+      else {
+        val rt = repTimes.map { case (k, ts) =>
+          s"${jstr(k)}:${ts.mkString("[", ",", "]")}"
+        }.mkString("{", ",", "}")
+        s""","rep_times":$rt"""
+      }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","errored_count":$nErr,"queries":$qs,"err":$errs,"reps":$reps,"sf":"$sfDir"$scal$scup$lat}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errored_count":$nErr,"queries":$qs,"err":$errs,"reps":$reps,"sf":"$sfDir"$scal$scup$lat$repsOut}"""
     println(json)
     // The round artifact is captured from a stdout tail that has truncated
     // the JSON two rounds running (VERDICT r7 missing #1). Also write the
     // complete line to a file the round commits, so per-query medians stay
     // auditable regardless of how stdout is captured.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () } // file write must never fail the bench
+    // A failed write warns loudly but does not fail the bench — stdout
+    // carries the same complete line (the driver contract).
+    ArtifactOut.write(outFile, json)
     spark.stop()
     // A run with erroring queries is a red run: exit non-zero so the driver
     // records it as such instead of rc:0 over a broken artifact (ADVICE r9).

@@ -16,6 +16,18 @@ import scala.sys.process._
   * dir = primary dir): the A/B question is per-query medians at the
   * primary SF, not slopes.
   *
+  * SELF-QUALIFICATION (VERDICT r13 next #5 — two same-code r13 A/Bs read
+  * 1.114× and 0.944×, so an unqualified ratio is not quotable): after the
+  * base and head legs, a CONTROL leg re-runs the BASE commit on
+  * [[ControlQueries]]. Control-vs-base ratios measure how much the box
+  * drifted across the run window that separates the base and head legs —
+  * same code, so any movement is noise. The artifact carries the control
+  * series, the geomean drift, the per-query rep CV of the head leg
+  * (`rep_times`, emitted under SPARK_GRAFT_BENCH_ALLREPS=1), and a
+  * `self_qualified` verdict; drift beyond [[ControlDriftBand]] flags the
+  * artifact and exits 3 so the run is redone on a quieter box instead of
+  * quoted.
+  *
   * Usage: `sbt "runMain graft.BenchAB <baseCommit> [headCommit]"`
   * (headCommit defaults to HEAD). Env honored: SPARK_GRAFT_SF_DIR,
   * SPARK_GRAFT_REPS (default 3), SPARK_GRAFT_ONLY (forwarded to a head
@@ -24,12 +36,56 @@ import scala.sys.process._
   */
 object BenchAB {
 
+  /** Control set for the same-code drift leg: dependency-light, mid-cost,
+    * deterministic data-path queries spanning the relational/text/
+    * similarity/multimodal families. Mid-cost on purpose — sub-100 ms
+    * queries measure JVM jitter, multi-second ones stretch the control leg
+    * past the drift window it is supposed to sample. */
+  val ControlQueries: Seq[String] = Seq(
+    "q02_tag_filter", "q04_health_classify", "q14_semi_join",
+    "d01_dedup_exact", "d03_token_stats", "d15_repetition",
+    "e01_cosine_knn", "m01_binary_meta")
+
+  /** Max acceptable same-code geomean drift before the A/B flags itself. */
+  val ControlDriftBand: Double = 0.05
+
   private def sh(cmd: Seq[String], cwd: Option[java.io.File] = None,
                  env: Seq[(String, String)] = Seq.empty): Int =
     Process(cmd, cwd, env: _*).!(ProcessLogger(_ => (), e => System.err.println(e)))
 
   private def shOut(cmd: Seq[String]): String =
     Process(cmd).!!.trim
+
+  /** First top-level-ish `"key":{...}` object in `json`, brace-matched.
+    * Good enough for Bench's own flat output (we generate it). */
+  private def extractObj(json: String, key: String): Option[String] = {
+    val i = json.indexOf("\"" + key + "\":{")
+    if (i < 0) None
+    else {
+      val start = json.indexOf('{', i)
+      var depth = 0
+      var j = start
+      while (j < json.length) {
+        val c = json.charAt(j)
+        if (c == '{') depth += 1
+        else if (c == '}') {
+          depth -= 1
+          if (depth == 0) return Some(json.substring(start, j + 1))
+        }
+        j += 1
+      }
+      None
+    }
+  }
+
+  private def parseNumMap(obj: String): Map[String, Double] =
+    """"([a-zA-Z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(obj)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  private def parseArrMap(obj: String): Map[String, Seq[Double]] =
+    """"([a-zA-Z0-9_]+)":\[([^\]]*)\]""".r.findAllMatchIn(obj)
+      .map(m => m.group(1) ->
+        m.group(2).split(',').filter(_.nonEmpty).map(_.toDouble).toSeq).toMap
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: BenchAB <baseCommit> [headCommit]")
@@ -39,9 +95,10 @@ object BenchAB {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_AB_OUT", "bench_ab.json")
 
-    def run(commit: String): String = {
+    def run(commit: String, tag: String,
+            extraEnv: Seq[(String, String)] = Seq.empty): String = {
       val wt = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), s"graft_ab_$commit").toString
+        sys.props("java.io.tmpdir"), s"graft_ab_${tag}_$commit").toString
       sh(Seq("git", "worktree", "remove", "--force", wt))
       require(sh(Seq("git", "worktree", "add", "--force", "--detach", wt, commit)) == 0,
         s"worktree add failed for $commit")
@@ -54,6 +111,7 @@ object BenchAB {
         "SPARK_GRAFT_SCALE_DIR" -> sfDir,
         "SPARK_GRAFT_SCALEUP_FACTOR" -> "1",
         "SPARK_GRAFT_BENCH_OUT" -> childOut) ++
+        extraEnv ++
         sys.env.get("SPARK_GRAFT_ONLY").map("SPARK_GRAFT_ONLY" -> _) ++
         sys.env.get("SPARK_GRAFT_CPUS").map("SPARK_GRAFT_CPUS" -> _)
       val rc = sh(Seq("sbt", "-batch", "runMain graft.Bench"),
@@ -67,13 +125,54 @@ object BenchAB {
     }
 
     // Base first, head second, back-to-back on the same box — the ordering
-    // is fixed so artifacts are comparable across rounds.
-    val baseJson = run(base)
-    val headJson = run(head)
+    // is fixed so artifacts are comparable across rounds. The control leg
+    // runs LAST so its distance from the base leg spans the whole window a
+    // base-vs-head comparison spans.
+    val baseJson = run(base, "base")
+    val headJson = run(head, "head",
+      Seq("SPARK_GRAFT_BENCH_ALLREPS" -> "1"))
+    val ctlJson = run(base, "ctl",
+      Seq("SPARK_GRAFT_ONLY" -> ControlQueries.mkString(",")))
+
+    val baseQ = extractObj(baseJson, "queries").map(parseNumMap).getOrElse(Map.empty)
+    val ctlQ = extractObj(ctlJson, "queries").map(parseNumMap).getOrElse(Map.empty)
+    val common = ControlQueries.filter(q => baseQ.contains(q) && ctlQ.contains(q))
+    val ratios = common.map(q => q -> ctlQ(q) / baseQ(q))
+    val geomean =
+      if (ratios.isEmpty) Double.NaN
+      else math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
+    val drift = math.abs(geomean - 1.0)
+    val headCv = extractObj(headJson, "rep_times").map(parseArrMap)
+      .getOrElse(Map.empty)
+      .collect { case (q, ts) if ts.size >= 2 && ts.sum > 0 =>
+        val m = ts.sum / ts.size
+        val sd = math.sqrt(ts.map(t => (t - m) * (t - m)).sum / (ts.size - 1))
+        q -> sd / m
+      }.values.toSeq.sorted
+    def pct(xs: Seq[Double], p: Double): Double =
+      if (xs.isEmpty) Double.NaN else Stats.percentile(xs, p)
+    val qualified = ratios.nonEmpty && drift <= ControlDriftBand
+    val ratioJson = ratios.map { case (q, r) => s""""$q":${"%.4f".format(r)}""" }
+      .mkString("{", ",", "}")
+    val noise =
+      s""""noise":{"control_queries":${ControlQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""control_ratio":$ratioJson,"control_geomean":${"%.4f".format(geomean)},""" +
+        s""""control_drift":${"%.4f".format(drift)},"band":$ControlDriftBand,""" +
+        s""""head_rep_cv_median":${"%.4f".format(pct(headCv, 0.5))},""" +
+        s""""head_rep_cv_p90":${"%.4f".format(pct(headCv, 0.9))},""" +
+        s""""self_qualified":$qualified}"""
     val out =
-      s"""{"sf":"$sfDir","reps":$reps,"base":{"commit":"$base","bench":$baseJson},"head":{"commit":"$head","bench":$headJson}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (out + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"wrote $outFile (base=$base head=$head)")
+      s"""{"sf":"$sfDir","reps":$reps,$noise,"base":{"commit":"$base","bench":$baseJson},"head":{"commit":"$head","bench":$headJson},"control":{"commit":"$base","bench":$ctlJson}}"""
+    val wrote = ArtifactOut.write(outFile, out)
+    println(s"wrote $outFile (base=$base head=$head control_drift=${"%.4f".format(drift)} self_qualified=$qualified)")
+    if (!wrote) sys.exit(2)
+    // A drift beyond the band means the base and head legs are not
+    // comparable at the claimed precision — flag loudly so the run is
+    // redone instead of quoted.
+    if (!qualified) {
+      System.err.println(
+        s"[bench_ab] NOT SELF-QUALIFIED: control drift ${"%.4f".format(drift)} > $ControlDriftBand")
+      sys.exit(3)
+    }
   }
 }

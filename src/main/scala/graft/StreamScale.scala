@@ -35,11 +35,25 @@ object StreamScale {
     spark.sparkContext.setLogLevel("WARN")
     // Shared order statistics with Bench/Latency (ADVICE r13) — see [[Stats]].
     def stats(ms: Seq[Long]): String =
-      s"""{"batches":${ms.size},"median_batch_ms":${Stats.medianMs(ms)},"p99_batch_ms":${Stats.percentileMs(ms, 0.99)},"max_batch_ms":${ms.max}}"""
+      s""""batches":${ms.size},"median_batch_ms":${Stats.medianMs(ms)},"p99_batch_ms":${Stats.percentileMs(ms, 0.99)},"max_batch_ms":${ms.max}"""
+    // Per-phase breakdown of the trigger time (VERDICT r13 next #4: the
+    // 100k-rows/batch p99 needed an explanation, not a guess): Structured
+    // Streaming's own durationMs components, so a tail batch is attributed
+    // to data-plane work (addBatch) vs harness bookkeeping (offset/commit
+    // logs, source listing).
+    val Phases = Seq("addBatch", "walCommit", "commitOffsets", "getBatch",
+      "latestOffset", "queryPlanning")
     val cells = rates.map { r =>
-      val ms = graft.queries.StreamingQueries.latencyProbe(spark, sfDir, batches, r)
-      require(ms.nonEmpty, s"no measured batches at $r rows/batch")
-      s""""$r":${stats(ms)}"""
+      val progs = graft.queries.StreamingQueries
+        .latencyProbeProgress(spark, sfDir, batches, r)
+      require(progs.nonEmpty, s"no measured batches at $r rows/batch")
+      val ms = progs.map(_.durationMs.get("triggerExecution").longValue())
+      val phases = Phases.flatMap { k =>
+        val vs = progs.flatMap(p => Option(p.durationMs.get(k)).map(_.longValue()))
+        if (vs.isEmpty) None
+        else Some(s""""$k":{"median_ms":${Stats.medianMs(vs)},"p99_ms":${Stats.percentileMs(vs, 0.99)}}""")
+      }.mkString("{", ",", "}")
+      s""""$r":{${stats(ms)},"phases":$phases}"""
     }
     val json =
       s"""{"stream_scale":{"pipeline":"s01-shaped","sf":"$sfDir","rows_per_batch":${cells.mkString("{", ",", "}")}}}"""

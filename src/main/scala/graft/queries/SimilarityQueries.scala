@@ -2929,6 +2929,115 @@ object SimilarityQueries {
           / CAST(COUNT(*) * $KnnK AS DOUBLE) < $MeanRecallFloor AS alert
       FROM r20"""))
 
+  /** Oracle for s30 (`graft.queries.StreamingQueries`): replays the
+    * PER-BATCH alert log the monitored maintenance drain emits. The drain
+    * feeds the e13 increment in [[graft.queries.StreamingQueries]]'s two
+    * id-range chunks, so the log has one row per cutoff c ∈ {nb +
+    * (ntot−nb)/2, ntot}; at each cutoff the admitted set is the id-order
+    * prefix of e13's capped increment (prefix-monotone admission: global
+    * per-list rank ≤ cap restricted to ids < c IS the prefix cap), the
+    * candidate edges are e13's `rawn` with both endpoints < c, and the
+    * alert row is e20's aggregate over e19's hash-ranked [[MonitorQ]]
+    * sample of the vectors seen so far. Shares the e13 oracle's base/router
+    * chain once across both cutoffs. */
+  private[queries] val s30AlertLogSql: String = {
+    import PortableHash.{A, B, P}
+    def cutBlock(sfx: Int, cut: String): String = s"""
+      newe$sfx AS (
+        SELECT DISTINCT vec_id, nid, cosine FROM (
+          SELECT r.vec_id, r.nid, r.cosine FROM rawn r, cuts
+            WHERE r.vec_id < $cut AND r.nid < $cut
+          UNION ALL
+          SELECT r.nid AS vec_id, r.vec_id AS nid, r.cosine FROM rawn r, cuts
+            WHERE r.vec_id < $cut AND r.nid < $cut)),
+      mer$sfx AS (
+        SELECT vec_id, nid, cosine FROM baseg
+        UNION ALL
+        SELECT vec_id, nid, cosine FROM newe$sfx),
+      seen$sfx AS (SELECT a.* FROM alln a, cuts WHERE a.vec_id < $cut),
+      smp$sfx AS (
+        SELECT vec_id AS qid, ve AS qv, nrm AS qnrm FROM (
+          SELECT vec_id, ve, nrm, row_number() OVER (
+            ORDER BY (${A(7)} * (vec_id % $P) + ${B(7)}) % $P, vec_id) AS srn
+          FROM seen$sfx) WHERE srn <= $MonitorQ),
+      ex$sfx AS (
+        SELECT qid, nid FROM (
+          SELECT s.qid, x.vec_id AS nid,
+            row_number() OVER (PARTITION BY s.qid ORDER BY
+              ${dotSql("s.qv", "x.ve")} / (s.qnrm * x.nrm) DESC, x.vec_id) AS rnk
+          FROM smp$sfx s JOIN seen$sfx x ON x.vec_id <> s.qid)
+        WHERE rnk <= $KnnK),
+      ap$sfx AS (
+        SELECT qid, nid FROM (
+          SELECT m.vec_id AS qid, m.nid,
+            row_number() OVER (PARTITION BY m.vec_id
+              ORDER BY m.cosine DESC, m.nid) AS rnk
+          FROM mer$sfx m JOIN smp$sfx q ON q.qid = m.vec_id)
+        WHERE rnk <= $KnnK),
+      hts$sfx AS (
+        SELECT e.qid, COUNT(*) AS hits FROM ex$sfx e
+        JOIN ap$sfx a ON a.qid = e.qid AND a.nid = e.nid GROUP BY e.qid),
+      pq$sfx AS (
+        SELECT s.qid, COALESCE(h.hits, 0) AS hits,
+          CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST($KnnK AS DOUBLE) AS recall
+        FROM smp$sfx s LEFT JOIN hts$sfx h USING (qid)),
+      ag$sfx AS (
+        SELECT (SELECT CAST($cut - cuts.nb AS BIGINT) FROM cuts) AS n_seen,
+          CAST(COUNT(*) AS BIGINT) AS n_queries,
+          CAST(SUM(hits) AS DOUBLE)
+            / CAST(COUNT(*) * $KnnK AS DOUBLE) AS mean_recall,
+          MIN(recall) AS min_recall,
+          CAST(SUM(CASE WHEN recall < $RecallFloor THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_below_floor,
+          CAST(SUM(hits) AS DOUBLE)
+            / CAST(COUNT(*) * $KnnK AS DOUBLE) < $MeanRecallFloor AS alert
+        FROM pq$sfx)"""
+    GraftQuery.materializeCtes(s"""WITH bp AS (
+        SELECT COUNT(*) AS ntot,
+          COUNT(*) - GREATEST(16, COUNT(*) // 10) AS nb FROM embeddings),
+      cuts AS (SELECT nb, ntot, nb + (ntot - nb) // 2 AS cmid FROM bp),
+      eb AS (SELECT e.* FROM embeddings e, bp WHERE e.vec_id < bp.nb),
+      ${listPairsSqlFor("eb")},
+      baseg AS (
+        SELECT vec_id, nid, cosine FROM (
+          SELECT vec_id, nid, cosine,
+            row_number() OVER (PARTITION BY vec_id
+              ORDER BY cosine DESC, nid) AS rnk
+          FROM pairs) WHERE rnk <= $KnnK),
+      btn AS (
+        SELECT vec_id, ve, sqrt(${dotSql("ve", "ve")}) AS nrm FROM (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings, bp WHERE vec_id >= bp.nb)),
+      ${twoLevelSql("B", "btn", "ve", "nrm", s"c$NIter", "cqv", "cnrm")},
+      basg AS (SELECT vec_id, cid AS list FROM rkB WHERE crn = 1),
+      bcap AS (
+        SELECT list, vec_id AS nid FROM (
+          SELECT list, vec_id,
+            row_number() OVER (PARTITION BY list ORDER BY vec_id) AS lrn
+          FROM basg) WHERE lrn <= $CandCap),
+      targets AS (
+        SELECT list, vec_id AS nid, ve AS nve, nrm AS nnrm FROM capped
+        UNION ALL
+        SELECT b.list, b.nid, x.ve AS nve, x.nrm AS nnrm
+        FROM bcap b JOIN btn x ON x.vec_id = b.nid),
+      bprobe AS (
+        SELECT r.vec_id, r.cid AS list, x.ve, x.nrm
+        FROM rkB r JOIN btn x USING (vec_id) WHERE r.crn <= $GraphNProbe),
+      rawn AS (
+        SELECT p.vec_id, t.nid,
+          ${dotSql("p.ve", "t.nve")} / (p.nrm * t.nnrm) AS cosine
+        FROM bprobe p JOIN targets t USING (list) WHERE p.vec_id <> t.nid),
+      alln AS (
+        SELECT vec_id, ve, sqrt(${dotSql("ve", "ve")}) AS nrm FROM (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+          FROM embeddings)),
+      ${cutBlock(1, "cuts.cmid")},
+      ${cutBlock(2, "cuts.ntot")}
+      SELECT n_seen, n_queries, mean_recall, min_recall, n_below_floor, alert
+      FROM (SELECT * FROM ag1 UNION ALL SELECT * FROM ag2)
+      ORDER BY n_seen""")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(e01CosineKnn, e02AnnIvf, e03Int8Quantize, e04AnnInt8,
       e05AnnIvfTrained, e06AnnRerank, e07KnnGraph, e08SemanticClusters,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.streaming.{FileStreamSource, FileTopicWriter, StreamHarness, StreamPipelines, UpsertSink, Wire}
+import graft.streaming.{FileStreamSource, FileTopicWriter, RecallAlertBus, StreamHarness, StreamPipelines, UpsertSink, Wire}
 import graft.streaming.StreamPipelines._
 
 /** The streaming vertical (SURVEY.md §2.1 S1, §2.5 K1–K5, §2.7): real
@@ -1367,7 +1367,17 @@ object StreamingQueries {
     * registry entry: it measures the per-batch cost of a pipeline s01
     * already proves correct, so it has no oracle shape. */
   def latencyProbe(s: SparkSession, dir: String,
-                   batches: Int, rowsPerBatch: Int): Seq[Long] = {
+                   batches: Int, rowsPerBatch: Int): Seq[Long] =
+    latencyProbeProgress(s, dir, batches, rowsPerBatch)
+      .map(_.durationMs.get("triggerExecution").longValue())
+
+  /** [[latencyProbe]] returning the full per-batch progress objects, so the
+    * scale tools can break a tail batch into its phases (`durationMs`:
+    * addBatch / walCommit / getBatch / …) instead of guessing what the p99
+    * straggler is (VERDICT r13 next #4). */
+  def latencyProbeProgress(s: SparkSession, dir: String,
+      batches: Int, rowsPerBatch: Int)
+    : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
     val qn = "lat_sink_" + UUID.randomUUID().toString.replace("-", "")
     val ev = Tables.load(s, dir, "events")
     // The probe must actually FEED rowsPerBatch rows per batch: the r12
@@ -1419,7 +1429,7 @@ object StreamingQueries {
         pipeline("latw_" + UUID.randomUUID().toString.replace("-", "")))
       val chunks = StreamHarness.rangeChunks(feed, "event_id", batches)
         .map(_.select(Wire.fitbitLine.as("value")))
-      StreamHarness.drainMeasured(s, fileSource("lat"), chunks)(pipeline(qn))
+      StreamHarness.drainProgressed(s, fileSource("lat"), chunks)(pipeline(qn))
     } finally feed.unpersist()
   }
 
@@ -1669,13 +1679,62 @@ object StreamingQueries {
     * memory (the memory-state path holds ZERO bytes; checkpointing covers
     * only source offsets). No base vector is re-assigned, no Lloyd round
     * re-runs. */
+  /** s28's standing tables live as per-batch subdirectories (`seed`,
+    * `b<batchId>`, …) under each table dir: every micro-batch OVERWRITES its
+    * own `b<id>` part instead of appending at the root, and every read takes
+    * only parts `< id` (plus the seed). This makes the maintenance
+    * crash-replay idempotent BY CONSTRUCTION (VERDICT r13 next #2): a
+    * replayed batch recomputes from exactly the parts the first attempt saw
+    * — completed predecessors only — and overwrites its own part, so a kill
+    * anywhere (mid-write included) converges to the uninterrupted result on
+    * replay; root-level parquet APPENDS would instead double-admit on
+    * replay. `StreamAnnMaintainSpec` pins it with a mid-feed kill +
+    * lost-commit restart. */
+  private[queries] def partPaths(s: SparkSession, dir: String,
+      before: Option[Long] = None): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter { q =>
+        q.getName == "seed" ||
+          (q.getName.startsWith("b") &&
+            before.forall(b => q.getName.drop(1).toLong < b))
+      }
+      .sortBy(_.getName)
+      .map(_.toString)
+  }
+
+  /** Read the union of a standing table's committed parts (see
+    * [[partPaths]]); `before = Some(id)` reads only parts strictly earlier
+    * than batch `id`. */
+  private[queries] def readParts(s: SparkSession, dir: String,
+      before: Option[Long] = None): DataFrame = {
+    val paths = partPaths(s, dir, before)
+    require(paths.nonEmpty, s"no committed parts under $dir")
+    s.read.parquet(paths: _*)
+  }
+
+  /** The standing tables [[s28Maintain]] returns: increment postings, probe
+    * lists, candidate edges, the (monitor-mode) per-batch alert log, and the
+    * base/increment id split. */
+  final case class S28Tables(postDir: String, probeDir: String,
+      edgeDir: String, alertDir: String, nBase: Long)
+
+  /** How [[s28Maintain]] drives its chunks through the started query —
+    * overridable so a spec can kill the drain mid-feed and restart it from
+    * the SAME checkpoint (args: source, chunks, checkpointDir, start). */
+  type S28Drive =
+    (FileStreamSource, Seq[DataFrame], String,
+      DataFrame => org.apache.spark.sql.streaming.StreamingQuery) => Unit
+
   /** The s28 drain, factored out so `StreamOutOfOrderSpec` can drive the
     * IDENTICAL pipeline with a permuted arrival schedule: builds the frozen
     * base index, seeds the standing on-disk tables, and drains the increment
     * chunks (reordered by `permute`; identity = the registered
     * vec_id-ordered feed) through the foreachBatch maintenance step.
-    * Returns (postDir, probeDir, edgeDir, nBase) — the standing index tables
-    * an operator would keep serving from.
+    * Returns the standing index tables ([[S28Tables]]) an operator would
+    * keep serving from.
     *
     * Unordered-feed contract (pinned by the spec): admission is FIRST-SEEN
     * WINS per list at micro-batch granularity — per list, arrivals are
@@ -1684,11 +1743,21 @@ object StreamingQueries {
     * displaced by a later (even smaller-id) arrival. On the id-ordered feed
     * this replays e13's first-CandCap-by-vec_id cap exactly (prefix-monotone
     * admission), which is why streamed ≡ batch there; an unordered feed
-    * keeps the same admission discipline but defines its own merge. */
+    * keeps the same admission discipline but defines its own merge.
+    *
+    * `monitor = true` additionally computes, AFTER each batch's appends
+    * commit, the e20 alert surface of the index AS IT STANDS — hash-sampled
+    * [[SimilarityQueries.MonitorQ]] queries over base ∪ arrived-so-far,
+    * exact top-[[SimilarityQueries.KnnK]] vs the current merged graph, mean
+    * recall and the `alert` boolean — writes it to the alert log's `b<id>`
+    * part and posts it on [[graft.streaming.RecallAlertBus]] (the s30
+    * surface; VERDICT r13 next #3). */
   def s28Maintain(s: SparkSession, dir: String,
       permute: Seq[DataFrame] => Seq[DataFrame] = identity,
-      candCap: Int = SimilarityQueries.CandCap)
-    : (String, String, String, Long) = {
+      candCap: Int = SimilarityQueries.CandCap,
+      monitor: Boolean = false,
+      drive: Option[S28Drive] = None)
+    : S28Tables = {
       import SimilarityQueries.{GraphNProbe, e13BatchSize}
       import org.apache.spark.sql.expressions.Window
       val allV = Tables.load(s, dir, "embeddings")
@@ -1701,7 +1770,7 @@ object StreamingQueries {
         val nBase = nTotal - e13BatchSize(nTotal)
         // Standing base index: materialized tables + the frozen codebook
         // (bounded index metadata — never retrained by an append).
-        val (_, _, _, capB, _) =
+        val (_, g3B, hopsB, capB, _) =
           SimilarityQueries.graphTables(s, dir, trained = true, maxId = nBase)
         val cb = SimilarityQueries.cbCache.get((dir, true, nBase))
         require(cb != null, "s28: base index build did not cache its codebook")
@@ -1709,31 +1778,54 @@ object StreamingQueries {
           .join(allV.select(col("vec_id").as("nid"), col("ve").as("nve"),
             col("nrm").as("nnrm")), "nid")
           .select(col("list"), col("nid"), col("nve"), col("nnrm"))
-        // The streamed index's standing tables (parquet append dirs, seeded
-        // with empty schemas so batch-1 reads resolve).
+        // The streamed index's standing tables: per-batch part dirs (see
+        // [[partPaths]] — crash-replay idempotent), seeded with empty
+        // schemas so batch-0 reads resolve.
         val postDir = StreamHarness.tempDir("s28post")
         val probeDir = StreamHarness.tempDir("s28probe")
         val edgeDir = StreamHarness.tempDir("s28edge")
+        val alertDir = StreamHarness.tempDir("s28alert")
         allV.limit(0).select(lit(0L).as("list"), col("vec_id").as("nid"),
           col("ve").as("nve"), col("nrm").as("nnrm"))
-          .write.mode("overwrite").parquet(postDir)
+          .write.mode("overwrite").parquet(s"$postDir/seed")
         allV.limit(0).select(col("vec_id"), col("ve"), col("nrm"),
-          lit(0L).as("list")).write.mode("overwrite").parquet(probeDir)
+          lit(0L).as("list")).write.mode("overwrite").parquet(s"$probeDir/seed")
         allV.limit(0).select(col("vec_id"), col("vec_id").as("nid"),
-          col("nrm").as("cosine")).write.mode("overwrite").parquet(edgeDir)
+          col("nrm").as("cosine")).write.mode("overwrite").parquet(s"$edgeDir/seed")
+        if (monitor) s.range(0).select(col("id").as("n_seen"),
+          col("id").as("n_queries"), col("id").cast("double").as("mean_recall"),
+          col("id").cast("double").as("min_recall"), col("id").as("n_below_floor"),
+          (col("id") > 0).as("alert"))
+          .write.mode("overwrite").parquet(s"$alertDir/seed")
+        // The monitor's approx leg: the CURRENT merged graph, e13's merge
+        // shape over base top-K ∪ committed edge parts (s28StreamAnnMaintain
+        // runs the same merge over ALL parts after the drain).
+        val wK = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("nid"))
+        val baseTopK = g3B.union(hopsB).distinct()
+          .withColumn("rnk", row_number().over(wK))
+          .filter(col("rnk") <= SimilarityQueries.KnnK)
+          .select(col("vec_id"), col("nid"), col("cosine"))
         val chunks = permute(StreamHarness.rangeChunks(
           allV.filter(col("vec_id") >= nBase), "vec_id", Chunks))
           .map(_.select(concat(col("vec_id"), lit("|"), concat_ws(",",
             transform(col("ve"), x => x.cast("string")))).as("value")))
         val cosine = call_function("graft_dot", col("ve"), col("nve")) /
           (col("nrm") * col("nnrm"))
-        StreamHarness.drain(s, fileSource("s28"), chunks) { raw =>
+        // Checkpoint dir hoisted OUT of the start lambda: a crash-test drive
+        // restarts the query by calling `start` again, and recovery only
+        // exists if both starts share the checkpoint.
+        val ckpt = StreamHarness.checkpointDir("s28")
+        val runDrive: S28Drive = drive.getOrElse(
+          (src, cs, _, start) => StreamHarness.drain(s, src, cs)(start))
+        runDrive(fileSource("s28"), chunks, ckpt, { raw =>
           raw.writeStream
-            .foreachBatch { (batch: DataFrame, _: Long) =>
+            .foreachBatch { (batch: DataFrame, id: Long) =>
               // Micro-batches analyze in the streaming query's CLONED
               // session — register the router expression there, not on the
               // outer session.
               val bs = batch.sparkSession
+              if (!batch.isEmpty) {
               val parts = split(col("value"), "\\|", 2)
               val arr = batch.select(
                 parts.getItem(0).cast("long").as("vec_id"),
@@ -1744,7 +1836,10 @@ object StreamingQueries {
                 .withColumn("rl",
                   SimilarityQueries.cbRank2(bs, "s28", cb, col("ve"), col("nrm")))
                 .persist()
-              val prior = bs.read.parquet(postDir)
+              // Every read below takes parts strictly BEFORE this batch and
+              // every write overwrites this batch's own part — the replay
+              // idempotence contract ([[partPaths]]).
+              val prior = readParts(bs, postDir, Some(id))
               val priorCnt = prior.groupBy(col("list"))
                 .agg(count(lit(1)).as("npost"))
               // First-seen-wins admission: prior-count + within-batch
@@ -1755,7 +1850,7 @@ object StreamingQueries {
               // permuted feed the same rule is the s26 first-seen contract,
               // pinned by StreamOutOfOrderSpec.
               // localCheckpoint cuts the lineage back to postDir, so the
-              // later postDir append can never recompute this frame against
+              // later postDir write can never recompute this frame against
               // its own output.
               val bw = Window.partitionBy(col("list")).orderBy(col("vec_id"))
               val newAdmits = arr
@@ -1775,22 +1870,99 @@ object StreamingQueries {
                 .withColumn("cosine", cosine)
                 .select(col("vec_id"), col("nid"), col("cosine"))
               // e2: earlier batches' stored probe lists vs this batch's new
-              // admissions (read BEFORE this batch's probes are appended).
-              val e2 = bs.read.parquet(probeDir)
+              // admissions (parts < id — deterministic under replay, unlike
+              // the old whole-dir read that depended on write order).
+              val e2 = readParts(bs, probeDir, Some(id))
                 .join(broadcast(newAdmits), Seq("list"))
                 .filter(col("vec_id") =!= col("nid"))
                 .withColumn("cosine", cosine)
                 .select(col("vec_id"), col("nid"), col("cosine"))
-              e1.union(e2).write.mode("append").parquet(edgeDir)
-              newAdmits.write.mode("append").parquet(postDir)
-              probes.write.mode("append").parquet(probeDir)
+              e1.union(e2).write.mode("overwrite").parquet(s"$edgeDir/b$id")
+              newAdmits.write.mode("overwrite").parquet(s"$postDir/b$id")
+              probes.write.mode("overwrite").parquet(s"$probeDir/b$id")
+              if (monitor) {
+                // e20's alert surface over the index AS IT STANDS after this
+                // batch (VERDICT r13 next #3): sample ∪-to-date corpus,
+                // exact top-K vs current merged graph, one consumable row.
+                import graft.functions.PortableHash.{A, B, P}
+                import SimilarityQueries.{KnnK, MeanRecallFloor, MonitorQ, RecallFloor}
+                val arrSeen = readParts(bs, probeDir, Some(id + 1))
+                  .select(col("vec_id"), col("ve"), col("nrm"))
+                  .dropDuplicates("vec_id")
+                val nSeen = arrSeen.count()
+                val seen = allV.filter(col("vec_id") < nBase)
+                  .select(col("vec_id"), col("ve"), col("nrm"))
+                  .union(arrSeen)
+                // e19's hash-ranked constant sample, over base ∪ arrived.
+                val samp = seen.select(col("vec_id").as("qid"),
+                  col("ve").as("qv"), col("nrm").as("qnrm"))
+                  .withColumn("h",
+                    (lit(A(7)) * (col("qid") % lit(P)) + lit(B(7))) % lit(P))
+                  .orderBy(col("h"), col("qid")).limit(MonitorQ)
+                  .select(col("qid"), col("qv"), col("qnrm"))
+                  .persist()
+                samp.count()
+                val sampIds = samp.select(col("qid").as("vec_id"))
+                // Approx leg: merged top-K, PRUNED to the sample before the
+                // window (qid filter commutes with a per-vec_id window).
+                val newPairs = readParts(bs, edgeDir, Some(id + 1))
+                  .select(explode(array(
+                    struct(col("vec_id"), col("nid"), col("cosine")),
+                    struct(col("nid").as("vec_id"), col("vec_id").as("nid"),
+                      col("cosine")))).as("p"))
+                  .select(col("p.vec_id"), col("p.nid"), col("p.cosine"))
+                val approx = baseTopK.union(newPairs)
+                  .join(broadcast(sampIds), Seq("vec_id"), "left_semi")
+                  .distinct()
+                  .withColumn("rnk", row_number().over(wK))
+                  .filter(col("rnk") <= KnnK)
+                  .select(col("vec_id").as("qid"), col("nid"))
+                val exact = seen.crossJoin(broadcast(samp))
+                  .filter(col("vec_id") =!= col("qid"))
+                  .withColumn("cosine",
+                    call_function("graft_dot", col("qv"), col("ve"))
+                      / (col("qnrm") * col("nrm")))
+                  .groupBy(col("qid"))
+                  .agg(graft.functions.TopKCosAggregator.top3(
+                    col("cosine"), col("vec_id")).as("tops"))
+                  .select(col("qid"), explode(col("tops")).as("t"))
+                  .select(col("qid"), col("t._2").as("nid"))
+                val hits = exact.join(approx, Seq("qid", "nid"))
+                  .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+                val row = samp.select(col("qid"))
+                  .join(hits, Seq("qid"), "left")
+                  .select(coalesce(col("hits"), lit(0L)).as("hits"))
+                  .withColumn("recall",
+                    col("hits").cast("double") / lit(KnnK.toDouble))
+                  .agg(
+                    count(lit(1)).as("n_queries"),
+                    sum(col("hits")).as("sum_hits"),
+                    min(col("recall")).as("min_recall"),
+                    sum((col("recall") < RecallFloor).cast("long"))
+                      .as("n_below_floor"))
+                  .select(lit(nSeen).as("n_seen"), col("n_queries"),
+                    (col("sum_hits").cast("double")
+                      / (col("n_queries") * lit(KnnK.toLong)).cast("double"))
+                      .as("mean_recall"),
+                    col("min_recall"), col("n_below_floor"))
+                  .withColumn("alert", col("mean_recall") < MeanRecallFloor)
+                row.write.mode("overwrite").parquet(s"$alertDir/b$id")
+                samp.unpersist()
+                // The pager wire: one bounded row to the in-process bus, at
+                // the same commit point listener progress becomes visible.
+                val r = bs.read.parquet(s"$alertDir/b$id").head()
+                RecallAlertBus.post(RecallAlertBus.Alert(r.getLong(0),
+                  r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+                  r.getBoolean(5)))
+              }
               arr.unpersist()
+              }
               ()
             }
-            .option("checkpointLocation", StreamHarness.checkpointDir("s28"))
+            .option("checkpointLocation", ckpt)
             .start()
-        }
-        (postDir, probeDir, edgeDir, nBase)
+        })
+        S28Tables(postDir, probeDir, edgeDir, alertDir, nBase)
       } finally allV.unpersist()
     }
 
@@ -1800,7 +1972,8 @@ object StreamingQueries {
     (s, dir) => {
       import SimilarityQueries.KnnK
       import org.apache.spark.sql.expressions.Window
-      val (_, _, edgeDir, nBase) = s28Maintain(s, dir)
+      val t28 = s28Maintain(s, dir)
+      val nBase = t28.nBase
       val (_, g3B, hopsB, _, _) =
         SimilarityQueries.graphTables(s, dir, trained = true, maxId = nBase)
       // Merge = e13's tail over the streamed candidate edges: top-K(base ∪
@@ -1810,7 +1983,7 @@ object StreamingQueries {
       val baseGraph = g3B.union(hopsB).distinct()
         .withColumn("rnk", row_number().over(wK)).filter(col("rnk") <= KnnK)
         .select(col("vec_id"), col("nid"), col("cosine"))
-      val newEdges = s.read.parquet(edgeDir)
+      val newEdges = readParts(s, t28.edgeDir)
         .select(explode(array(
           struct(col("vec_id"), col("nid"), col("cosine")),
           struct(col("nid").as("vec_id"), col("vec_id").as("nid"),
@@ -2010,6 +2183,38 @@ object StreamingQueries {
       ORDER BY d.doc_id"""
     })
 
+  /** s30 — STREAMING RECALL-ALERT DELIVERY (VERDICT r13 next #3): e20's
+    * alert is a batch-polled row; in the streaming regime — s28 maintaining
+    * the index — nothing emitted the rebuild signal as data arrived. Here
+    * the s28 drain runs with `monitor = true`: after EACH micro-batch's
+    * index appends commit, the drain scores the index as it stands (e19's
+    * hash-ranked constant [[SimilarityQueries.MonitorQ]] sample over base ∪
+    * arrived-so-far, exact top-[[SimilarityQueries.KnnK]] vs the current
+    * merged graph) and emits e20's one-row alert surface — to the durable
+    * per-batch alert log this query returns, and to
+    * [[graft.streaming.RecallAlertBus]], the in-process pager wire a
+    * rebuild scheduler subscribes to. A `Dataset.observe` metric cannot
+    * carry the value (observed metrics aggregate the streamed batch's own
+    * rows; mean recall aggregates the STANDING tables), so the emission
+    * point is the foreachBatch commit — the same point s25's listener sees
+    * progress. `StreamRecallAlertSpec` plants a mid-stream recall collapse
+    * and asserts the second batch's emission flips `alert`.
+    *
+    * Scale: per batch, the monitor adds one MonitorQ·n-dot exact leg (the
+    * e19/e18 bounded-aggregator shape — linear, map-side) and a
+    * sample-pruned top-K window over base-graph ∪ committed edges; state
+    * is the same on-disk parts s28 already keeps. The oracle replays the
+    * log row-for-row at both chunk cutoffs (prefix-monotone admission makes
+    * the mid-stream index state SQL-expressible). */
+  val s30StreamRecallAlert: GraftQuery = GraftQuery(
+    "s30_stream_recall_alert",
+    "streaming recall-alert delivery: every s28 maintenance batch scores the standing index (e20 surface) and emits the alert on commit",
+    (s, dir) => {
+      val t = s28Maintain(s, dir, monitor = true)
+      readParts(s, t.alertDir).orderBy(col("n_seen"))
+    },
+    Some(SimilarityQueries.s30AlertLogSql))
+
   val all: Seq[GraftQuery] = Seq(
     c01MultiplexParse, c02JsonlSource, c03SchemaMerge,
     s01WarningStream, s02LatestLocationSink,
@@ -2020,5 +2225,5 @@ object StreamingQueries {
     s18OuterStreamJoin, s19AvailableNow, s20DualSink, s21Scd2History,
     s22TemporalJoin, s23AsofStream, s24StreamSketch, s25ObserveMetrics,
     s26StreamLshDedup, s27StreamPack, s28StreamAnnMaintain,
-    s29CrossmodalAdmission)
+    s29CrossmodalAdmission, s30StreamRecallAlert)
 }

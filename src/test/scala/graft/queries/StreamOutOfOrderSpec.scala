@@ -141,9 +141,9 @@ class StreamOutOfOrderSpec extends SparkSpec {
     // the IDENTICAL pipeline.
     val cap = 2
     val swap = (cs: Seq[org.apache.spark.sql.DataFrame]) => Seq(cs(1), cs(0))
-    val (postDir, _, _, nBase) =
-      StreamingQueries.s28Maintain(spark, dir, swap, cap)
-    val got = spark.read.parquet(postDir)
+    val t28 = StreamingQueries.s28Maintain(spark, dir, swap, cap)
+    val nBase = t28.nBase
+    val got = StreamingQueries.readParts(spark, t28.postDir)
       .select("list", "nid").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
