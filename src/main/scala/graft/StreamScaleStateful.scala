@@ -28,6 +28,20 @@ object StreamScaleStateful {
       .split(",").map(_.trim.toInt).toSeq
     val keysAxis = sys.env.getOrElse("SPARK_GRAFT_SS_KEYS", "1000,10000,100000")
       .split(",").map(_.trim.toInt).toSeq
+    // State-store provider knob: "rocksdb" switches the probes (and the
+    // artifact's provider field) to RocksDBStateStoreProvider — the lever
+    // for commit-dominated join cells (HDFS-backed stores pay one delta
+    // file per store per batch; the symmetric hash join keeps 4 stores per
+    // side per partition).
+    val provider = sys.env.getOrElse("SPARK_GRAFT_SS_PROVIDER", "hdfs")
+    val pipeFilter = sys.env.getOrElse("SPARK_GRAFT_SS_PIPELINES", "window,join")
+      .split(",").map(_.trim).toSet
+    // Shuffle/state partition count for the probes (default: the harness's
+    // state-sized 4). On a real deployment this is sized as total state /
+    // comfortable-store-size — the heavy-cell column of the artifact
+    // measures exactly that lever.
+    val partitions = sys.env.getOrElse("SPARK_GRAFT_SS_PARTITIONS",
+      graft.streaming.StreamHarness.StreamShufflePartitions.toString).toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,25 +49,41 @@ object StreamScaleStateful {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (provider == "rocksdb")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
-    val probes: Seq[(String, (SparkSession, Int, Int, Int) => Seq[ScaleProbes.BatchPoint])] =
+    val allProbes: Seq[(String, (SparkSession, Int, Int, Int) => Seq[ScaleProbes.BatchPoint])] =
       Seq(
-        "window" -> ((s, b, r, k) => ScaleProbes.windowProbe(s, b, r, k)),
-        "join" -> ((s, b, r, k) => ScaleProbes.joinProbe(s, b, r, k)))
+        "window" -> ((s, b, r, k) => ScaleProbes.windowProbe(s, b, r, k, partitions)),
+        "join" -> ((s, b, r, k) => ScaleProbes.joinProbe(s, b, r, k, partitions)))
+    val probes = allProbes.filter { case (n, _) => pipeFilter.contains(n) }
 
     def cellJson(pts: Seq[ScaleProbes.BatchPoint]): String = {
-      val ms = pts.map(_.ms)
+      // The FIRST data batch of a fresh query pays state-store/source
+      // setup a deployment pays once at query start — reported separately
+      // as startup_ms; median/p99/flatness cover the steady-state batches,
+      // which are what the per-trigger stability bound governs (the same
+      // reasoning as latencyProbe's unmeasured warmup drain). all_ms stays
+      // raw so the split is auditable. median_input_rows is the OBSERVED
+      // per-batch arrival count: an appended chunk may drain over two
+      // triggers, so the nominal rows/batch is an upper bound, not a claim.
+      val startup = pts.head.ms
+      val steady = if (pts.size > 1) pts.tail else pts
+      val ms = steady.map(_.ms)
       val (first, second) = ms.splitAt(ms.size / 2)
       val mFirst = Stats.medianMs(first)
       val mSecond = Stats.medianMs(second)
       val flat = if (mFirst > 0) mSecond / mFirst else 1.0
       val st = pts.map(_.stateRows)
-      s"""{"batches":${ms.size},"median_batch_ms":${Stats.medianMs(ms)},""" +
+      s"""{"batches":${pts.size},"startup_ms":$startup,""" +
+        s""""median_input_rows":${Stats.medianMs(steady.map(_.inputRows))},""" +
+        s""""median_batch_ms":${Stats.medianMs(ms)},""" +
         s""""p99_batch_ms":${Stats.percentileMs(ms, 0.99)},"max_batch_ms":${ms.max},""" +
         s""""median_first_half_ms":$mFirst,"median_second_half_ms":$mSecond,""" +
         s""""second_over_first":${"%.3f".format(flat)},""" +
         s""""state_rows_last":${st.last},"state_rows_max":${st.max},""" +
-        s""""all_ms":${ms.mkString("[", ",", "]")},""" +
+        s""""all_ms":${pts.map(_.ms).mkString("[", ",", "]")},""" +
         s""""all_state_rows":${st.mkString("[", ",", "]")}}"""
     }
 
@@ -72,7 +102,8 @@ object StreamScaleStateful {
     }
     val json =
       s"""{"stream_scale_stateful":{"watermark":"2 hours","batch_event_span_min":30,""" +
-        s""""sink":"noop","shuffle_partitions":${graft.streaming.StreamHarness.StreamShufflePartitions},""" +
+        s""""sink":"noop","shuffle_partitions":$partitions,""" +
+        s""""state_store":"$provider",""" +
         s""""cells":${cells.mkString("{", ",", "}")}}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SS_OUT", "stream_scale_stateful.json")

@@ -1455,6 +1455,20 @@ object SimilarityQueries {
     s.read.parquet(path)
   }
 
+  /** Cold index-build timing hook for [[graft.IndexBuildTime]] (VERDICT r13
+    * next #6): drops the memo entry and rebuilds the materialized graph
+    * tables from scratch — Lloyd training, two-level coarse assignment, the
+    * capped probe join, the parquet write — returning the build wall-time.
+    * This is where e07's O(n^1.25) coarse-assignment term actually lives
+    * (the bench pre-builds it untimed so query cells time the probe path). */
+  private[graft] def timeGraphBuild(s: org.apache.spark.sql.SparkSession,
+      dir: String): Double = {
+    graphDirs.remove((dir, true, Long.MaxValue))
+    val t0 = System.nanoTime()
+    graphTables(s, dir, trained = true)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** e07 — corpus-wide k-NN GRAPH (neighbors for EVERY vector, not just a
     * query set — the structure semantic dedup, clustering, and
     * graph-based retrieval indexes are built from). e01–e06 answer "top-k
