@@ -43,6 +43,14 @@ object SkewBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Self-ensure the derived corpus (idempotent via ScaleUp's marker) so
+    // the main is runnable standalone; only dirs under derived/ are ever
+    // written — a testdata path is used as-is.
+    if (dir.startsWith("derived/")) {
+      val src = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_SRC", "/root/testdata/sf0.1")
+      val factor = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_FACTOR", "100").toInt
+      ScaleUp.ensure(spark, src, dir, factor)
+    }
 
     val e = Tables.load(spark, dir, "events")
       .select(when(col("user_id") % 10 < 8, lit(0L))

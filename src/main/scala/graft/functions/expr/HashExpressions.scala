@@ -206,25 +206,28 @@ object HashExpressions {
       bs.map(_.result().toArray)
     }
 
-    private def negCos(v: org.apache.spark.sql.catalyst.util.ArrayData,
-                       n: Double, j: Int): Double = {
+    private def negCos(x: Array[Double], n: Double, j: Int): Double = {
       val cv = cvecs(j)
       var dot = 0.0
       var i = 0
-      while (i < cv.length) { dot += v.getDouble(i) * cv(i); i += 1 }
+      while (i < cv.length) { dot += x(i) * cv(i); i += 1 }
       -(dot / (n * cnrms(j)))
     }
 
     def rank(v: org.apache.spark.sql.catalyst.util.ArrayData, n: Double)
         : org.apache.spark.sql.catalyst.util.ArrayData = {
+      // One primitive copy up front: negCos reads the vector (nSuper +
+      // |cand|) times, and per-element ArrayData.getDouble is a virtual
+      // call in that inner loop.
+      val x = v.toDoubleArray()
       // Level 1: rank the supers (positions 0..nSuper-1 ARE centroids).
       val negs = new Array[Double](nSuper)
       var j = 0
-      while (j < nSuper) { negs(j) = negCos(v, n, j); j += 1 }
+      while (j < nSuper) { negs(j) = negCos(x, n, j); j += 1 }
       val superOrder = Array.range(0, nSuper).sortBy(j => (negs(j), cids(j)))
       // Level 2: rank the union of the top-superProbe branches' members.
       val cand = Array.range(0, superProbe).flatMap(r => members(superOrder(r)))
-      val negc = cand.map(negCos(v, n, _))
+      val negc = cand.map(negCos(x, n, _))
       val order = Array.range(0, cand.length)
         .sortBy(i => (negc(i), cids(cand(i))))
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -242,6 +245,91 @@ object HashExpressions {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): TwoLevelCodebookRank =
       copy(vec = newLeft, nrm = newRight)
+  }
+
+  /** [[TwoLevelCodebookRank]] with INT8-CODED centroids (VERDICT r13 next
+    * #6): the corpus-side assignment — the engine's residual O(n^1.25)
+    * term — ranks int8 vector codes against int8 centroid codes instead of
+    * float64 against float64. Per row the vector is quantized ONCE
+    * (scale = 127/max|x|, half-up round — [[HashOps.quantizeCodes]]'s exact
+    * formula), then every centroid dot is an integer multiply-accumulate
+    * over a `Dim`-BYTE row instead of a `Dim`-double one: 8× less centroid
+    * memory traffic (the whole coded codebook sits in L2 where the float
+    * one spilled) and a SIMD-friendlier inner loop. Cosine is
+    * scale-invariant, so code-space directions rank vector directions —
+    * the same argument the Lloyd trainer already relies on.
+    *
+    * Parity: code values are integers ≤ 127, so every dot (≤ Dim·127² ≪
+    * 2⁵³) is EXACT in both int64 and the oracle's double arithmetic; the
+    * ranking key −dot/(qnrm·cnrm) has the identical two-rounding shape as
+    * the float router. Branch structure (`branchOf`) stays FLOAT —
+    * centroid→super assignment is NList·NSuper bounded metadata computed
+    * once driver-side, replayed by the oracles' unchanged `cbrF`/`cbrB`.
+    * An all-zero vector quantizes to all-zero codes and ranks by the NaN
+    * keys' cid tie-break — exactly where the float router's 0/0 put it. */
+  case class TwoLevelCodebookRankQ(
+      vec: Expression,
+      cids: Array[Long],
+      c8vecs: Array[Array[Byte]],
+      c8nrms: Array[Double],
+      nSuper: Int,
+      superProbe: Int,
+      branchOf: Array[Int]) extends UnaryExpression {
+    override def child: Expression = vec
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    @transient private lazy val members: Array[Array[Int]] = {
+      val bs = Array.fill(nSuper)(List.newBuilder[Int])
+      var j = 0
+      while (j < branchOf.length) { bs(branchOf(j)) += j; j += 1 }
+      bs.map(_.result().toArray)
+    }
+
+    def rank(v: org.apache.spark.sql.catalyst.util.ArrayData)
+        : org.apache.spark.sql.catalyst.util.ArrayData = {
+      val x = v.toDoubleArray()
+      val dim = x.length
+      var amax = 0.0
+      var i = 0
+      while (i < dim) { val a = math.abs(x(i)); if (a > amax) amax = a; i += 1 }
+      val scale = if (amax > 0.0) 127.0 / amax else 0.0
+      val q = new Array[Int](dim)
+      var ss = 0L
+      i = 0
+      while (i < dim) {
+        val c = math.floor(x(i) * scale + 0.5).toInt
+        q(i) = c; ss += c.toLong * c; i += 1
+      }
+      val qnrm = math.sqrt(ss.toDouble)
+      def negCos(j: Int): Double = {
+        val cv = c8vecs(j)
+        var dot = 0L
+        var k = 0
+        while (k < dim) { dot += q(k) * cv(k); k += 1 }
+        -(dot.toDouble / (qnrm * c8nrms(j)))
+      }
+      val negs = new Array[Double](nSuper)
+      var j = 0
+      while (j < nSuper) { negs(j) = negCos(j); j += 1 }
+      val superOrder = Array.range(0, nSuper).sortBy(j => (negs(j), cids(j)))
+      val cand = Array.range(0, superProbe).flatMap(r => members(superOrder(r)))
+      val negc = cand.map(negCos)
+      val order = Array.range(0, cand.length)
+        .sortBy(i => (negc(i), cids(cand(i))))
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        order.map(i => cids(cand(i))))
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      rank(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cbrank2q", this,
+        classOf[TwoLevelCodebookRankQ].getName)
+      defineCodeGen(ctx, ev, a => s"$ref.rank($a)")
+    }
+    override protected def withNewChildInternal(
+        newChild: Expression): TwoLevelCodebookRankQ =
+      copy(vec = newChild)
   }
 
   case class QuantizeCodes(child: Expression) extends UnaryExpression {

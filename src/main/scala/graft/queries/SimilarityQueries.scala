@@ -184,6 +184,51 @@ object SimilarityQueries {
         JOIN $src x ON x.vec_id = v2.vec_id
         JOIN $cb c ON c.cid = b.cid)"""
 
+  /** INT8 variant of [[twoLevelSql]] replaying [[cbRank2Q]] (VERDICT r13
+    * next #6): vectors AND centroids are half-up-quantized to int8 code
+    * space (scale = 127/max|·| — the `qz` formula), level-1/level-2
+    * rankings run on the code dots, while `cbr$sfx` (centroid→branch
+    * structure) stays on the FLOAT centroids exactly like the kernel's
+    * driver-side [[branchAssign]]. Code dots are integer-valued doubles
+    * ≤ Dim·127² — exact in both engines — and the ranking key keeps the
+    * two-rounding −dot/(qnrm·cnrm) shape. */
+  private def twoLevelSqlQ(sfx: String, src: String, v: String,
+                           cb: String, cv: String, cn: String): String = {
+    def q8(out: String, in: String, id: String, vcol: String) =
+      s"""$out AS (
+        SELECT $id, qv8, sqrt(${dotSql("qv8", "qv8")}) AS qn8 FROM (
+          SELECT $id, list_transform($vcol, x ->
+            CAST(CAST(floor(x * s8 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DOUBLE)) AS qv8
+          FROM (SELECT $id, $vcol,
+            CASE WHEN list_max(list_transform($vcol, x -> abs(x))) > 0
+                 THEN CAST(127.0 AS DOUBLE)
+                      / list_max(list_transform($vcol, x -> abs(x)))
+                 ELSE CAST(0.0 AS DOUBLE) END AS s8 FROM $in)))"""
+    s"""${q8(s"q8$sfx", src, "vec_id", v)},
+      ${q8(s"c8$sfx", cb, "cid", cv)},
+      cbr$sfx AS (
+        SELECT cid, sid FROM (
+          SELECT c.cid, s.cid AS sid,
+            row_number() OVER (PARTITION BY c.cid ORDER BY
+              ${dotSql("c." + cv, "s." + cv)} / (c.$cn * s.$cn) DESC, s.cid) AS brn
+          FROM $cb c, $cb s, params WHERE s.cid < params.nsuper) rb
+        WHERE rb.brn = 1),
+      vsr$sfx AS (
+        SELECT vec_id, sid FROM (
+          SELECT x.vec_id, s.cid AS sid,
+            row_number() OVER (PARTITION BY x.vec_id ORDER BY
+              ${dotSql("x.qv8", "s.qv8")} / (x.qn8 * s.qn8) DESC, s.cid) AS srn
+          FROM q8$sfx x, c8$sfx s, params WHERE s.cid < params.nsuper) rs, params
+        WHERE rs.srn <= params.sprobe),
+      rk$sfx AS (
+        SELECT x.vec_id, b.cid,
+          row_number() OVER (PARTITION BY x.vec_id ORDER BY
+            ${dotSql("x.qv8", "c.qv8")} / (x.qn8 * c.qn8) DESC, b.cid) AS crn
+        FROM vsr$sfx v2 JOIN cbr$sfx b ON v2.sid = b.sid
+        JOIN q8$sfx x ON x.vec_id = v2.vec_id
+        JOIN c8$sfx c ON c.cid = b.cid)"""
+  }
+
   /** Centroid ids ordered by (−cosine, cid) against a collected codebook —
     * the FLAT full ranking, since r11 used only on the QUERY side of the
     * e-family (qsz = √n/16 rows × nlist = √n dots = O(n/16), linear; and
@@ -1027,6 +1072,40 @@ object SimilarityQueries {
     call_function(s"graft_cbrank2_$tag", vec, nrm)
   }
 
+  /** INT8 variant of [[cbRank2]] for the CORPUS-side assignment (VERDICT
+    * r13 next #6 — the O(n^1.25) residual): quantizes the trained codebook
+    * to int8 codes driver-side (per-centroid scale = 127/max|c|, the
+    * [[listPairs]] vector-quantization formula) and routes each row's
+    * int8-quantized codes against them — see
+    * [[graft.functions.expr.HashExpressions.TwoLevelCodebookRankQ]].
+    * Branch structure still derives from the FLOAT codebook
+    * ([[branchAssign]] — bounded metadata, the oracles' unchanged `cbr`
+    * CTE); only the per-vector level-1/level-2 rankings move to code
+    * space. Callers pass the float vector column; quantization happens
+    * inside the kernel, one pass per row. */
+  private[queries] def cbRank2Q(s: org.apache.spark.sql.SparkSession, tag: String,
+                      codebook: Array[(Long, Seq[Double], Double)],
+                      vec: org.apache.spark.sql.Column) = {
+    val nSuper = graphNSuper(codebook.length)
+    val sProbe = graphSuperProbe(nSuper)
+    val branchOf = branchAssign(codebook, nSuper)
+    val cids = codebook.map(_._1)
+    val (c8vecs, c8nrms) = codebook.map { case (_, cv, _) =>
+      val arr = cv.toArray
+      var amax = 0.0
+      arr.foreach(x => amax = math.max(amax, math.abs(x)))
+      val cs = if (amax > 0.0) 127.0 / amax else 0.0
+      val q = arr.map(x => math.floor(x * cs + 0.5))
+      val nrm = math.sqrt(q.map(v => v * v).sum)
+      (q.map(_.toByte), nrm)
+    }.unzip
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(s"graft_cbrank2q_$tag",
+      args => graft.functions.expr.HashExpressions.TwoLevelCodebookRankQ(
+        args(0), cids, c8vecs, c8nrms, nSuper, sProbe, branchOf),
+      "built-in")
+    call_function(s"graft_cbrank2q_$tag", vec)
+  }
+
   /** Shared candidate generation for e07/e08, three bounded stages:
     *
     *  1. IVF probe: every vector routed map-side through the TWO-LEVEL
@@ -1083,9 +1162,11 @@ object SimilarityQueries {
     // Training assigns through the SAME two-level router as the final
     // ranking (branches recomputed from the evolving centroids each round,
     // exactly what the oracle replays), so no Lloyd round re-introduces the
-    // O(n^1.5) flat scan. The final ranking scores the FLOAT vectors
-    // against the trained centroids — cosine is scale-invariant, so
-    // qv-space centroid directions rank ve directions directly.
+    // O(n^1.5) flat scan. The final ranking runs in INT8 CODE SPACE
+    // (cbRank2Q, VERDICT r13 next #6): each vector's codes rank the
+    // QUANTIZED trained centroids — cosine is scale-invariant, so code
+    // directions rank vector directions, and integer dots are exact in
+    // both engines (the oracle's nq/cq8 CTEs).
     val codebook = if (!trained) seed else {
       val quant = prepared
         .withColumn("qv", call_function("graft_quantize", col("ve")))
@@ -1121,7 +1202,7 @@ object SimilarityQueries {
     }
     cbCache.put((dir, trained, maxId), codebook)
     val probing = prepared.withColumn("list",
-      explode(slice(cbRank2(s, s"e07$tagSfx", codebook, col("ve"), col("nrm")),
+      explode(slice(cbRank2Q(s, s"e07$tagSfx", codebook, col("ve")),
         1, GraphNProbe)))
     // Index side: nearest-list assignment, then a deterministic uniform
     // subsample of each list (portable-hash order) capped at CandCap.
@@ -1129,7 +1210,7 @@ object SimilarityQueries {
       ((lit(PortableHash.A(0)) * col("vec_id") + lit(PortableHash.B(0)))
         % lit(PortableHash.P)).asc, col("vec_id"))
     val assigned = prepared.withColumn("list",
-      element_at(cbRank2(s, s"e07$tagSfx", codebook, col("ve"), col("nrm")), 1))
+      element_at(cbRank2Q(s, s"e07$tagSfx", codebook, col("ve")), 1))
     val capped = assigned
       .withColumn("lrn", row_number().over(lrnW))
       .filter(col("lrn") <= CandCap)
@@ -1210,8 +1291,9 @@ object SimilarityQueries {
   /** Oracle CTE chain replaying the full index build value-exactly:
     * int8 quantization, the integer-exact two-level Lloyd loop (branch +
     * super + within-branch assignment per round, exact int64 centroid
-    * sums), then the float-vector two-level ranking against the trained
-    * codebook, capped probe pairs, and the NN-descent refinement round. */
+    * sums), then the INT8-code two-level ranking against the quantized
+    * trained codebook (cbRank2Q — VERDICT r13 next #6), capped probe
+    * pairs, and the NN-descent refinement round. */
   private def listPairsSqlFor(srcTable: String): String = {
     val dot = (a: String, b: String) =>
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1293,9 +1375,20 @@ object SimilarityQueries {
           AS nlist FROM n)),
       c0 AS (SELECT vec_id AS cid, qv AS cqv, qnrm AS cnrm FROM n8, params
         WHERE vec_id < params.nlist)${(1 to NIter).map(iterSql).mkString},
-      -- trained two-level routing of the FLOAT vectors: branch the trained
-      -- centroids, route each vector through its sprobe nearest branches,
-      -- rank only their member centroids
+      -- trained two-level routing in INT8 CODE SPACE (cbRank2Q): every
+      -- vector's codes (qz — all vectors, zero-norm included) rank the
+      -- QUANTIZED trained centroids; branch structure (cbrF) stays on the
+      -- float centroids, matching the kernel's driver-side branchAssign
+      nq AS (SELECT vec_id, qv, ${sq("qv")} AS qnrm FROM qz),
+      cq8 AS (
+        SELECT cid, c8v, ${sq("c8v")} AS c8nrm FROM (
+          SELECT cid, list_transform(cqv, x ->
+            CAST(CAST(floor(x * cs8 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DOUBLE)) AS c8v
+          FROM (SELECT cid, cqv,
+            CASE WHEN list_max(list_transform(cqv, x -> abs(x))) > 0
+                 THEN CAST(127.0 AS DOUBLE)
+                      / list_max(list_transform(cqv, x -> abs(x)))
+                 ELSE CAST(0.0 AS DOUBLE) END AS cs8 FROM $cT))),
       cbrF AS (
         SELECT cid, sid FROM (
           SELECT c.cid, s.cid AS sid,
@@ -1307,16 +1400,17 @@ object SimilarityQueries {
         SELECT vec_id, sid FROM (
           SELECT x.vec_id, s.cid AS sid,
             row_number() OVER (PARTITION BY x.vec_id ORDER BY
-              ${dot("x.ve", "s.cqv")} / (x.nrm * s.cnrm) DESC, s.cid) AS srn
-          FROM n x, $cT s, params WHERE s.cid < params.nsuper) rs, params
+              ${dot("x.qv", "s.c8v")} / (x.qnrm * s.c8nrm) DESC, s.cid) AS srn
+          FROM nq x, cq8 s, params WHERE s.cid < params.nsuper) rs, params
         WHERE rs.srn <= params.sprobe),
       ranked AS (
         SELECT x.vec_id, x.ve, x.nrm, b.cid,
           row_number() OVER (PARTITION BY x.vec_id ORDER BY
-            ${dot("x.ve", "c.cqv")} / (x.nrm * c.cnrm) DESC, b.cid) AS crn
+            ${dot("xq.qv", "c.c8v")} / (xq.qnrm * c.c8nrm) DESC, b.cid) AS crn
         FROM vsrF v JOIN cbrF b ON v.sid = b.sid
+        JOIN nq xq ON xq.vec_id = v.vec_id
         JOIN n x ON x.vec_id = v.vec_id
-        JOIN $cT c ON c.cid = b.cid),
+        JOIN cq8 c ON c.cid = b.cid),
       asg AS (SELECT vec_id, ve, nrm, cid AS list FROM ranked WHERE crn = 1),
       capped AS (
         SELECT vec_id, ve, nrm, list FROM (
@@ -2390,7 +2484,7 @@ object SimilarityQueries {
         .select(col("vec_id"), col("nid"), col("cosine"))
       // Appended batch through the FROZEN router.
       val batch = allV.filter(col("vec_id") >= nBase)
-      def ranked = cbRank2(s, "e13", cb, col("ve"), col("nrm"))
+      def ranked = cbRank2Q(s, "e13", cb, col("ve"))
       val bAssigned = batch.withColumn("list", element_at(ranked, 1))
       // The increment's own postings, capped in ARRIVAL (vec_id) order —
       // deliberately NOT the base tables' hash-order subsample: an
@@ -2451,7 +2545,7 @@ object SimilarityQueries {
         SELECT vec_id, ve, sqrt(${dotSql("ve", "ve")}) AS nrm FROM (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
           FROM embeddings, bp WHERE vec_id >= bp.nb)),
-      ${twoLevelSql("B", "btn", "ve", "nrm", s"c$NIter", "cqv", "cnrm")},
+      ${twoLevelSqlQ("B", "btn", "ve", s"c$NIter", "cqv", "cnrm")},
       basg AS (SELECT vec_id, cid AS list FROM rkB WHERE crn = 1),
       bcap AS (
         SELECT list, vec_id AS nid FROM (
@@ -3022,7 +3116,7 @@ object SimilarityQueries {
         SELECT vec_id, ve, sqrt(${dotSql("ve", "ve")}) AS nrm FROM (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
           FROM embeddings, bp WHERE vec_id >= bp.nb)),
-      ${twoLevelSql("B", "btn", "ve", "nrm", s"c$NIter", "cqv", "cnrm")},
+      ${twoLevelSqlQ("B", "btn", "ve", s"c$NIter", "cqv", "cnrm")},
       basg AS (SELECT vec_id, cid AS list FROM rkB WHERE crn = 1),
       bcap AS (
         SELECT list, vec_id AS nid FROM (

@@ -1834,7 +1834,7 @@ object StreamingQueries {
                 .withColumn("nrm",
                   sqrt(call_function("graft_dot", col("ve"), col("ve"))))
                 .withColumn("rl",
-                  SimilarityQueries.cbRank2(bs, "s28", cb, col("ve"), col("nrm")))
+                  SimilarityQueries.cbRank2Q(bs, "s28", cb, col("ve")))
                 .persist()
               // Every read below takes parts strictly BEFORE this batch and
               // every write overwrites this batch's own part — the replay
