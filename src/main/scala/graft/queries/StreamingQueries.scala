@@ -1427,8 +1427,19 @@ object StreamingQueries {
       StreamHarness.drain(s, fileSource("latw"),
         Seq(feed.limit(100).select(Wire.fitbitLine.as("value"))))(
         pipeline("latw_" + UUID.randomUUID().toString.replace("-", "")))
+      // Feed each batch as MULTIPLE part-files at high rates (VERDICT r13
+      // next #4): `feed` comes off an orderBy().limit() — a single
+      // partition — so every batch previously landed as ONE text file and
+      // addBatch parsed the whole batch on ONE task (the measured 100k
+      // straggler: addBatch p99 633 ms vs flat ~40 ms harness phases). A
+      // Kafka direct stream — the reference's source — reads
+      // partition-parallel, so the file feed mirrors that with ~12.5k rows
+      // per part-file, capped at 8; ≤ 12.5k-row batches keep the single
+      // file and their attested numbers.
+      val feedFiles = math.min(8, math.max(1, rowsPerBatch / 12500))
       val chunks = StreamHarness.rangeChunks(feed, "event_id", batches)
-        .map(_.select(Wire.fitbitLine.as("value")))
+        .map(c => if (feedFiles == 1) c.select(Wire.fitbitLine.as("value"))
+                  else c.select(Wire.fitbitLine.as("value")).repartition(feedFiles))
       StreamHarness.drainProgressed(s, fileSource("lat"), chunks)(pipeline(qn))
     } finally feed.unpersist()
   }
