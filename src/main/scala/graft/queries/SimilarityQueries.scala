@@ -313,7 +313,7 @@ object SimilarityQueries {
     // and the flat order probes each query's TRUE nProbe nearest lists.
     val assigned = postings(s, dir, "ivf_seed_float") {
       prepared.withColumn("list",
-        element_at(cbRank2(s, tag, codebook, col("ve"), col("nrm")), 1))
+        element_at(cbRank2Q(s, tag, codebook, col("ve")), 1))
     }
     val probes = prepared.filter(col("vec_id") < qsz)
       .select(col("vec_id").as("qid"), col("ve").as("qv"), col("nrm").as("qnrm"))
@@ -347,7 +347,7 @@ object SimilarityQueries {
       ${paramsSql("v")},
       c AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM n, params
         WHERE vec_id < params.nlist),
-      ${twoLevelSql("A", "n", "ve", "nrm", "c", "cve", "cnrm")},
+      ${twoLevelSqlQ("A", "n", "ve", "c", "cve", "cnrm")},
       assigned AS (
         SELECT n.vec_id, n.ve, n.nrm, r.cid AS list
         FROM rkA r JOIN n ON n.vec_id = r.vec_id WHERE r.crn = 1),
@@ -2190,7 +2190,7 @@ object SimilarityQueries {
       // ranking covers, and it costs qsz·nlist = O(n/16) dots, linear.
       val assigned = postings(s, dir, "ivf_seed_float_label") {
         prepared.withColumn("list",
-          element_at(cbRank2(s, "e11", codebook, col("ve"), col("nrm")), 1))
+          element_at(cbRank2Q(s, "e11", codebook, col("ve")), 1))
       }
       // Per-label probe widths: NProbe / selectivity, integer-exact
       // (ceil via (n + cnt - 1) div cnt), capped at the full list set.
@@ -2231,7 +2231,7 @@ object SimilarityQueries {
       ${paramsSql("v")},
       c AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM n, params
         WHERE vec_id < params.nlist),
-      ${twoLevelSql("A", "n", "ve", "nrm", "c", "cve", "cnrm")},
+      ${twoLevelSqlQ("A", "n", "ve", "c", "cve", "cnrm")},
       assigned AS (
         SELECT n.vec_id, n.label, n.ve, n.nrm, r.cid AS list
         FROM rkA r JOIN n ON n.vec_id = r.vec_id WHERE r.crn = 1),
@@ -2641,7 +2641,7 @@ object SimilarityQueries {
       ${paramsSql("v")},
       c AS (SELECT vec_id AS cid, ve AS cve, nrm AS cnrm FROM n, params
         WHERE vec_id < params.nlist),
-      ${twoLevelSql("A", "n", "ve", "nrm", "c", "cve", "cnrm")},
+      ${twoLevelSqlQ("A", "n", "ve", "c", "cve", "cnrm")},
       assigned AS (
         SELECT n.vec_id, n.ve, n.nrm, r.cid AS list
         FROM rkA r JOIN n ON n.vec_id = r.vec_id WHERE r.crn = 1),
