@@ -17,16 +17,18 @@ import scala.sys.process._
   * primary SF, not slopes.
   *
   * SELF-QUALIFICATION (VERDICT r13 next #5 — two same-code r13 A/Bs read
-  * 1.114× and 0.944×, so an unqualified ratio is not quotable): after the
-  * base and head legs, a CONTROL leg re-runs the BASE commit on
-  * [[ControlQueries]]. Control-vs-base ratios measure how much the box
-  * drifted across the run window that separates the base and head legs —
-  * same code, so any movement is noise. The artifact carries the control
-  * series, the geomean drift, the per-query rep CV of the head leg
-  * (`rep_times`, emitted under SPARK_GRAFT_BENCH_ALLREPS=1), and a
-  * `self_qualified` verdict; drift beyond [[ControlDriftBand]] flags the
-  * artifact and exits 3 so the run is redone on a quieter box instead of
-  * quoted.
+  * 1.114× and 0.944×, so an unqualified ratio is not quotable): two
+  * IDENTICALLY-SHAPED control legs (base commit, ONLY [[ControlQueries]])
+  * bracket the base+head window; late/early ratios on the same code and
+  * the same run shape isolate time-varying box noise. (A control leg
+  * compared against the FULL base leg does not work: the first attempt
+  * read a systematic 1.44–2.35× "drift" that was JVM/page-cache warmth
+  * asymmetry between an 8-query JVM and a 159-query JVM, not box noise.)
+  * The artifact carries both control series, the geomean drift, the
+  * per-query rep CV of the head leg (`rep_times`, emitted under
+  * SPARK_GRAFT_BENCH_ALLREPS=1), and a `self_qualified` verdict; drift
+  * beyond [[ControlDriftBand]] flags the artifact and exits 3 so the run
+  * is redone on a quieter box instead of quoted.
   *
   * Usage: `sbt "runMain graft.BenchAB <baseCommit> [headCommit]"`
   * (headCommit defaults to HEAD). Env honored: SPARK_GRAFT_SF_DIR,
@@ -125,19 +127,28 @@ object BenchAB {
     }
 
     // Base first, head second, back-to-back on the same box — the ordering
-    // is fixed so artifacts are comparable across rounds. The control leg
-    // runs LAST so its distance from the base leg spans the whole window a
-    // base-vs-head comparison spans.
+    // is fixed so artifacts are comparable across rounds. The control is
+    // TWO IDENTICALLY-SHAPED short legs (base commit, ONLY the control set)
+    // BRACKETING the A/B window: the first A/B attempt compared an
+    // ONLY-8-query control leg against the same queries measured inside
+    // the full 159-query base leg, and read a systematic 1.44-2.35x
+    // "drift" that was really JVM/page-cache warmth asymmetry — a short
+    // fresh JVM runs sub-second queries slower than a long-running bench
+    // JVM does. Same shape on both ends cancels that; what remains in
+    // late/early is time-varying box noise over the window the base-vs-
+    // head comparison spans.
+    val ctl0Json = run(base, "ctl0",
+      Seq("SPARK_GRAFT_ONLY" -> ControlQueries.mkString(",")))
     val baseJson = run(base, "base")
     val headJson = run(head, "head",
       Seq("SPARK_GRAFT_BENCH_ALLREPS" -> "1"))
     val ctlJson = run(base, "ctl",
       Seq("SPARK_GRAFT_ONLY" -> ControlQueries.mkString(",")))
 
-    val baseQ = extractObj(baseJson, "queries").map(parseNumMap).getOrElse(Map.empty)
+    val ctl0Q = extractObj(ctl0Json, "queries").map(parseNumMap).getOrElse(Map.empty)
     val ctlQ = extractObj(ctlJson, "queries").map(parseNumMap).getOrElse(Map.empty)
-    val common = ControlQueries.filter(q => baseQ.contains(q) && ctlQ.contains(q))
-    val ratios = common.map(q => q -> ctlQ(q) / baseQ(q))
+    val common = ControlQueries.filter(q => ctl0Q.contains(q) && ctlQ.contains(q))
+    val ratios = common.map(q => q -> ctlQ(q) / ctl0Q(q))
     val geomean =
       if (ratios.isEmpty) Double.NaN
       else math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
@@ -162,7 +173,7 @@ object BenchAB {
         s""""head_rep_cv_p90":${"%.4f".format(pct(headCv, 0.9))},""" +
         s""""self_qualified":$qualified}"""
     val out =
-      s"""{"sf":"$sfDir","reps":$reps,$noise,"base":{"commit":"$base","bench":$baseJson},"head":{"commit":"$head","bench":$headJson},"control":{"commit":"$base","bench":$ctlJson}}"""
+      s"""{"sf":"$sfDir","reps":$reps,$noise,"base":{"commit":"$base","bench":$baseJson},"head":{"commit":"$head","bench":$headJson},"control_early":{"commit":"$base","bench":$ctl0Json},"control":{"commit":"$base","bench":$ctlJson}}"""
     val wrote = ArtifactOut.write(outFile, out)
     println(s"wrote $outFile (base=$base head=$head control_drift=${"%.4f".format(drift)} self_qualified=$qualified)")
     if (!wrote) sys.exit(2)
