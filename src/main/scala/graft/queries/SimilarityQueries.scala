@@ -580,7 +580,7 @@ object SimilarityQueries {
       .sortBy(_._1)
     val assigned = postings(s, dir, "ivf_seed_quant") {
       quant.withColumn("list",
-        element_at(cbRank2(s, tag, codebook, col("qv"), col("qnrm")), 1))
+        element_at(cbRank2Q(s, tag, codebook, col("qv")), 1))
     }
     val probes = quant.filter(col("vec_id") < qsz)
       .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qnrm").as("pnrm"))
@@ -628,7 +628,7 @@ object SimilarityQueries {
       ${paramsSql("n")},
       c AS (SELECT vec_id AS cid, qv AS cqv, qnrm AS cnrm FROM n, params
         WHERE vec_id < params.nlist),
-      ${twoLevelSql("A", "n", "qv", "qnrm", "c", "cqv", "cnrm")},
+      ${twoLevelSqlQ("A", "n", "qv", "c", "cqv", "cnrm")},
       assigned AS (
         SELECT n.vec_id, n.qv, n.qnrm, r.cid AS list
         FROM rkA r JOIN n ON n.vec_id = r.vec_id WHERE r.crn = 1),
@@ -731,7 +731,7 @@ object SimilarityQueries {
         // — no training round re-introduces the O(n^1.5) flat scan.
         for (it <- 1 to NIter) {
           val assigned = quant.withColumn("list",
-            element_at(cbRank2(s, s"e05t$it", cb, col("qv"), col("qnrm")), 1))
+            element_at(cbRank2Q(s, s"e05t$it", cb, col("qv")), 1))
           // Exact per-(list, dim) integer sums: the order-independent step
           // that makes the whole loop deterministic.
           val cells = assigned
@@ -760,7 +760,7 @@ object SimilarityQueries {
       // inverted lists — index structure, not query work).
       val assigned = postings(s, dir, "ivf_trained_quant") {
         quant.withColumn("list",
-          element_at(cbRank2(s, "e05", codebook, col("qv"), col("qnrm")), 1))
+          element_at(cbRank2Q(s, "e05", codebook, col("qv")), 1))
       }
       val probes = quant.filter(col("vec_id") < qsz)
         .select(col("vec_id").as("qid"), col("qv").as("pv"), col("qnrm").as("pnrm"))
@@ -794,7 +794,7 @@ object SimilarityQueries {
       def iterSql(i: Int): String = {
         val prev = if (i == 1) "c0" else s"c${i - 1}"
         s""",
-        ${twoLevelSql(s"T$i", "n", "qv", "qnrm", prev, "cqv", "cnrm")},
+        ${twoLevelSqlQ(s"T$i", "n", "qv", prev, "cqv", "cnrm")},
         a$i AS (
           SELECT n.vec_id, n.qv, r.cid AS list
           FROM rkT$i r JOIN n ON n.vec_id = r.vec_id WHERE r.crn = 1),
@@ -835,7 +835,7 @@ object SimilarityQueries {
       ${paramsSql("n")},
       c0 AS (SELECT vec_id AS cid, qv AS cqv, qnrm AS cnrm FROM n, params
         WHERE vec_id < params.nlist)${(1 to NIter).map(iterSql).mkString},
-      ${twoLevelSql("F", "n", "qv", "qnrm", cT, "cqv", "cnrm")},
+      ${twoLevelSqlQ("F", "n", "qv", cT, "cqv", "cnrm")},
       assigned AS (
         SELECT n.vec_id, n.qv, n.qnrm, r.cid AS list
         FROM rkF r JOIN n ON n.vec_id = r.vec_id WHERE r.crn = 1),
@@ -931,7 +931,7 @@ object SimilarityQueries {
       ${paramsSql("n")},
       c AS (SELECT vec_id AS cid, qv AS cqv, qnrm AS cnrm FROM n, params
         WHERE vec_id < params.nlist),
-      ${twoLevelSql("A", "n", "qv", "qnrm", "c", "cqv", "cnrm")},
+      ${twoLevelSqlQ("A", "n", "qv", "c", "cqv", "cnrm")},
       assigned AS (
         SELECT n.vec_id, n.qv, n.qnrm, r.cid AS list
         FROM rkA r JOIN n ON n.vec_id = r.vec_id WHERE r.crn = 1),
@@ -1179,7 +1179,7 @@ object SimilarityQueries {
         .sortBy(_._1)
       for (it <- 1 to NIter) {
         val assigned = quant.withColumn("list",
-          element_at(cbRank2(s, s"e07t$it$tagSfx", cb, col("qv"), col("qnrm")), 1))
+          element_at(cbRank2Q(s, s"e07t$it$tagSfx", cb, col("qv")), 1))
         val cells = assigned
           .select(col("list"), posexplode(col("qv")).as(Seq("pos", "x")))
           .groupBy(col("list"), col("pos"))
@@ -1301,13 +1301,24 @@ object SimilarityQueries {
     val sq = (a: String) =>
       s"""sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
             list_transform($a, x -> x * x)), (x, y) -> x + y))"""
-    // One two-level Lloyd round: branch the previous centroids, route each
-    // code through its sprobe nearest branches, assign within, rebuild
+    // One two-level Lloyd round: branch the previous centroids (float —
+    // bounded metadata, the kernel's branchAssign), quantize them to int8
+    // codes (cq8x$i — the per-round half of cbRank2Q), route each vector's
+    // codes through its sprobe nearest branches, assign within, rebuild
     // centroids from exact integer sums (empty/degenerate lists keep the
-    // previous centroid) — e05's iterSql with the two-level router.
+    // previous centroid).
     def iterSql(i: Int): String = {
       val prev = if (i == 1) "c0" else s"c${i - 1}"
       s""",
+      cq8x$i AS (
+        SELECT cid, c8v, ${sq("c8v")} AS c8nrm FROM (
+          SELECT cid, list_transform(cqv, x ->
+            CAST(CAST(floor(x * cs8 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DOUBLE)) AS c8v
+          FROM (SELECT cid, cqv,
+            CASE WHEN list_max(list_transform(cqv, x -> abs(x))) > 0
+                 THEN CAST(127.0 AS DOUBLE)
+                      / list_max(list_transform(cqv, x -> abs(x)))
+                 ELSE CAST(0.0 AS DOUBLE) END AS cs8 FROM $prev))),
       cbr$i AS (
         SELECT cid, sid FROM (
           SELECT c.cid, s.cid AS sid,
@@ -1319,17 +1330,17 @@ object SimilarityQueries {
         SELECT vec_id, sid FROM (
           SELECT x.vec_id, s.cid AS sid,
             row_number() OVER (PARTITION BY x.vec_id ORDER BY
-              ${dot("x.qv", "s.cqv")} / (x.qnrm * s.cnrm) DESC, s.cid) AS srn
-          FROM n8 x, $prev s, params WHERE s.cid < params.nsuper) rs, params
+              ${dot("x.qv", "s.c8v")} / (x.qnrm * s.c8nrm) DESC, s.cid) AS srn
+          FROM n8 x, cq8x$i s, params WHERE s.cid < params.nsuper) rs, params
         WHERE rs.srn <= params.sprobe),
       a$i AS (
         SELECT vec_id, qv, list FROM (
           SELECT x.vec_id, x.qv, b.cid AS list,
             row_number() OVER (PARTITION BY x.vec_id ORDER BY
-              ${dot("x.qv", "c.cqv")} / (x.qnrm * c.cnrm) DESC, b.cid) AS crn
+              ${dot("x.qv", "c.c8v")} / (x.qnrm * c.c8nrm) DESC, b.cid) AS crn
           FROM vsr$i v JOIN cbr$i b ON v.sid = b.sid
           JOIN n8 x ON x.vec_id = v.vec_id
-          JOIN $prev c ON c.cid = b.cid) rr
+          JOIN cq8x$i c ON c.cid = b.cid) rr
         WHERE rr.crn = 1),
       m$i AS (
         SELECT list AS cid, g.i,
