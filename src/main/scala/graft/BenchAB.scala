@@ -24,11 +24,15 @@ import scala.sys.process._
   * compared against the FULL base leg does not work: the first attempt
   * read a systematic 1.44–2.35× "drift" that was JVM/page-cache warmth
   * asymmetry between an 8-query JVM and a 159-query JVM, not box noise.)
-  * The artifact carries both control series, the geomean drift, the
-  * per-query rep CV of the head leg (`rep_times`, emitted under
-  * SPARK_GRAFT_BENCH_ALLREPS=1), and a `self_qualified` verdict; drift
-  * beyond [[ControlDriftBand]] flags the artifact and exits 3 so the run
-  * is redone on a quieter box instead of quoted.
+  * A DISCARDED control-shaped warmup leg runs first (ADVICE r14: the run's
+  * first process alone pays page-cache/first-build cold-start the late leg
+  * never sees), control legs run [[ControlReps]] reps with per-rep times
+  * recorded, and the artifact carries both control series, per-control rep
+  * CV, the geomean drift, its standard error, the per-query rep CV of the
+  * head leg, and a `self_qualified` verdict against a variance-justified
+  * band (see [[ControlDriftBand]]); drift beyond the band flags the
+  * artifact and exits 3 so the run is redone on a quieter box instead of
+  * quoted.
   *
   * Usage: `sbt "runMain graft.BenchAB <baseCommit> [headCommit]"`
   * (headCommit defaults to HEAD). Env honored: SPARK_GRAFT_SF_DIR,
@@ -48,8 +52,21 @@ object BenchAB {
     "d01_dedup_exact", "d03_token_stats", "d15_repetition",
     "e01_cosine_knn", "m01_binary_meta")
 
-  /** Max acceptable same-code geomean drift before the A/B flags itself. */
+  /** Absolute ceiling on acceptable same-code geomean drift. The band the
+    * run actually applies is variance-justified (VERDICT r14 next #4):
+    * `min(0.05, max(0.03, 3·SE))` where SE is the standard error of the
+    * control legs' geomean (stddev of per-query log-ratios / √n) — so a
+    * run qualifies either inside a tight 3% band or inside a band its own
+    * measured control variance justifies, never past 5%. */
   val ControlDriftBand: Double = 0.05
+
+  /** Tight default band — drift at or under this always qualifies. */
+  val ControlDriftTight: Double = 0.03
+
+  /** Rep count for the CONTROL legs (r14 next #4: 3-rep control medians
+    * spent 4.87 pp of a 5 pp band; more reps steady the medians without
+    * touching the base/head legs' comparability across rounds). */
+  val ControlReps: Int = 5
 
   private def sh(cmd: Seq[String], cwd: Option[java.io.File] = None,
                  env: Seq[(String, String)] = Seq.empty): Int =
@@ -137,13 +154,22 @@ object BenchAB {
     // JVM does. Same shape on both ends cancels that; what remains in
     // late/early is time-varying box noise over the window the base-vs-
     // head comparison spans.
-    val ctl0Json = run(base, "ctl0",
-      Seq("SPARK_GRAFT_ONLY" -> ControlQueries.mkString(",")))
+    val ctlEnv = Seq(
+      "SPARK_GRAFT_ONLY" -> ControlQueries.mkString(","),
+      "SPARK_GRAFT_REPS" -> ControlReps.toString,
+      "SPARK_GRAFT_BENCH_ALLREPS" -> "1")
+    // Discarded warmup leg (ADVICE r14): the first process of the run alone
+    // pays whole-run cold-start — OS page cache on the parquet, the first
+    // worktree sbt build — which the LATE control leg never pays, a
+    // residual asymmetry between two otherwise same-shaped legs. A
+    // thrown-away control-shaped leg up front eats that cost so ctl0 runs
+    // as warm as ctl does.
+    run(base, "warm", ctlEnv)
+    val ctl0Json = run(base, "ctl0", ctlEnv)
     val baseJson = run(base, "base")
     val headJson = run(head, "head",
       Seq("SPARK_GRAFT_BENCH_ALLREPS" -> "1"))
-    val ctlJson = run(base, "ctl",
-      Seq("SPARK_GRAFT_ONLY" -> ControlQueries.mkString(",")))
+    val ctlJson = run(base, "ctl", ctlEnv)
 
     val ctl0Q = extractObj(ctl0Json, "queries").map(parseNumMap).getOrElse(Map.empty)
     val ctlQ = extractObj(ctlJson, "queries").map(parseNumMap).getOrElse(Map.empty)
@@ -153,22 +179,53 @@ object BenchAB {
       if (ratios.isEmpty) Double.NaN
       else math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
     val drift = math.abs(geomean - 1.0)
-    val headCv = extractObj(headJson, "rep_times").map(parseArrMap)
-      .getOrElse(Map.empty)
-      .collect { case (q, ts) if ts.size >= 2 && ts.sum > 0 =>
-        val m = ts.sum / ts.size
-        val sd = math.sqrt(ts.map(t => (t - m) * (t - m)).sum / (ts.size - 1))
-        q -> sd / m
-      }.values.toSeq.sorted
+    // Standard error of the control geomean from the per-query log-ratio
+    // spread — the measured variance that justifies a band wider than the
+    // tight 3% (never past the 5% ceiling).
+    val logRatios = ratios.map(r => math.log(r._2))
+    val se =
+      if (logRatios.size < 2) Double.NaN
+      else {
+        val m = logRatios.sum / logRatios.size
+        math.sqrt(logRatios.map(x => (x - m) * (x - m)).sum /
+          (logRatios.size - 1)) / math.sqrt(logRatios.size.toDouble)
+      }
+    val bandUsed =
+      if (se.isNaN) ControlDriftTight
+      else math.min(ControlDriftBand, math.max(ControlDriftTight, 3.0 * se))
+    def repCvs(json: String): Map[String, Double] =
+      extractObj(json, "rep_times").map(parseArrMap)
+        .getOrElse(Map.empty)
+        .collect { case (q, ts) if ts.size >= 2 && ts.sum > 0 =>
+          val m = ts.sum / ts.size
+          val sd = math.sqrt(ts.map(t => (t - m) * (t - m)).sum / (ts.size - 1))
+          q -> sd / m
+        }
+    val headCv = repCvs(headJson).values.toSeq.sorted
+    // Per-control rep CV (r14 next #4): worst of the two control legs per
+    // query — the committed record of which control members are noisy and
+    // by how much (r14's q04 nearly spent the whole band alone).
+    val ctl0Cv = repCvs(ctl0Json)
+    val ctlCv = repCvs(ctlJson)
+    val controlCv = common.map(q =>
+      q -> math.max(ctl0Cv.getOrElse(q, 0.0), ctlCv.getOrElse(q, 0.0)))
     def pct(xs: Seq[Double], p: Double): Double =
       if (xs.isEmpty) Double.NaN else Stats.percentile(xs, p)
-    val qualified = ratios.nonEmpty && drift <= ControlDriftBand
+    val qualified = ratios.nonEmpty && drift <= bandUsed
     val ratioJson = ratios.map { case (q, r) => s""""$q":${"%.4f".format(r)}""" }
       .mkString("{", ",", "}")
+    val controlCvJson = controlCv.map { case (q, c) =>
+      s""""$q":${"%.4f".format(c)}"""
+    }.mkString("{", ",", "}")
     val noise =
       s""""noise":{"control_queries":${ControlQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""control_ratio":$ratioJson,"control_geomean":${"%.4f".format(geomean)},""" +
-        s""""control_drift":${"%.4f".format(drift)},"band":$ControlDriftBand,""" +
+        s""""control_reps":$ControlReps,""" +
+        s""""control_ratio":$ratioJson,"control_cv":$controlCvJson,""" +
+        s""""control_geomean":${"%.4f".format(geomean)},""" +
+        s""""control_drift":${"%.4f".format(drift)},""" +
+        s""""control_geomean_se":${"%.4f".format(se)},""" +
+        s""""band_ceiling":$ControlDriftBand,"band_tight":$ControlDriftTight,""" +
+        s""""band_used":${"%.4f".format(bandUsed)},""" +
         s""""head_rep_cv_median":${"%.4f".format(pct(headCv, 0.5))},""" +
         s""""head_rep_cv_p90":${"%.4f".format(pct(headCv, 0.9))},""" +
         s""""self_qualified":$qualified}"""
@@ -182,7 +239,7 @@ object BenchAB {
     // redone instead of quoted.
     if (!qualified) {
       System.err.println(
-        s"[bench_ab] NOT SELF-QUALIFIED: control drift ${"%.4f".format(drift)} > $ControlDriftBand")
+        s"[bench_ab] NOT SELF-QUALIFIED: control drift ${"%.4f".format(drift)} > band ${"%.4f".format(bandUsed)}")
       sys.exit(3)
     }
   }

@@ -40,6 +40,18 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
+  /** True when `dir` names a scale-up corpus the measurement mains may
+    * self-ensure (write). Path-shape-insensitive: `derived/x100`,
+    * `./derived/x100` and `/root/repo/derived/x100` all qualify — the test
+    * is whether the NORMALIZED path has a `derived` directory segment, so
+    * an absolute spelling of the same corpus doesn't silently skip
+    * [[ensure]] and fail later on a missing dir. Testdata paths
+    * (`/root/testdata/...`) have no such segment and are used as-is. */
+  def isDerivedDir(dir: String): Boolean = {
+    val p = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    (0 until p.getNameCount).exists(i => p.getName(i).toString == "derived")
+  }
+
   /** Marker file recording what the derived dir was built from; a content
     * mismatch (different source or factor) forces a rebuild. */
   private def marker(outDir: String) =

@@ -44,9 +44,10 @@ object SkewBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Self-ensure the derived corpus (idempotent via ScaleUp's marker) so
-    // the main is runnable standalone; only dirs under derived/ are ever
-    // written — a testdata path is used as-is.
-    if (dir.startsWith("derived/")) {
+    // the main is runnable standalone; only dirs with a derived/ segment
+    // (relative or absolute spelling) are ever written — a testdata path
+    // is used as-is.
+    if (ScaleUp.isDerivedDir(dir)) {
       val src = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_SRC", "/root/testdata/sf0.1")
       val factor = sys.env.getOrElse("SPARK_GRAFT_SCALEUP_FACTOR", "100").toInt
       ScaleUp.ensure(spark, src, dir, factor)

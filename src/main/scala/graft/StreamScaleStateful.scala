@@ -4,23 +4,58 @@ import org.apache.spark.sql.SparkSession
 
 import graft.streaming.ScaleProbes
 
-/** Stateful-streaming scale evidence (VERDICT r13 next #1): drives the two
-  * expensive stateful shapes — the s05-shaped watermarked windowed
-  * aggregation and the s10-shaped watermark-bounded stream-stream join
-  * ([[ScaleProbes]]) — over a 3×3 grid of rows/batch × key cardinality and
-  * writes `stream_scale_stateful.json`. Each cell reports per-batch trigger
-  * time (median / p99 / max) plus the FLATNESS evidence the 100 TB argument
-  * needs: the second-half-of-stream median over the first-half median
-  * (state bounded by the watermark ⇒ late batches cost what early batches
-  * cost), and the state-row series' last/max values (eviction ⇒ plateau,
-  * not growth). [[graft.streaming.StatefulScaleSpec]] pins the plateau
-  * semantics; this main carries the timings at scale.
+/** Stateful-streaming scale evidence (VERDICT r13 next #1, r14 next #1):
+  * drives the two expensive stateful shapes — the s05-shaped watermarked
+  * windowed aggregation and the s10-shaped watermark-bounded stream-stream
+  * join ([[ScaleProbes]]) — over a 3×3 grid of rows/batch × key cardinality
+  * and writes `stream_scale_stateful.json`. Each cell reports per-batch
+  * trigger time (median / p99 / max) plus the FLATNESS evidence the 100 TB
+  * argument needs: the second-half-of-stream median over the first-half
+  * median (state bounded by the watermark ⇒ late batches cost what early
+  * batches cost), and the state-row series' last/max values (eviction ⇒
+  * plateau, not growth). [[graft.streaming.StatefulScaleSpec]] pins the
+  * plateau semantics; this main carries the timings at scale.
+  *
+  * Round 14's finding was that the heavy JOIN cells are commit-dominated:
+  * the symmetric hash join keeps 4 state stores per side per partition and
+  * the default HDFS-backed provider writes one full delta file per store
+  * per batch. The two levers for that regime are measured here as LEGS —
+  * `pipeline:provider:partitions` triples (SPARK_GRAFT_SS_LEGS), each run
+  * over the full rows×keys grid:
+  *
+  *  - provider `hdfs`     — HDFSBackedStateStoreProvider (Spark default);
+  *  - provider `rocksdb`  — RocksDBStateStoreProvider, full-snapshot
+  *    checkpointing;
+  *  - provider `rocksdbcl`— RocksDB + changelog checkpointing (the
+  *    production configuration: per-batch upload is the changelog, not the
+  *    SST snapshot, so commit cost tracks the batch's delta, not state
+  *    size);
+  *  - partitions — state-store count per operator; sized as
+  *    total-state / comfortable-store-size on a deployment (the heavy-cell
+  *    column of the artifact measures exactly that lever).
+  *
+  * Cell keys carry the leg (`join/provider=rocksdbcl/parts=16/rows=…`), so
+  * one artifact holds the whole provider×partitions comparison and every
+  * cell is attributable to its configuration.
   *
   * Env: SPARK_GRAFT_SS_BATCHES (default 16), SPARK_GRAFT_SS_ROWS (default
   * "1000,10000,100000"), SPARK_GRAFT_SS_KEYS (default "1000,10000,100000"),
+  * SPARK_GRAFT_SS_LEGS (default covers window baseline + join under all
+  * three providers at harness-default and state-sized partition counts),
   * SPARK_GRAFT_SS_OUT (default stream_scale_stateful.json),
   * SPARK_GRAFT_CPUS. */
 object StreamScaleStateful {
+
+  /** providerClass value per leg name; `hdfs` is Spark's default provider
+    * spelled explicitly so legs can alternate within one session. */
+  private val ProviderClass = Map(
+    "hdfs" ->
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "rocksdb" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "rocksdbcl" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val batches = sys.env.getOrElse("SPARK_GRAFT_SS_BATCHES", "16").toInt
@@ -28,20 +63,22 @@ object StreamScaleStateful {
       .split(",").map(_.trim.toInt).toSeq
     val keysAxis = sys.env.getOrElse("SPARK_GRAFT_SS_KEYS", "1000,10000,100000")
       .split(",").map(_.trim.toInt).toSeq
-    // State-store provider knob: "rocksdb" switches the probes (and the
-    // artifact's provider field) to RocksDBStateStoreProvider — the lever
-    // for commit-dominated join cells (HDFS-backed stores pay one delta
-    // file per store per batch; the symmetric hash join keeps 4 stores per
-    // side per partition).
-    val provider = sys.env.getOrElse("SPARK_GRAFT_SS_PROVIDER", "hdfs")
-    val pipeFilter = sys.env.getOrElse("SPARK_GRAFT_SS_PIPELINES", "window,join")
-      .split(",").map(_.trim).toSet
-    // Shuffle/state partition count for the probes (default: the harness's
-    // state-sized 4). On a real deployment this is sized as total state /
-    // comfortable-store-size — the heavy-cell column of the artifact
-    // measures exactly that lever.
-    val partitions = sys.env.getOrElse("SPARK_GRAFT_SS_PARTITIONS",
-      graft.streaming.StreamHarness.StreamShufflePartitions.toString).toInt
+    // Legs: pipeline:provider:partitions. Default = the window baseline at
+    // the harness's 4 partitions plus the join pipeline under all three
+    // providers at both the default and the state-sized partition count
+    // (r14's heavy join cells plateau ~400k dense-side state rows; 16
+    // stores ⇒ ~25k rows per store).
+    val legs = sys.env.getOrElse("SPARK_GRAFT_SS_LEGS",
+      "window:hdfs:4," +
+        "join:hdfs:4,join:rocksdb:4,join:rocksdbcl:4," +
+        "join:hdfs:16,join:rocksdb:16,join:rocksdbcl:16")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { l =>
+        val Array(pipe, prov, parts) = l.split(":")
+        require(Set("window", "join")(pipe), s"unknown pipeline in leg $l")
+        require(ProviderClass.contains(prov), s"unknown provider in leg $l")
+        (pipe, prov, parts.toInt)
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -49,15 +86,12 @@ object StreamScaleStateful {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (provider == "rocksdb")
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
-    val allProbes: Seq[(String, (SparkSession, Int, Int, Int) => Seq[ScaleProbes.BatchPoint])] =
-      Seq(
-        "window" -> ((s, b, r, k) => ScaleProbes.windowProbe(s, b, r, k, partitions)),
-        "join" -> ((s, b, r, k) => ScaleProbes.joinProbe(s, b, r, k, partitions)))
-    val probes = allProbes.filter { case (n, _) => pipeFilter.contains(n) }
+    def probeOf(pipe: String): (SparkSession, Int, Int, Int, Int) => Seq[ScaleProbes.BatchPoint] =
+      pipe match {
+        case "window" => ScaleProbes.windowProbe(_, _, _, _, _)
+        case "join"   => ScaleProbes.joinProbe(_, _, _, _, _)
+      }
 
     def cellJson(pts: Seq[ScaleProbes.BatchPoint]): String = {
       // The FIRST data batch of a fresh query pays state-store/source
@@ -87,23 +121,33 @@ object StreamScaleStateful {
         s""""all_state_rows":${st.mkString("[", ",", "]")}}"""
     }
 
-    val cells = probes.flatMap { case (name, probe) =>
-      // One tiny unmeasured run per pipeline: codegen + file-source setup
-      // happen once at deployment start, so measured cells time steady-state
-      // batches, not Janino (the latencyProbe warmup discipline).
-      probe(spark, 3, 100, 10)
+    val cells = legs.flatMap { case (pipe, prov, parts) =>
+      // Provider is a session conf read at query start, so flipping it
+      // between legs reconfigures every query the leg starts.
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        ProviderClass(prov))
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        (prov == "rocksdbcl").toString)
+      val probe = probeOf(pipe)
+      // One tiny unmeasured run per leg: codegen, file-source setup and the
+      // provider's one-time costs (RocksDB native-lib load) happen once at
+      // deployment start, so measured cells time steady-state batches, not
+      // Janino or JNI bootstrap (the latencyProbe warmup discipline).
+      probe(spark, 3, 100, 10, parts)
       for (r <- rowsAxis; k <- keysAxis) yield {
-        val pts = probe(spark, batches, r, k)
-        require(pts.nonEmpty, s"no measured batches for $name rows=$r keys=$k")
-        val cell = s""""$name/rows=$r/keys=$k":${cellJson(pts)}"""
-        println(s"cell $name rows=$r keys=$k: ${cellJson(pts).take(220)}")
-        cell
+        val pts = probe(spark, batches, r, k, parts)
+        require(pts.nonEmpty, s"no measured batches for $pipe rows=$r keys=$k")
+        val key = s"$pipe/provider=$prov/parts=$parts/rows=$r/keys=$k"
+        println(s"cell $key: ${cellJson(pts).take(220)}")
+        s""""$key":${cellJson(pts)}"""
       }
     }
     val json =
       s"""{"stream_scale_stateful":{"watermark":"2 hours","batch_event_span_min":30,""" +
-        s""""sink":"noop","shuffle_partitions":$partitions,""" +
-        s""""state_store":"$provider",""" +
+        s""""sink":"noop",""" +
+        s""""legs":${legs.map { case (p, pr, pa) => s""""$p:$pr:$pa"""" }
+          .mkString("[", ",", "]")},""" +
         s""""cells":${cells.mkString("{", ",", "}")}}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SS_OUT", "stream_scale_stateful.json")

@@ -303,9 +303,13 @@ object HashExpressions {
       val qnrm = math.sqrt(ss.toDouble)
       def negCos(j: Int): Double = {
         val cv = c8vecs(j)
+        // Bound by both lengths: a row longer than the centroid dimension
+        // silently truncates (the float kernel's cv.length bound), never
+        // throws — same failure mode for malformed rows in both routers.
+        val lim = math.min(dim, cv.length)
         var dot = 0L
         var k = 0
-        while (k < dim) { dot += q(k) * cv(k); k += 1 }
+        while (k < lim) { dot += q(k) * cv(k); k += 1 }
         -(dot.toDouble / (qnrm * c8nrms(j)))
       }
       val negs = new Array[Double](nSuper)

@@ -952,21 +952,32 @@ object RelationalQueries {
     * a non-unique ORDER BY would be engine-nondeterministic). Scale: one
     * shuffle on the partition key; all five ranks share a single window
     * sort. */
+  /** q40's frame with the pipeline cut selectable ("scan" = projected input
+    * only, "window" = ranks without the trailing global re-sort, "full" =
+    * the registered shape) — [[graft.SlopeAttribution]] times the cuts to
+    * attribute the x100 slope between the window sort (whose parallelism
+    * the 5-value partition key caps) and the final orderBy (whose range
+    * partitioner re-samples the windowed child). */
+  private[graft] def q40Frame(s: SparkSession, dir: String,
+      cut: String = "full"): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    if (cut == "scan") return base
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val ranked = base
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("prnk", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("tile4", ntile(4).over(w))
+    if (cut == "window") ranked else ranked.orderBy(col("o_orderkey"))
+  }
+
   val q40RankFamily: GraftQuery = GraftQuery(
     "q40_rank_family",
     "rank/dense_rank/percent_rank/cume_dist/ntile over one shared window sort",
-    (s, dir) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-        .withColumn("rnk", rank().over(w).cast("long"))
-        .withColumn("drnk", dense_rank().over(w).cast("long"))
-        .withColumn("prnk", percent_rank().over(w))
-        .withColumn("cdist", cume_dist().over(w))
-        .withColumn("tile4", ntile(4).over(w))
-        .orderBy(col("o_orderkey"))
-    },
+    (s, dir) => q40Frame(s, dir),
     Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
         RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
         PERCENT_RANK() OVER w AS prnk, CUME_DIST() OVER w AS cdist,

@@ -479,30 +479,38 @@ object SimilarityQueries {
     * hash (shifted to [1, 255] so the fold never sees a negative) because
     * the oracle compare is scalar-columnar; the fold is the same
     * [[PortableHash.foldHash]] contract d11/d13 use. */
+  /** e03's frame, `sorted = false` dropping the trailing global sort —
+    * [[graft.SlopeAttribution]] times both to attribute the x100 slope's
+    * sort share (range partitioning SAMPLES the child, so the orderBy costs
+    * a partial second evaluation of the quantization expressions on top of
+    * the sort itself). The registered query always runs sorted. */
+  private[graft] def e03Frame(s: org.apache.spark.sql.SparkSession, dir: String,
+      sorted: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val ve = transform(col("embedding"), x => x.cast("double"))
+    val amax = array_max(transform(col("ve"), x => abs(x)))
+    val scale = when(amax > 0.0, lit(127.0) / amax).otherwise(lit(0.0))
+    val codes = transform(col("ve"),
+      x => floor(x * col("scale") + lit(0.5)).cast("long"))
+    val dequant = (c: org.apache.spark.sql.Column) =>
+      when(col("scale") > 0.0, c.cast("double") / col("scale"))
+        .otherwise(lit(0.0))
+    val body = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), ve.as("ve"))
+      .withColumn("scale", scale)
+      .withColumn("codes", codes)
+      .select(col("vec_id"), col("scale"),
+        PortableHash.foldHash(transform(col("codes"), c => c + lit(128L)))
+          .as("code_hash"),
+        (aggregate(
+          zip_with(col("ve"), col("codes"), (x, c) => abs(x - dequant(c))),
+          lit(0.0), foldAdd) / size(col("ve"))).as("mae"))
+    if (sorted) body.orderBy(col("vec_id")) else body
+  }
+
   val e03Int8Quantize: GraftQuery = GraftQuery(
     "e03_int8_quantize",
     "symmetric int8 embedding quantization: scale, code hash, reconstruction MAE (map-side)",
-    (s, dir) => {
-      val ve = transform(col("embedding"), x => x.cast("double"))
-      val amax = array_max(transform(col("ve"), x => abs(x)))
-      val scale = when(amax > 0.0, lit(127.0) / amax).otherwise(lit(0.0))
-      val codes = transform(col("ve"),
-        x => floor(x * col("scale") + lit(0.5)).cast("long"))
-      val dequant = (c: org.apache.spark.sql.Column) =>
-        when(col("scale") > 0.0, c.cast("double") / col("scale"))
-          .otherwise(lit(0.0))
-      Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), ve.as("ve"))
-        .withColumn("scale", scale)
-        .withColumn("codes", codes)
-        .select(col("vec_id"), col("scale"),
-          PortableHash.foldHash(transform(col("codes"), c => c + lit(128L)))
-            .as("code_hash"),
-          (aggregate(
-            zip_with(col("ve"), col("codes"), (x, c) => abs(x - dequant(c))),
-            lit(0.0), foldAdd) / size(col("ve"))).as("mae"))
-        .orderBy(col("vec_id"))
-    },
+    (s, dir) => e03Frame(s, dir),
     Some(s"""WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
         FROM embeddings),
@@ -1140,6 +1148,7 @@ object SimilarityQueries {
   private[queries] def listPairs(s: org.apache.spark.sql.SparkSession, dir: String,
                                  trained: Boolean = true,
                                  maxId: Long = Long.MaxValue) = {
+    val tPhase0 = System.nanoTime()
     val prepared = Tables.load(s, dir, "embeddings")
       .filter(col("vec_id") < maxId)
       .select(col("vec_id"),
@@ -1154,6 +1163,8 @@ object SimilarityQueries {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
+    BuildPhases.record("prepare", tPhase0)
+    val tPhase1 = System.nanoTime()
     // Lloyd-train the coarse codebook (VERDICT r9 next #6 — e05's
     // integer-exact discipline): assignments run over the int8 CODES so the
     // per-(list, dim) centroid sums are exact int64 arithmetic —
@@ -1200,6 +1211,7 @@ object SimilarityQueries {
       }
       cb
     }
+    BuildPhases.record("train", tPhase1)
     cbCache.put((dir, trained, maxId), codebook)
     val probing = prepared.withColumn("list",
       explode(slice(cbRank2Q(s, s"e07$tagSfx", codebook, col("ve")),
@@ -1503,6 +1515,7 @@ object SimilarityQueries {
     val base = graphDirs.computeIfAbsent((dir, trained, maxId), { _ =>
       val out = graft.streaming.StreamHarness.tempDir("cgraph")
       val (pairs0, g3, hopsSym, capped, asg) = listPairs(s, dir, trained, maxId)
+      val tPhase2 = System.nanoTime()
       g3.withColumn("part", lit("g3"))
         .union(hopsSym.withColumn("part", lit("hops")))
         .union(pairs0.filter(col("cosine") >= SemTau).withColumn("part", lit("ptau")))
@@ -1516,6 +1529,7 @@ object SimilarityQueries {
         .union(asg.select(col("vec_id"), col("list").as("nid"),
           col("ccos").as("cosine")).withColumn("part", lit("asg")))
         .write.mode("overwrite").partitionBy("part").parquet(out)
+      BuildPhases.record("assign_write", tPhase2)
       out
     })
     val t = s.read.parquet(base)
@@ -1571,6 +1585,63 @@ object SimilarityQueries {
     graphDirs.remove((dir, true, Long.MaxValue))
     val t0 = System.nanoTime()
     graphTables(s, dir, trained = true)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Per-phase wall times of the MOST RECENT [[listPairs]]/[[graphTables]]
+    * build in this JVM (VERDICT r14 next #3 — `index_build_x100.json` timed
+    * the whole build, diluting the int8-router gain with Lloyd training and
+    * parquet writes). Three phases cover the build exactly:
+    * `prepare` (embedding scan + norm + persist + seed collect), `train`
+    * (the integer-exact Lloyd loop, [[NIter]] assignment rounds), and
+    * `assign_write` (the one fused job: corpus routing, capped probe join,
+    * NN-descent hop scoring, partitioned parquet write — Spark fuses these
+    * lazily, so they are ONE action; [[timeAssignLeg]] isolates the routing
+    * stage out of it). Read by [[graft.IndexBuildTime]] right after its own
+    * build — last build wins, which is that main's own. */
+  private[graft] object BuildPhases {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    private[queries] def record(phase: String, t0Nanos: Long): Unit =
+      m.put(phase, (System.nanoTime() - t0Nanos) / 1e9)
+    def snapshot: Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      m.asScala.toMap
+    }
+  }
+
+  /** Isolated corpus-assignment timing (VERDICT r14 next #3): forces JUST
+    * the two-level router over every corpus vector — scan → cast → route →
+    * noop sink, one map-side stage, no shuffle, no parquet write — so the
+    * artifact can state what the routed assignment itself costs.
+    * `leg` selects the stage under test against the SAME trained codebook
+    * (from [[cbCache]], so [[graphTables]] must have built first):
+    *  - "scan"  — scan + cast + norm only (the shared input cost floor);
+    *  - "float" — [[cbRank2]], double arithmetic over the float codebook;
+    *  - "int8"  — [[cbRank2Q]], the shipped code-space router.
+    * float−scan vs int8−scan is the router kernels' isolated A/B. */
+  private[graft] def timeAssignLeg(s: org.apache.spark.sql.SparkSession,
+      dir: String, leg: String): Double = {
+    val cb = cbCache.get((dir, true, Long.MaxValue))
+    require(cb != null, s"graph index for $dir not built yet")
+    val prepared = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ve"))
+      .withColumn("nrm", sqrt(call_function("graft_dot", col("ve"), col("ve"))))
+    val probed = leg match {
+      // The scan leg keeps nrm alive through a filter so the float leg's
+      // input cost (scan + cast + norm) is what it measures — selecting
+      // ve alone would let Catalyst prune the norm away.
+      case "scan" => prepared.filter(col("nrm") >= 0.0).select(col("vec_id"))
+      case "float" => prepared.withColumn("list",
+          element_at(cbRank2(s, "tmassignf", cb, col("ve"), col("nrm")), 1))
+        .select(col("list"))
+      case "int8" => prepared.withColumn("list",
+          element_at(cbRank2Q(s, "tmassignq", cb, col("ve")), 1))
+        .select(col("list"))
+      case other => sys.error(s"unknown assignment leg $other")
+    }
+    val t0 = System.nanoTime()
+    probed.write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
 

@@ -1762,12 +1762,21 @@ object StreamingQueries {
     * exact top-[[SimilarityQueries.KnnK]] vs the current merged graph, mean
     * recall and the `alert` boolean — writes it to the alert log's `b<id>`
     * part and posts it on [[graft.streaming.RecallAlertBus]] (the s30
-    * surface; VERDICT r13 next #3). */
+    * surface; VERDICT r13 next #3).
+    *
+    * `chunksN` controls the increment's micro-batch split (rows/batch =
+    * increment ÷ chunksN) and `phaseSink`, when set, receives
+    * (batchId, phase, seconds) for each batch's route_admit / edges /
+    * post_probe / monitor / total sections — both exist for
+    * [[graft.StreamMaintainScale]]'s drain-cost measurement (VERDICT r14
+    * next #2) and are no-ops for every registered query. */
   def s28Maintain(s: SparkSession, dir: String,
       permute: Seq[DataFrame] => Seq[DataFrame] = identity,
       candCap: Int = SimilarityQueries.CandCap,
       monitor: Boolean = false,
-      drive: Option[S28Drive] = None)
+      drive: Option[S28Drive] = None,
+      chunksN: Int = Chunks,
+      phaseSink: Option[(Long, String, Double) => Unit] = None)
     : S28Tables = {
       import SimilarityQueries.{GraphNProbe, e13BatchSize}
       import org.apache.spark.sql.expressions.Window
@@ -1818,7 +1827,7 @@ object StreamingQueries {
           .filter(col("rnk") <= SimilarityQueries.KnnK)
           .select(col("vec_id"), col("nid"), col("cosine"))
         val chunks = permute(StreamHarness.rangeChunks(
-          allV.filter(col("vec_id") >= nBase), "vec_id", Chunks))
+          allV.filter(col("vec_id") >= nBase), "vec_id", chunksN))
           .map(_.select(concat(col("vec_id"), lit("|"), concat_ws(",",
             transform(col("ve"), x => x.cast("string")))).as("value")))
         val cosine = call_function("graft_dot", col("ve"), col("nve")) /
@@ -1837,6 +1846,18 @@ object StreamingQueries {
               // outer session.
               val bs = batch.sparkSession
               if (!batch.isEmpty) {
+              // Optional per-phase wall clock (SPARK_GRAFT maintenance
+              // scale probe — VERDICT r14 next #2): a no-op None in every
+              // registered query; [[graft.StreamMaintainScale]] passes a
+              // collector. Phases cut at the body's natural action
+              // boundaries, so each is attributable to one job group.
+              val tb0 = System.nanoTime()
+              var tMark = tb0
+              def mark(phase: String): Unit = {
+                val t1 = System.nanoTime()
+                phaseSink.foreach(f => f(id, phase, (t1 - tMark) / 1e9))
+                tMark = t1
+              }
               val parts = split(col("value"), "\\|", 2)
               val arr = batch.select(
                 parts.getItem(0).cast("long").as("vec_id"),
@@ -1872,6 +1893,7 @@ object StreamingQueries {
                 .select(col("list"), col("vec_id").as("nid"),
                   col("ve").as("nve"), col("nrm").as("nnrm"))
                 .localCheckpoint(true)
+              mark("route_admit")
               val probes = arr.select(col("vec_id"), col("ve"), col("nrm"),
                 explode(slice(col("rl"), 1, GraphNProbe)).as("list"))
               // e1: this batch's probers vs base ∪ admitted-so-far targets.
@@ -1889,8 +1911,10 @@ object StreamingQueries {
                 .withColumn("cosine", cosine)
                 .select(col("vec_id"), col("nid"), col("cosine"))
               e1.union(e2).write.mode("overwrite").parquet(s"$edgeDir/b$id")
+              mark("edges")
               newAdmits.write.mode("overwrite").parquet(s"$postDir/b$id")
               probes.write.mode("overwrite").parquet(s"$probeDir/b$id")
+              mark("post_probe")
               if (monitor) {
                 // e20's alert surface over the index AS IT STANDS after this
                 // batch (VERDICT r13 next #3): sample ∪-to-date corpus,
@@ -1965,8 +1989,11 @@ object StreamingQueries {
                 RecallAlertBus.post(RecallAlertBus.Alert(r.getLong(0),
                   r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
                   r.getBoolean(5)))
+                mark("monitor")
               }
               arr.unpersist()
+              phaseSink.foreach(f =>
+                f(id, "total", (System.nanoTime() - tb0) / 1e9))
               }
               ()
             }
