@@ -196,9 +196,16 @@ object BenchAB {
     def repCvs(json: String): Map[String, Double] =
       extractObj(json, "rep_times").map(parseArrMap)
         .getOrElse(Map.empty)
-        .collect { case (q, ts) if ts.size >= 2 && ts.sum > 0 =>
+        .collect { case (q, ts0) if ts0.size >= 3 && ts0.sum > 0 =>
+          // Drop each query's first-in-JVM rep: it is dominated by cold
+          // codegen (r15 artifact: e01 rep 1 = 3.8 s vs 0.6 s steady), so
+          // including it turns the CV into a codegen measurement. The
+          // medians the drift uses absorb it either way; the CV should
+          // report steady-state noise.
+          val ts = ts0.drop(1)
           val m = ts.sum / ts.size
-          val sd = math.sqrt(ts.map(t => (t - m) * (t - m)).sum / (ts.size - 1))
+          val sd = math.sqrt(ts.map(t => (t - m) * (t - m)).sum /
+            math.max(ts.size - 1, 1))
           q -> sd / m
         }
     val headCv = repCvs(headJson).values.toSeq.sorted
