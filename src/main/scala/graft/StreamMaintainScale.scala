@@ -12,6 +12,12 @@ import graft.sources.Tables
   * over cells of (corpus, chunk count) and collects each micro-batch's
   * per-phase wall time through the phase sink the drain exposes:
   *
+  *  - `compact`     — the standing tables' periodic part compaction
+  *    (VERDICT r15 next #1): every [[StreamingQueries.CompactEvery]]
+  *    committed increments fold into one snapshot generation, so the read
+  *    phases below are bounded at one snapshot + a handful of parts instead
+  *    of re-reading the whole drain history each batch. Near-zero most
+  *    batches, a periodic amortized spike on compacting ones;
   *  - `route_admit` — wire parse, int8 two-level routing, first-seen-wins
   *    admission (localCheckpoint action); expected O(rows/batch · n^¼);
   *  - `edges`       — the append-merge candidate join: this batch's probes
@@ -59,7 +65,8 @@ object StreamMaintainScale {
       case other => other // explicit path; self-ensure only for derived dirs
     }
 
-    val phaseNames = Seq("route_admit", "edges", "post_probe", "monitor", "total")
+    val phaseNames =
+      Seq("compact", "route_admit", "edges", "post_probe", "monitor", "total")
     val cellJsons = cells.map { case (tag, chunks) =>
       val dir = resolve(tag)
       val n = Tables.load(spark, dir, "embeddings").count()

@@ -1701,19 +1701,93 @@ object StreamingQueries {
     * replay; root-level parquet APPENDS would instead double-admit on
     * replay. `StreamAnnMaintainSpec` pins it with a mid-feed kill +
     * lost-commit restart. */
+  private def partNum(name: String, pre: String): Option[Long] =
+    if (name.startsWith(pre) && name.length > pre.length &&
+      name.drop(pre.length).forall(_.isDigit)) Some(name.drop(pre.length).toLong)
+    else None
+
   private[queries] def partPaths(s: SparkSession, dir: String,
       before: Option[Long] = None): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter { q =>
-        q.getName == "seed" ||
-          (q.getName.startsWith("b") &&
-            before.forall(b => q.getName.drop(1).toLong < b))
+    else {
+      val all = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      // Snapshot generation g<j> = the compacted union of seed + every part
+      // of batches < j (see [[maybeCompactParts]]). Reads select the LATEST
+      // eligible generation and only the b-parts at or after it — b-parts
+      // below the generation are subsumed (and may be mid-deletion after a
+      // crash, so they must be ignored, not merely expected absent).
+      val gens = all.flatMap(q => partNum(q.getName, "g").map(_ -> q))
+        .filter { case (j, _) => before.forall(j <= _) }
+      val gen = gens.sortBy(_._1).lastOption
+      val floor = gen.map(_._1).getOrElse(-1L)
+      val incs = all.flatMap(q => partNum(q.getName, "b").map(_ -> q))
+        .filter { case (k, _) => k >= floor && before.forall(k < _) }
+        .sortBy(_._1).map(_._2)
+      val seed = if (gen.isEmpty) all.filter(_.getName == "seed") else Seq.empty
+      (seed ++ gen.map(_._2).toSeq ++ incs).map(_.toString)
+    }
+  }
+
+  /** How many committed increment parts a standing table accumulates before
+    * [[maybeCompactParts]] folds them into a snapshot generation: bounds
+    * every per-batch re-read of the table at one snapshot + < CompactEvery
+    * increments, so drain cost is flat in batch index instead of growing
+    * with committed part count (VERDICT r15 next #1 — the measured
+    * O(batches²) mode: edges 1.5→5 s, monitor 4.4→12.9 s over 8 batches at
+    * the 200k corpus came from re-reading every prior `b<id>` part). */
+  private[queries] val CompactEvery: Int = 4
+
+  /** Fold a standing table's committed increments into a snapshot
+    * generation `g<id>` = union(seed ∪ gens ∪ b-parts < id), then delete the
+    * subsumed parts. Runs at the START of batch `id`, so it only touches
+    * parts strictly before the batch — the replay-idempotence contract
+    * ([[partPaths]]) is preserved across every crash point:
+    *
+    *  - crash before the tmp→final rename: the tmp dir is invisible to
+    *    [[partPaths]] (dot-prefixed) and the old parts are still live —
+    *    replay recompacts from them;
+    *  - crash after the rename, mid-deletion: reads already resolve through
+    *    `g<id>` (subsumed b-parts are ignored by the floor filter), and the
+    *    replay finishes the deletion;
+    *  - replay of a fully compacted batch: `g<id>` exists → skip straight
+    *    to the (empty) deletion.
+    *
+    * Snapshot file count targets ~128 MiB per file from the measured input
+    * bytes, capped at the session parallelism — compaction exists to cut
+    * part/file counts, so it must not mirror 32 shuffle files per input
+    * part into the snapshot. */
+  private[queries] def maybeCompactParts(s: SparkSession, dir: String,
+      id: Long, every: Int = CompactEvery): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val all = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+    val gens = all.flatMap(q => partNum(q.getName, "g").map(_ -> q))
+    val floor = gens.map(_._1).maxOption.getOrElse(-1L)
+    val pending = all.flatMap(q => partNum(q.getName, "b").map(_ -> q))
+      .count { case (k, _) => k >= floor && k < id }
+    if (gens.exists(_._1 == id) || pending >= every) {
+      val gp = new org.apache.hadoop.fs.Path(p, s"g$id")
+      if (!fs.exists(gp)) {
+        val inputs = partPaths(s, dir, Some(id))
+        val bytes = inputs.map(pt => fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(pt)).getLength).sum
+        val nFiles = math.max(1L, math.min(
+          s.sparkContext.defaultParallelism.toLong, bytes / (128L << 20) + 1)).toInt
+        val tmp = new org.apache.hadoop.fs.Path(p, s".g$id.tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        s.read.parquet(inputs: _*).coalesce(nFiles)
+          .write.mode("overwrite").parquet(tmp.toString)
+        require(fs.rename(tmp, gp), s"compaction rename failed: $tmp -> $gp")
       }
-      .sortBy(_.getName)
-      .map(_.toString)
+      (all.filter(_.getName == "seed") ++
+        gens.collect { case (j, q) if j < id => q } ++
+        all.flatMap(q => partNum(q.getName, "b").map(_ -> q))
+          .collect { case (k, q) if k < id => q })
+        .foreach(q => fs.delete(q, true))
+    }
   }
 
   /** Read the union of a standing table's committed parts (see
@@ -1766,17 +1840,21 @@ object StreamingQueries {
     *
     * `chunksN` controls the increment's micro-batch split (rows/batch =
     * increment ÷ chunksN) and `phaseSink`, when set, receives
-    * (batchId, phase, seconds) for each batch's route_admit / edges /
-    * post_probe / monitor / total sections — both exist for
+    * (batchId, phase, seconds) for each batch's compact / route_admit /
+    * edges / post_probe / monitor / total sections — both exist for
     * [[graft.StreamMaintainScale]]'s drain-cost measurement (VERDICT r14
-    * next #2) and are no-ops for every registered query. */
+    * next #2) and are no-ops for every registered query. `compactEvery`
+    * bounds how many committed increment parts accumulate before the
+    * standing tables fold into a snapshot generation
+    * ([[maybeCompactParts]], VERDICT r15 next #1). */
   def s28Maintain(s: SparkSession, dir: String,
       permute: Seq[DataFrame] => Seq[DataFrame] = identity,
       candCap: Int = SimilarityQueries.CandCap,
       monitor: Boolean = false,
       drive: Option[S28Drive] = None,
       chunksN: Int = Chunks,
-      phaseSink: Option[(Long, String, Double) => Unit] = None)
+      phaseSink: Option[(Long, String, Double) => Unit] = None,
+      compactEvery: Int = CompactEvery)
     : S28Tables = {
       import SimilarityQueries.{GraphNProbe, e13BatchSize}
       import org.apache.spark.sql.expressions.Window
@@ -1858,6 +1936,17 @@ object StreamingQueries {
                 phaseSink.foreach(f => f(id, phase, (t1 - tMark) / 1e9))
                 tMark = t1
               }
+              // Standing-table compaction (VERDICT r15 next #1): before any
+              // read, fold accumulated increments into a snapshot generation
+              // so this batch — and every later one — reads one snapshot
+              // plus < CompactEvery parts instead of the whole drain
+              // history. Runs strictly over parts < id, so the replay
+              // contract below is untouched; crash-safety per
+              // [[maybeCompactParts]], pinned by StreamReplaySpec's
+              // compaction-boundary kill.
+              Seq(postDir, probeDir, edgeDir).foreach(d =>
+                maybeCompactParts(bs, d, id, compactEvery))
+              mark("compact")
               val parts = split(col("value"), "\\|", 2)
               val arr = batch.select(
                 parts.getItem(0).cast("long").as("vec_id"),

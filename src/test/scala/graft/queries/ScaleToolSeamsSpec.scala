@@ -46,7 +46,8 @@ class ScaleToolSeamsSpec extends SparkSpec {
     // 4 chunks can drain over >= 4 non-empty triggers (an appended chunk
     // may split); every reported batch must carry the full phase set.
     assert(byBatch.size >= 4, s"expected >=4 batches, got ${byBatch.size}")
-    val want = Set("route_admit", "edges", "post_probe", "monitor", "total")
+    val want =
+      Set("compact", "route_admit", "edges", "post_probe", "monitor", "total")
     byBatch.foreach { case (id, rows) =>
       assert(rows.map(_._2).toSet == want, s"batch $id phases ${rows.map(_._2)}")
       val ph = rows.map(r => r._2 -> r._3).toMap

@@ -88,6 +88,63 @@ class StreamReplaySpec extends SparkSpec {
     assert(cleanPosts.nonEmpty, "vacuous: no admissions in the clean run")
   }
 
+  test("s28 compaction batch is replay-idempotent and actually compacts (kill at the boundary)") {
+    // 5 chunks at CompactEvery = 4: batch 4 starts by folding b0–b3 (+seed)
+    // into snapshot g4, then writes its own b4 — the round's new crash
+    // window (VERDICT r15 next #1). The kill loses batch 4's commit AFTER
+    // the drain finished, so the restart REPLAYS the compaction batch:
+    // maybeCompactParts must no-op against the existing g4 and the
+    // recomputed b4 must come out bit-equal.
+    val chunksN = 5
+    def tableRows(d: String): Seq[Seq[Any]] =
+      StreamingQueries.readParts(spark, d).collect()
+        .map(_.toSeq.toSeq).toSeq.sortBy(_.mkString("|"))
+    def partNames(d: String): Seq[String] = {
+      val p = java.nio.file.Paths.get(d)
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => !n.startsWith(".") && !n.startsWith("_")).toSeq.sorted
+      finally s.close()
+    }
+
+    RecallAlertBus.drain()
+    val clean = StreamingQueries.s28Maintain(spark, dir, monitor = true,
+      chunksN = chunksN)
+    assert(RecallAlertBus.drain().size == chunksN)
+    // Discrimination: the drain really compacted — each standing table is
+    // one g4 snapshot + the last batch's own part, with the subsumed
+    // increments and the seed gone.
+    for (d <- Seq(clean.postDir, clean.probeDir, clean.edgeDir))
+      assert(partNames(d) == Seq("b4", "g4"),
+        s"expected compacted layout [b4, g4] under $d, got ${partNames(d)}")
+    val cleanRows = Seq(clean.postDir, clean.probeDir, clean.edgeDir,
+      clean.alertDir).map(tableRows)
+
+    val crashDrive: StreamingQueries.S28Drive = (src, chunks, ckpt, start) => {
+      val q1 = start(src.open(spark))
+      try chunks.foreach { c => src.append(c); q1.processAllAvailable() }
+      finally q1.stop()
+      loseNewestCommit(ckpt) // batch 4 — the compaction batch — replays
+      val q2 = start(src.open(spark))
+      try q2.processAllAvailable()
+      finally q2.stop()
+    }
+    val crashed = StreamingQueries.s28Maintain(spark, dir, monitor = true,
+      chunksN = chunksN, drive = Some(crashDrive))
+    assert(RecallAlertBus.drain().size == chunksN + 1,
+      "lost-commit restart did not replay the compaction batch")
+    for (d <- Seq(crashed.postDir, crashed.probeDir, crashed.edgeDir))
+      assert(partNames(d) == Seq("b4", "g4"),
+        s"replayed drain layout diverged under $d: ${partNames(d)}")
+    val crashedRows = Seq(crashed.postDir, crashed.probeDir, crashed.edgeDir,
+      crashed.alertDir).map(tableRows)
+    for (((c, r), what) <- cleanRows.zip(crashedRows)
+        .zip(Seq("postings", "probe lists", "edges", "alerts")))
+      assert(c == r, s"$what diverged under compaction-boundary replay")
+    assert(cleanRows.head.nonEmpty, "vacuous: no admissions in the clean run")
+  }
+
   test("s29 admission register survives lost-commit replay + restart with identical emissions") {
     implicit val ctx: org.apache.spark.sql.classic.SQLContext =
       spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
