@@ -6,9 +6,13 @@ import scala.sys.process._
   * re-litigated whether streaming-median movement between rounds was a code
   * regression or box noise, because the two rounds' numbers came from
   * different sessions on a shared machine. This main makes the comparison a
-  * COMMITTED ARTIFACT: it checks out two commits into scratch worktrees,
-  * runs each one's own `graft.Bench` back-to-back on the same box, and
-  * writes both series (verbatim child JSON) to `bench_ab.json`.
+  * COMMITTED ARTIFACT: it checks out two commits into scratch worktrees
+  * and runs each one's own `graft.Bench` on the same box in an A/B/B/A
+  * palindrome (base, head, head, base — VERDICT r15 next #5: sequential
+  * whole legs left a variance mode where one slow box window biased a
+  * whole side; the palindrome cancels linear drift to first order and the
+  * two orderings' ratio agreement is committed as `order_spread`), writing
+  * all four series plus a pooled `paired` summary to `bench_ab.json`.
   *
   * Both sides run as identical cold sbt-launched JVMs — the same warmup
   * query, the same reps/medians — so JVM-warmup asymmetry does not favor
@@ -143,9 +147,17 @@ object BenchAB {
       json
     }
 
-    // Base first, head second, back-to-back on the same box — the ordering
-    // is fixed so artifacts are comparable across rounds. The control is
-    // TWO IDENTICALLY-SHAPED short legs (base commit, ONLY the control set)
+    // A/B/B/A palindrome legs (VERDICT r15 next #5): the old base-then-head
+    // whole-leg design had a variance mode the cross-round anchor could
+    // only DETECT — a slow box window covering one whole leg biased that
+    // side wholesale (r15: the base leg read 193.6 s for a commit the
+    // previous round measured at 162.0 s). Running base/head/head/base
+    // cancels linear drift to first order — any window slow enough to bias
+    // pair 1 (base1 vs head1) hits pair 2 (head2 vs base2) with the
+    // opposite sign — and the two pairs' ratio agreement is a committed
+    // internal-consistency check (`order_spread` below), qualified against
+    // the same band as the control drift. The control is TWO
+    // IDENTICALLY-SHAPED short legs (base commit, ONLY the control set)
     // BRACKETING the A/B window: the first A/B attempt compared an
     // ONLY-8-query control leg against the same queries measured inside
     // the full 159-query base leg, and read a systematic 1.44-2.35x
@@ -158,6 +170,7 @@ object BenchAB {
       "SPARK_GRAFT_ONLY" -> ControlQueries.mkString(","),
       "SPARK_GRAFT_REPS" -> ControlReps.toString,
       "SPARK_GRAFT_BENCH_ALLREPS" -> "1")
+    val allReps = Seq("SPARK_GRAFT_BENCH_ALLREPS" -> "1")
     // Discarded warmup leg (ADVICE r14): the first process of the run alone
     // pays whole-run cold-start — OS page cache on the parquet, the first
     // worktree sbt build — which the LATE control leg never pays, a
@@ -166,9 +179,10 @@ object BenchAB {
     // as warm as ctl does.
     run(base, "warm", ctlEnv)
     val ctl0Json = run(base, "ctl0", ctlEnv)
-    val baseJson = run(base, "base")
-    val headJson = run(head, "head",
-      Seq("SPARK_GRAFT_BENCH_ALLREPS" -> "1"))
+    val baseJson = run(base, "base", allReps)
+    val headJson = run(head, "head", allReps)
+    val headJson2 = run(head, "head2", allReps)
+    val baseJson2 = run(base, "base2", allReps)
     val ctlJson = run(base, "ctl", ctlEnv)
 
     val ctl0Q = extractObj(ctl0Json, "queries").map(parseNumMap).getOrElse(Map.empty)
@@ -209,6 +223,41 @@ object BenchAB {
           q -> sd / m
         }
     val headCv = repCvs(headJson).values.toSeq.sorted
+    // Pooled per-query medians across a side's two legs, first-in-JVM rep
+    // of each leg dropped (cold codegen — same rationale as the CV): the
+    // palindrome's point estimate, immune to any single leg's window.
+    def pooledMedians(j1: String, j2: String): Map[String, Double] = {
+      val rs = Seq(j1, j2).map(j =>
+        extractObj(j, "rep_times").map(parseArrMap).getOrElse(Map.empty))
+      (rs(0).keySet ++ rs(1).keySet).iterator.map { q =>
+        val steady = rs.flatMap(_.getOrElse(q, Seq.empty).drop(1))
+        val xs = if (steady.nonEmpty) steady
+                 else rs.flatMap(_.getOrElse(q, Seq.empty))
+        q -> (if (xs.isEmpty) Double.NaN else Stats.median(xs))
+      }.filter(!_._2.isNaN).toMap
+    }
+    def legSum(json: String): Double =
+      extractObj(json, "queries").map(parseNumMap).getOrElse(Map.empty)
+        .values.sum
+    val baseMed = pooledMedians(baseJson, baseJson2)
+    val headMed = pooledMedians(headJson, headJson2)
+    val pairedQ = (baseMed.keySet intersect headMed.keySet).toSeq.sorted
+    val sumRatio =
+      if (pairedQ.isEmpty) Double.NaN
+      else pairedQ.map(headMed).sum / pairedQ.map(baseMed).sum
+    val geoRatio =
+      if (pairedQ.isEmpty) Double.NaN
+      else math.exp(pairedQ.map(q => math.log(headMed(q) / baseMed(q))).sum /
+        pairedQ.size)
+    // Internal consistency: the two orderings' whole-leg sum ratios. A real
+    // code delta shows up in both with the same sign; a box window shows up
+    // with opposite signs — their spread is the residual whole-leg noise
+    // after the palindrome cancellation, and it must sit inside the same
+    // band the control drift is held to.
+    val pair1 = legSum(headJson) / legSum(baseJson)
+    val pair2 = legSum(headJson2) / legSum(baseJson2)
+    val orderSpread =
+      if (pair1 > 0 && pair2 > 0) math.abs(math.log(pair1 / pair2)) else Double.NaN
     // Per-control rep CV (r14 next #4): worst of the two control legs per
     // query — the committed record of which control members are noisy and
     // by how much (r14's q04 nearly spent the whole band alone).
@@ -218,7 +267,8 @@ object BenchAB {
       q -> math.max(ctl0Cv.getOrElse(q, 0.0), ctlCv.getOrElse(q, 0.0)))
     def pct(xs: Seq[Double], p: Double): Double =
       if (xs.isEmpty) Double.NaN else Stats.percentile(xs, p)
-    val qualified = ratios.nonEmpty && drift <= bandUsed
+    val qualified = ratios.nonEmpty && drift <= bandUsed &&
+      !orderSpread.isNaN && orderSpread <= bandUsed
     val ratioJson = ratios.map { case (q, r) => s""""$q":${"%.4f".format(r)}""" }
       .mkString("{", ",", "}")
     val controlCvJson = controlCv.map { case (q, c) =>
@@ -236,10 +286,23 @@ object BenchAB {
         s""""head_rep_cv_median":${"%.4f".format(pct(headCv, 0.5))},""" +
         s""""head_rep_cv_p90":${"%.4f".format(pct(headCv, 0.9))},""" +
         s""""self_qualified":$qualified}"""
+    val pairedRatioJson = pairedQ.map(q =>
+      s""""$q":${"%.4f".format(headMed(q) / baseMed(q))}""")
+      .mkString("{", ",", "}")
+    val paired =
+      s""""paired":{"design":"ABBA","n_queries":${pairedQ.size},""" +
+        s""""sum_ratio":${"%.4f".format(sumRatio)},""" +
+        s""""geomean_ratio":${"%.4f".format(geoRatio)},""" +
+        s""""pair1_sum_ratio":${"%.4f".format(pair1)},""" +
+        s""""pair2_sum_ratio":${"%.4f".format(pair2)},""" +
+        s""""order_spread":${"%.4f".format(orderSpread)},""" +
+        s""""per_query_ratio":$pairedRatioJson}"""
     val out =
-      s"""{"sf":"$sfDir","reps":$reps,$noise,"base":{"commit":"$base","bench":$baseJson},"head":{"commit":"$head","bench":$headJson},"control_early":{"commit":"$base","bench":$ctl0Json},"control":{"commit":"$base","bench":$ctlJson}}"""
+      s"""{"sf":"$sfDir","reps":$reps,$noise,$paired,"base":{"commit":"$base","bench":$baseJson},"head":{"commit":"$head","bench":$headJson},"head2":{"commit":"$head","bench":$headJson2},"base2":{"commit":"$base","bench":$baseJson2},"control_early":{"commit":"$base","bench":$ctl0Json},"control":{"commit":"$base","bench":$ctlJson}}"""
     val wrote = ArtifactOut.write(outFile, out)
-    println(s"wrote $outFile (base=$base head=$head control_drift=${"%.4f".format(drift)} self_qualified=$qualified)")
+    println(s"wrote $outFile (base=$base head=$head sum_ratio=${"%.4f".format(sumRatio)} " +
+      s"pair1=${"%.4f".format(pair1)} pair2=${"%.4f".format(pair2)} " +
+      s"control_drift=${"%.4f".format(drift)} self_qualified=$qualified)")
     if (!wrote) sys.exit(2)
     // A drift beyond the band means the base and head legs are not
     // comparable at the claimed precision — flag loudly so the run is

@@ -45,11 +45,22 @@ object Latency {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def legStats(ms: Seq[Long]): String =
+    // Steady-state companion stats exclude the leg's first measured batch
+    // (VERDICT r15 next #6): despite the probe's codegen warmup drain, the
+    // measured query's batch 0 still pays per-query setup (checkpoint + file
+    // source init + sink table creation) a long-running deployment pays
+    // once — r15's hdfs p99 744 ms was batch 0 vs ~438 ms next-highest.
+    // Both views are reported; neither replaces the other.
+    def legStats(ms: Seq[Long]): String = {
+      val steady = if (ms.size > 1) ms.drop(1) else ms
       s"""{"batches":${ms.size},"max_batch_ms":${ms.max},""" +
         s""""p99_batch_ms":${Stats.percentileMs(ms, 0.99)},""" +
         s""""median_batch_ms":${Stats.medianMs(ms)},""" +
+        s""""first_batch_ms":${ms.head},""" +
+        s""""p99_steady_batch_ms":${Stats.percentileMs(steady, 0.99)},""" +
+        s""""median_steady_batch_ms":${Stats.medianMs(steady)},""" +
         s""""all_ms":${ms.mkString("[", ",", "]")}}"""
+    }
     val legs = provs.map { p =>
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         ProviderClass(p))
@@ -67,7 +78,9 @@ object Latency {
       println(s"""{"latency":{"pipeline":"s01-shaped","stateful":false,""" +
         s""""batches":${lead.size},"rows_per_batch":$rows,""" +
         s""""max_batch_ms":${lead.max},"p99_batch_ms":${Stats.percentileMs(lead, 0.99)},""" +
-        s""""median_batch_ms":${Stats.medianMs(lead)},"bound_ms":1000,""" +
+        s""""median_batch_ms":${Stats.medianMs(lead)},""" +
+        s""""p99_steady_batch_ms":${Stats.percentileMs(
+          if (lead.size > 1) lead.drop(1) else lead, 0.99)},"bound_ms":1000,""" +
         s""""legs":${legs.map { case (p, ms) => s""""$p":${legStats(ms)}""" }
           .mkString("{", ",", "}")}}}""")
     }

@@ -13,10 +13,36 @@ class StatefulScaleSpec extends SparkSpec {
   private val Batches = 16
   private val Keys = 50
 
+  /** Per-batch envelope bands (VERDICT r15 next #4): the measured hdfs/4
+    * single-box ceiling (`stream_scale_stateful.json` r15: window medians
+    * 353–554 ms, join medians 696–1183 ms across the 9 rows×keys cells)
+    * pinned as a FLOOR statistic — the minimum steady-state batch time.
+    * Suite-run contention spikes individual batches (observed medians
+    * swinging 1004→2563 ms across back-to-back runs), but noise only ADDS
+    * time: over 14 steady batches the minimum is stable, while a real
+    * state-commit-cost regression lifts every batch including it. Bands sit
+    * ~2.5× over the quiet floor, so a doubled-plus commit cost fails here
+    * instead of hiding until the next 63-cell artifact. The first two
+    * batches are excluded (query start-up: source init + state-store open,
+    * paid once per deployment). */
+  private val WindowMinBandMs = 900L
+  private val JoinMinBandMs = 1800L
+  private def steadyMinMs(pts: Seq[ScaleProbes.BatchPoint]): Long =
+    pts.drop(2).map(_.ms).min
+
   test("s05-shaped windowed agg: state plateaus at open-windows x keys, not history") {
+    // Untimed warmup drain: this is the suite's first streaming query in a
+    // fresh forked JVM, so without it the whole measured drain runs while
+    // Spark itself is still JITing (observed floor 1284 ms cold vs 446 ms
+    // warm) — a deployment's steady state is the warm number.
+    ScaleProbes.windowProbe(spark, batches = 4, rows = 100, keys = 10)
     val pts = ScaleProbes.windowProbe(spark, Batches, rows = 1000, keys = Keys)
     assert(pts.size >= Batches,
       s"expected >= $Batches data batches, got ${pts.size}")
+    info(s"window steady min: ${steadyMinMs(pts)} ms (band $WindowMinBandMs)")
+    assert(steadyMinMs(pts) <= WindowMinBandMs,
+      s"windowed-agg per-batch floor ${steadyMinMs(pts)} ms breached the " +
+        s"$WindowMinBandMs ms single-box envelope (r15 measured medians 353-554 ms)")
     val st = pts.map(_.stateRows)
     // 16 batches x 30 min = 8 h of event time = 8 hourly windows ever; with
     // no eviction state would reach 8 x keys = 400 rows. The watermark keeps
@@ -44,6 +70,10 @@ class StatefulScaleSpec extends SparkSpec {
     val pts = ScaleProbes.joinProbe(spark, Batches, rows, keys = Keys)
     assert(pts.size >= Batches,
       s"expected >= $Batches data batches, got ${pts.size}")
+    info(s"join steady min: ${steadyMinMs(pts)} ms (band $JoinMinBandMs)")
+    assert(steadyMinMs(pts) <= JoinMinBandMs,
+      s"stream-stream join per-batch floor ${steadyMinMs(pts)} ms breached " +
+        s"the $JoinMinBandMs ms single-box envelope (r15 measured medians 696-1183 ms)")
     val st = pts.map(_.stateRows)
     val fedTotal = Batches.toLong * (rows + Keys)
     // The 2 h watermark + 1 h lookback keeps <= ~5 batches of each side
