@@ -76,6 +76,20 @@ object IndexBuildTime {
       s""""$leg":{"all_sec":${ts.map(t => "%.2f".format(t)).mkString("[", ",", "]")},""" +
         s""""median_sec":${"%.2f".format(Stats.median(ts))}}"""
     }.mkString(",")
+    // Cumulative cuts of the fused assign_write stage (VERDICT r15 next
+    // #2): cand_join ⊂ nn_descent ⊂ full_write, each re-trains then
+    // executes its prefix — deltas between cut medians attribute the fused
+    // stage's wall. Fewer reps than the builds: each cut set costs about a
+    // build.
+    val cutReps = sys.env.getOrElse("SPARK_GRAFT_CUT_REPS", "2").toInt
+    val cutRows = (1 to cutReps).map(_ =>
+      SimilarityQueries.timeBuildCuts(spark, dir).toMap)
+    val cutNames = Seq("cand_join", "nn_descent", "full_write")
+    val cutsJson = cutNames.map { c =>
+      val ts = cutRows.map(_(c))
+      s""""$c":{"all_sec":${ts.map(t => "%.2f".format(t)).mkString("[", ",", "]")},""" +
+        s""""median_sec":${"%.2f".format(Stats.median(ts))}}"""
+    }.mkString(",")
     val json =
       s"""{"index_build":{"dir":"$dir","reps":$reps,""" +
         s""""warmup_cold":{"total_sec":${"%.2f".format(warm)},${phasesJson(warmPhases)}},""" +
@@ -84,7 +98,8 @@ object IndexBuildTime {
         s""""phases":${repRows.map { case (t, ph) =>
           s"""{"total_sec":${"%.2f".format(t)},${phasesJson(ph)}}"""
         }.mkString("[", ",", "]")},""" +
-        s""""assign_isolated":{$legsJson}}}"""
+        s""""assign_isolated":{$legsJson},""" +
+        s""""assign_write_cuts":{"reps":$cutReps,$cutsJson}}}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_IBT_OUT", "index_build_x100.json")
     val wrote = ArtifactOut.write(out, json)

@@ -22,6 +22,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    parallelism ≤ 5 whatever the shuffle-partition count — window − scan
   *    at x100 measures that serialization; full − window is the global
   *    re-sort + its child re-sample.
+  *  - q26 cuts (VERDICT r15 next #3): `scan` (interval projection), `join`
+  *    (probes-distinct + bucketed range join), `agg` (+ per-month count),
+  *    `full` (registered shape, trailing 84-row orderBy) — separates the
+  *    join's shuffle/skew share from the rollup and the presentation sort.
   *
   * Each cut is a noop-sink write (Bench's action), one untimed warmup then
   * `reps` timed, medians reported. Writes `slope_attribution.json`.
@@ -73,7 +77,15 @@ object SlopeAttribution {
       ("q40", "window", (s, d) =>
         graft.queries.RelationalQueries.q40Frame(s, d, "window")),
       ("q40", "full", (s, d) =>
-        graft.queries.RelationalQueries.q40Frame(s, d, "full")))
+        graft.queries.RelationalQueries.q40Frame(s, d, "full")),
+      ("q26", "scan", (s, d) =>
+        graft.queries.RelationalQueries.q26Frame(s, d, "scan")),
+      ("q26", "join", (s, d) =>
+        graft.queries.RelationalQueries.q26Frame(s, d, "join")),
+      ("q26", "agg", (s, d) =>
+        graft.queries.RelationalQueries.q26Frame(s, d, "agg")),
+      ("q26", "full", (s, d) =>
+        graft.queries.RelationalQueries.q26Frame(s, d, "full")))
 
     val dirs = Seq("sf" -> sfDir, "x100" -> xDir)
     val rows = for ((q, cut, mk) <- cuts; (dtag, d) <- dirs) yield {
@@ -84,7 +96,8 @@ object SlopeAttribution {
     def secOf(q: String, cut: String, dtag: String): Double =
       rows.collectFirst { case (`q`, `cut`, `dtag`, s) => s }.get
     val qJson = Seq("e03" -> Seq("scan", "exprs", "full"),
-      "q40" -> Seq("scan", "window", "full")).map { case (q, cs) =>
+      "q40" -> Seq("scan", "window", "full"),
+      "q26" -> Seq("scan", "join", "agg", "full")).map { case (q, cs) =>
       val cells = cs.map { c =>
         val a = secOf(q, c, "sf"); val b = secOf(q, c, "x100")
         s""""$c":{"sf_sec":${"%.2f".format(a)},"x100_sec":${"%.2f".format(b)},""" +

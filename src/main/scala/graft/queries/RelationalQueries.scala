@@ -516,22 +516,34 @@ object RelationalQueries {
         ON c.user_id = p.user_id AND p.ts <= c.ts
       ORDER BY c.user_id, c.event_id"""))
 
+  /** q26's frame with the pipeline cut selectable ("scan" = the interval
+    * projection only, "join" = the bucketed range join without the rollup,
+    * "agg" = + the per-month count, "full" = the registered shape with the
+    * trailing orderBy) — [[graft.SlopeAttribution]] times the cuts to
+    * attribute the x100 slope (VERDICT r15 next #3: 18.2×, the last >15×
+    * cell without a measured cause). */
+  private[graft] def q26Frame(s: SparkSession, dir: String,
+      cut: String = "full"): DataFrame = {
+    val iv = t(s, dir, "lineitem").select(
+      to_date(col("l_shipdate")).as("sd"),
+      date_add(to_date(col("l_shipdate")), (col("l_orderkey") % 45).cast("int")).as("ed"))
+    if (cut == "scan") return iv
+    val probes = iv.select(trunc(col("sd"), "month").as("d")).distinct()
+    val joined = graft.operators.RangeJoin.pointInInterval(
+      probes, "d", iv, "sd", "ed")
+    if (cut == "join") return joined
+    val agg = joined.groupBy(col("d"))
+      .agg(count(lit(1)).as("n_open_intervals"))
+    if (cut == "agg") agg else agg.orderBy(col("d"))
+  }
+
   /** Range join via [[graft.operators.RangeJoin]]: shipment intervals
     * (shipdate + up-to-45-day span) probed with distinct month starts.
     * The oracle is the plain theta join — bucketing must be invisible. */
   val q26RangeJoin: GraftQuery = GraftQuery(
     "q26_range_join",
     "bucketed point-in-interval range join (month buckets + exact filter)",
-    (s, dir) => {
-      val iv = t(s, dir, "lineitem").select(
-        to_date(col("l_shipdate")).as("sd"),
-        date_add(to_date(col("l_shipdate")), (col("l_orderkey") % 45).cast("int")).as("ed"))
-      val probes = iv.select(trunc(col("sd"), "month").as("d")).distinct()
-      graft.operators.RangeJoin.pointInInterval(probes, "d", iv, "sd", "ed")
-        .groupBy(col("d"))
-        .agg(count(lit(1)).as("n_open_intervals"))
-        .orderBy(col("d"))
-    },
+    (s, dir) => q26Frame(s, dir),
     Some("""WITH iv AS (
         SELECT CAST(l_shipdate AS DATE) AS sd,
           CAST(l_shipdate AS DATE) + CAST(l_orderkey % 45 AS INT) AS ed

@@ -1003,6 +1003,15 @@ object SimilarityQueries {
     * driver gate scales measure the uncapped algorithm. */
   val CandCap: Int = 96
 
+  /** Size bound under which the capped postings side of the build's probe
+    * join is broadcast (VERDICT r15 next #2). The side is bounded index
+    * structure — NList·CandCap = √n·CandCap rows with their vectors — so
+    * the bound translates to a corpus bound: at dim 64 it admits
+    * n ≲ 2·10⁸; past it the join falls back to the keyed shuffle. 256 MiB
+    * is deliberately below executor broadcast comfort (a 1000-executor
+    * cluster replicates the block per executor, not per core). */
+  val BroadcastPostingsBytes: Long = 256L << 20
+
   /** Coarse-list count for the corpus-wide graph, derived from the corpus
     * size: √n lists keep both sides of the IVF cost balanced — assignment
     * scores n·NList centroid dots, probing emits ≤ GraphNProbe·n·min(n/
@@ -1241,8 +1250,21 @@ object SimilarityQueries {
       .select(col("vec_id"), col("list"), col("ccos"))
     val cosine = call_function("graft_dot", col("ve"), col("nve")) /
       (col("nrm") * col("nnrm"))
+    // The postings side is bounded INDEX STRUCTURE — ≤ NList·CandCap =
+    // √n·96 rows whatever the corpus size — so up to a documented size
+    // bound it BROADCASTS and the n·GraphNProbe probe rows (each carrying a
+    // dim-wide vector) never shuffle (VERDICT r15 next #2: the fused build
+    // stage's dominant cost was this join's probe-side exchange + sort).
+    // The estimate is static and conservative (rows × (8·dim + 48 B) ≈
+    // 25 MB at n = 200k, dim 64); past [[BroadcastPostingsBytes]]
+    // (n ≳ 10⁸ at dim 64) the hint is withheld and the keyed equi-join
+    // shuffles as before — still linear, never all-pairs.
+    val cappedBytes = nList.toLong * CandCap *
+      (8L * seed.headOption.map(_._2.length).getOrElse(0) + 48L)
+    val cappedSide =
+      if (cappedBytes <= BroadcastPostingsBytes) broadcast(capped) else capped
     val raw = probing
-      .join(capped, Seq("list"))
+      .join(cappedSide, Seq("list"))
       .filter(col("vec_id") =!= col("nid"))
       .withColumn("cosine", cosine)
       .select(col("vec_id"), col("nid"), col("cosine"))
@@ -1257,10 +1279,18 @@ object SimilarityQueries {
     // pairs0 feeds the top-K graph, the hop expansion, and the consumers'
     // final merges; the repeated subtree is identical, so ReuseExchange
     // shares its shuffles across branches (persisting it measured slower —
-    // cache write cost exceeds the reuse win). Its distinct is required:
-    // the probe join emits one copy of a pair per shared probed list, and
-    // a duplicate would occupy two ranks in the top-K windows.
-    val pairs0 = symmetrize(raw).distinct()
+    // cache write cost exceeds the reuse win). Dedup is required — the
+    // probe join emits one copy of a pair per shared probed list, and a
+    // duplicate would occupy two ranks in the top-K windows — and it runs
+    // on the UNORDERED key BEFORE symmetrizing (VERDICT r15 next #2): both
+    // directions carry bit-identical cosines (commutative IEEE dot and
+    // norm product, same fold order), so canonical-distinct-then-explode
+    // yields exactly the set distinct-after-symmetrize did while shuffling
+    // half the rows.
+    val pairs0 = symmetrize(raw
+      .select(least(col("vec_id"), col("nid")).as("vec_id"),
+        greatest(col("vec_id"), col("nid")).as("nid"), col("cosine"))
+      .distinct())
     // NN-descent round: expand through the seeded top-K graph. The hop
     // table is ≤ KnnK² rows per vector; cosines for hop pairs found by the
     // probe too are bit-identical (commutative IEEE products, same fold
@@ -1516,18 +1546,7 @@ object SimilarityQueries {
       val out = graft.streaming.StreamHarness.tempDir("cgraph")
       val (pairs0, g3, hopsSym, capped, asg) = listPairs(s, dir, trained, maxId)
       val tPhase2 = System.nanoTime()
-      g3.withColumn("part", lit("g3"))
-        .union(hopsSym.withColumn("part", lit("hops")))
-        .union(pairs0.filter(col("cosine") >= SemTau).withColumn("part", lit("ptau")))
-        // "cap" = the IVF postings (capped member list per coarse list) —
-        // the index structure e13 probes when APPENDING vectors; stored in
-        // the shared narrow schema as (list → vec_id, member → nid).
-        .union(capped.select(col("list").as("vec_id"), col("nid"),
-          lit(0.0).as("cosine")).withColumn("part", lit("cap")))
-        // "asg" = per-vector assignment + centroid cosine (vec_id → its
-        // list, cosine to that centroid) — e15's keep-rule input.
-        .union(asg.select(col("vec_id"), col("list").as("nid"),
-          col("ccos").as("cosine")).withColumn("part", lit("asg")))
+      graphUnion(pairs0, g3, hopsSym, capped, asg)
         .write.mode("overwrite").partitionBy("part").parquet(out)
       BuildPhases.record("assign_write", tPhase2)
       out
@@ -1539,6 +1558,56 @@ object SimilarityQueries {
       part("cap").select(col("vec_id").as("list"), col("nid")),
       part("asg").select(col("vec_id"), col("nid").as("list"),
         col("cosine").as("ccos")))
+  }
+
+  /** The build's one fused output plan, shared by [[graphTables]] and the
+    * [[timeBuildCuts]] instrumentation so the timed cuts execute exactly
+    * the shipped write's shape. */
+  private def graphUnion(pairs0: org.apache.spark.sql.DataFrame,
+      g3: org.apache.spark.sql.DataFrame, hopsSym: org.apache.spark.sql.DataFrame,
+      capped: org.apache.spark.sql.DataFrame, asg: org.apache.spark.sql.DataFrame) =
+    g3.withColumn("part", lit("g3"))
+      .union(hopsSym.withColumn("part", lit("hops")))
+      .union(pairs0.filter(col("cosine") >= SemTau).withColumn("part", lit("ptau")))
+      // "cap" = the IVF postings (capped member list per coarse list) —
+      // the index structure e13 probes when APPENDING vectors; stored in
+      // the shared narrow schema as (list → vec_id, member → nid).
+      .union(capped.select(col("list").as("vec_id"), col("nid"),
+        lit(0.0).as("cosine")).withColumn("part", lit("cap")))
+      // "asg" = per-vector assignment + centroid cosine (vec_id → its
+      // list, cosine to that centroid) — e15's keep-rule input.
+      .union(asg.select(col("vec_id"), col("list").as("nid"),
+        col("ccos").as("cosine")).withColumn("part", lit("asg")))
+
+  /** Cumulative cuts of the fused `assign_write` stage (VERDICT r15 next
+    * #2), SlopeAttribution-style: after one untimed prepare+train, each cut
+    * executes a PREFIX of the fused job's plan into a sink, so the deltas
+    * attribute the stage's wall to the candidate probe-join, the NN-descent
+    * refinement, and the partitioned parquet write:
+    *
+    *  - `cand_join`  — routing + capped probe join + canonical dedup +
+    *    symmetrize (pairs0) into the noop sink;
+    *  - `nn_descent` — pairs0 + the top-K window + hop expansion + hop
+    *    scoring (g3 ∪ hops) into the noop sink;
+    *  - `full_write` — the shipped union of all five parts written to
+    *    scratch parquet, the same plan [[graphTables]] executes.
+    *
+    * Cuts re-execute their shared prefix (no caching — the shipped build
+    * runs uncached, so a cached cut would not measure the shipped shape). */
+  private[graft] def timeBuildCuts(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Double)] = {
+    val (pairs0, g3, hopsSym, capped, asg) = listPairs(s, dir)
+    def t(act: => Unit): Double = {
+      val t0 = System.nanoTime(); act; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val out = graft.streaming.StreamHarness.tempDir("cutw")
+    Seq(
+      "cand_join" -> t(noop(pairs0)),
+      "nn_descent" -> t(noop(g3.union(hopsSym))),
+      "full_write" -> t(graphUnion(pairs0, g3, hopsSym, capped, asg)
+        .write.mode("overwrite").partitionBy("part").parquet(out)))
   }
 
   /** Materialized CLUSTER LABELS over the graph index, built once per
