@@ -1222,7 +1222,21 @@ object SimilarityQueries {
     }
     BuildPhases.record("train", tPhase1)
     cbCache.put((dir, trained, maxId), codebook)
-    val probing = prepared.withColumn("list",
+    // Broadcast decision for the probe join below, made here because the
+    // PROBE side's parallelism depends on it: a broadcast join inherits its
+    // child's partitioning, and the embedding scan is a handful of
+    // 128 MB-sized splits (derived/x100: 2 files), so without a spread the
+    // entire GraphNProbe·CandCap·n cosine evaluation would run on 2 cores
+    // (measured: assign_write 280–317 s vs 180–246 s for the shuffle join
+    // it replaced). The repartition shuffles only the n corpus rows —
+    // ~1/96th of the join-output exchange the broadcast eliminates.
+    val dim = seed.headOption.map(_._2.length).getOrElse(0)
+    val bcPostings =
+      nList.toLong * CandCap * (8L * dim + 48L) <= BroadcastPostingsBytes
+    val probeSrc =
+      if (bcPostings) prepared.repartition(s.sparkContext.defaultParallelism)
+      else prepared
+    val probing = probeSrc.withColumn("list",
       explode(slice(cbRank2Q(s, s"e07$tagSfx", codebook, col("ve")),
         1, GraphNProbe)))
     // Index side: nearest-list assignment, then a deterministic uniform
@@ -1259,10 +1273,7 @@ object SimilarityQueries {
     // 25 MB at n = 200k, dim 64); past [[BroadcastPostingsBytes]]
     // (n ≳ 10⁸ at dim 64) the hint is withheld and the keyed equi-join
     // shuffles as before — still linear, never all-pairs.
-    val cappedBytes = nList.toLong * CandCap *
-      (8L * seed.headOption.map(_._2.length).getOrElse(0) + 48L)
-    val cappedSide =
-      if (cappedBytes <= BroadcastPostingsBytes) broadcast(capped) else capped
+    val cappedSide = if (bcPostings) broadcast(capped) else capped
     val raw = probing
       .join(cappedSide, Seq("list"))
       .filter(col("vec_id") =!= col("nid"))
