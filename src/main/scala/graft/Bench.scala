@@ -269,6 +269,31 @@ object Bench {
       case Right(_) => s""","latency":{"err":"no data batches observed"}"""
       case Left(e)  => s""","latency":{"err":${jstr(e)}}"""
     }
+    // Per-query rep CV + headline median (VERDICT r16 next #6): a contended
+    // run should carry its own evidence. BENCH_r16 read a uniform 1.2×
+    // inflation over two same-HEAD quiet runs and nothing in the artifact
+    // said which run to trust; rep-to-rep CV does — the r16 quiet run's
+    // per-query spread reads ~0.2 median, a contended whole-leg run reads
+    // well above it. First-in-JVM rep excluded (cold codegen dominates it —
+    // the BenchAB CV rationale), so the CV reports steady-state noise.
+    // README threshold: treat a run with rep_cv_median > 0.35 as contended —
+    // re-run on a quiet box before quoting its medians.
+    val repCv: Seq[(String, Double)] = repTimes.collect {
+      case (k, ts0) if ts0.size >= 3 && ts0.sum > 0 =>
+        val ts = ts0.drop(1)
+        val m = ts.sum / ts.size
+        val sd = math.sqrt(ts.map(t => (t - m) * (t - m)).sum /
+          math.max(ts.size - 1, 1))
+        k -> (if (m > 0) sd / m else 0.0)
+    }
+    val repCvOut =
+      if (repCv.isEmpty) ""
+      else {
+        val cvs = repCv.map { case (k, c) => s"${jstr(k)}:${"%.4f".format(c)}" }
+          .mkString("{", ",", "}")
+        s""","rep_cv":$cvs,"rep_cv_median":${
+          "%.4f".format(median(repCv.map(_._2)))}"""
+      }
     // Per-query raw rep times (SPARK_GRAFT_BENCH_ALLREPS=1): BenchAB's
     // noise qualifier computes per-query rep CV from these — the medians
     // alone cannot say how wide the rep spread was (VERDICT r13 next #5).
@@ -281,7 +306,7 @@ object Bench {
         s""","rep_times":$rt"""
       }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","errored_count":$nErr,"queries":$qs,"err":$errs,"reps":$reps,"sf":"$sfDir"$scal$scup$lat$repsOut}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errored_count":$nErr,"queries":$qs,"err":$errs,"reps":$reps,"sf":"$sfDir"$scal$scup$lat$repCvOut$repsOut}"""
     println(json)
     // The round artifact is captured from a stdout tail that has truncated
     // the JSON two rounds running (VERDICT r7 missing #1). Also write the

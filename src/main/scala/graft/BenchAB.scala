@@ -56,8 +56,11 @@ object BenchAB {
     "d01_dedup_exact", "d03_token_stats", "d15_repetition",
     "e01_cosine_knn", "m01_binary_meta")
 
-  /** Absolute ceiling on acceptable same-code geomean drift. The band the
-    * run actually applies is variance-justified (VERDICT r14 next #4):
+  /** Absolute ceiling on acceptable same-code geomean drift, in LOG-ratio
+    * units (|log geomean| — ADVICE r16: the same scale `order_spread` and
+    * the 3·SE term use, so both qualification gates share exact units; at
+    * these magnitudes log(1+x) ≈ x, so 0.05 still reads "≈5%"). The band
+    * the run actually applies is variance-justified (VERDICT r14 next #4):
     * `min(0.05, max(0.03, 3·SE))` where SE is the standard error of the
     * control legs' geomean (stddev of per-query log-ratios / √n) — so a
     * run qualifies either inside a tight 3% band or inside a band its own
@@ -192,7 +195,12 @@ object BenchAB {
     val geomean =
       if (ratios.isEmpty) Double.NaN
       else math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
-    val drift = math.abs(geomean - 1.0)
+    // LOG units, not |geomean − 1| (ADVICE r16): `order_spread` below is
+    // |log(pair1/pair2)| and the band is 3·SE of LOG-ratios, so both
+    // qualification checks must compare in the same (log) scale — the
+    // ratio-unit form was first-order equivalent but slightly looser near
+    // the 5% ceiling.
+    val drift = math.abs(math.log(geomean))
     // Standard error of the control geomean from the per-query log-ratio
     // spread — the measured variance that justifies a band wider than the
     // tight 3% (never past the 5% ceiling).

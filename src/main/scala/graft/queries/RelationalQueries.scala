@@ -1398,6 +1398,67 @@ object RelationalQueries {
         MIN(y) AS min_y, MAX(y) AS max_y
       FROM z GROUP BY tile ORDER BY tile"""))
 
+  /** q50 — q26's count-only rollup as a DIFFERENCE ARRAY (VERDICT r16 next
+    * #4): the one genuinely data-bound >15× x100 cell was q26's bucketed
+    * range join (13.2 of 15.1 s; join-cut slope 10.5×), and a consumer that
+    * only wants per-month open-interval COUNTS never needs the join at all.
+    * Each interval [sd, ed] contributes +1 at the first month start ≥ sd
+    * and −1 at the month start after trunc(ed) — for a month start d,
+    * `sd ≤ d ⟺ first-month-start(sd) ≤ d` and `d ≤ ed ⟺ d < month-after
+    * (trunc(ed))`, so the running sum of deltas at d is exactly q26's
+    * count; intervals spanning no month boundary emit cancelling ±1 at the
+    * same month. Plan shape: two map-side-partial aggregations over the
+    * scan (delta rollup + distinct probe months) onto a BOUNDED month table
+    * (≤ calendar months in the data's time range — ~90 here, ~1200 for a
+    * century; never grows with row count), one single-partition running-sum
+    * window over that bounded table, and a broadcast semi-join back to the
+    * probe months. The n ≥ 1 filter reproduces the inner join's "no row for
+    * a month no interval covers". At 100 TB the per-row work is two
+    * month-truncations; nothing downstream of the scan scales with n.
+    * Oracled against q26's EXACT SQL — the joined formulation — so the gate
+    * proves the rewrite, not a restatement of it; q26 stays registered as
+    * the joined-pairs shape for consumers that need the pairs. */
+  val q50OpenIntervalsDiff: GraftQuery = GraftQuery(
+    "q50_open_intervals_diff",
+    "q26's per-month open-interval counts via a difference array — no range join",
+    (s, dir) => {
+      val iv = t(s, dir, "lineitem").select(
+        to_date(col("l_shipdate")).as("sd"),
+        date_add(to_date(col("l_shipdate")),
+          (col("l_orderkey") % 45).cast("int")).as("ed"))
+      val firstMs = when(trunc(col("sd"), "month") === col("sd"), col("sd"))
+        .otherwise(add_months(trunc(col("sd"), "month"), 1))
+      val afterMe = add_months(trunc(col("ed"), "month"), 1)
+      val deltas = iv
+        .select(explode(array(
+          struct(firstMs.as("m"), lit(1L).as("delta")),
+          struct(afterMe.as("m"), lit(-1L).as("delta")))).as("x"))
+        .select(col("x.m").as("m"), col("x.delta").as("delta"))
+        .groupBy(col("m")).agg(sum(col("delta")).as("delta"))
+      val probes = iv.select(trunc(col("sd"), "month").as("m")).distinct()
+      val monthTable = deltas
+        .unionByName(probes.select(col("m"), lit(0L).as("delta")))
+        .groupBy(col("m")).agg(sum(col("delta")).as("delta"))
+      // Single-partition running sum — sound ONLY because the input is the
+      // bounded month table, not row-scaled data.
+      val w = Window.orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthTable.withColumn("n_open_intervals", sum(col("delta")).over(w))
+        .join(probes, Seq("m"), "left_semi")
+        .filter(col("n_open_intervals") >= 1L)
+        .select(col("m").as("d"), col("n_open_intervals"))
+        .orderBy(col("d"))
+    },
+    // q26's oracle verbatim: the joined-pairs formulation.
+    Some("""WITH iv AS (
+        SELECT CAST(l_shipdate AS DATE) AS sd,
+          CAST(l_shipdate AS DATE) + CAST(l_orderkey % 45 AS INT) AS ed
+        FROM lineitem),
+      p AS (SELECT DISTINCT date_trunc('month', sd) AS d FROM iv)
+      SELECT d, COUNT(*) AS n_open_intervals
+      FROM p JOIN iv ON iv.sd <= p.d AND p.d <= iv.ed
+      GROUP BY d ORDER BY d"""))
+
   // NOTE: `all` must stay the LAST definition in this object — a query val
   // referenced here but defined further down is still null at object init
   // (silent, then NPEs at dispatch). SparkEntry.registry asserts against it.
@@ -1413,5 +1474,6 @@ object RelationalQueries {
     q35AvgQtyRevenue, q36ExistsSubquery, q37RangeFrame, q38AsofNative,
     q39GroupingSets, q40RankFamily, q41TpchQ18, q42RecursiveCte,
     q43LateralTopn, q44GapFill, q45FilteredAgg, q46HistQuantiles,
-    q47IterHierarchy, q48BloomSemiJoin, q49ZorderLayout)
+    q47IterHierarchy, q48BloomSemiJoin, q49ZorderLayout,
+    q50OpenIntervalsDiff)
 }

@@ -30,6 +30,24 @@ class StatefulScaleSpec extends SparkSpec {
   private def steadyMinMs(pts: Seq[ScaleProbes.BatchPoint]): Long =
     pts.drop(2).map(_.ms).min
 
+  /** The wall-clock envelope bands are opt-in (ADVICE r16): they encode
+    * THIS box's measured quiet floor, so on unknown/contended hardware a
+    * correct build could fail a functional run. Functional CI always checks
+    * the state-row plateaus; quiet-box measurement runs set
+    * SPARK_GRAFT_PERF_ENVELOPE=1 to enforce the latency bands too (the
+    * values are info-logged either way, so every run still records them). */
+  private val enforceEnvelope =
+    sys.env.get("SPARK_GRAFT_PERF_ENVELOPE").contains("1")
+  private def checkEnvelope(what: String, steadyMin: Long, band: Long,
+      detail: String): Unit =
+    if (enforceEnvelope)
+      assert(steadyMin <= band,
+        s"$what per-batch floor $steadyMin ms breached the $band ms " +
+          s"single-box envelope ($detail)")
+    else if (steadyMin > band)
+      info(s"$what floor $steadyMin ms above the $band ms quiet-box band " +
+        "(not enforced: SPARK_GRAFT_PERF_ENVELOPE unset)")
+
   test("s05-shaped windowed agg: state plateaus at open-windows x keys, not history") {
     // Untimed warmup drain: this is the suite's first streaming query in a
     // fresh forked JVM, so without it the whole measured drain runs while
@@ -40,9 +58,8 @@ class StatefulScaleSpec extends SparkSpec {
     assert(pts.size >= Batches,
       s"expected >= $Batches data batches, got ${pts.size}")
     info(s"window steady min: ${steadyMinMs(pts)} ms (band $WindowMinBandMs)")
-    assert(steadyMinMs(pts) <= WindowMinBandMs,
-      s"windowed-agg per-batch floor ${steadyMinMs(pts)} ms breached the " +
-        s"$WindowMinBandMs ms single-box envelope (r15 measured medians 353-554 ms)")
+    checkEnvelope("windowed-agg", steadyMinMs(pts), WindowMinBandMs,
+      "r15 measured medians 353-554 ms")
     val st = pts.map(_.stateRows)
     // 16 batches x 30 min = 8 h of event time = 8 hourly windows ever; with
     // no eviction state would reach 8 x keys = 400 rows. The watermark keeps
@@ -71,9 +88,8 @@ class StatefulScaleSpec extends SparkSpec {
     assert(pts.size >= Batches,
       s"expected >= $Batches data batches, got ${pts.size}")
     info(s"join steady min: ${steadyMinMs(pts)} ms (band $JoinMinBandMs)")
-    assert(steadyMinMs(pts) <= JoinMinBandMs,
-      s"stream-stream join per-batch floor ${steadyMinMs(pts)} ms breached " +
-        s"the $JoinMinBandMs ms single-box envelope (r15 measured medians 696-1183 ms)")
+    checkEnvelope("stream-stream join", steadyMinMs(pts), JoinMinBandMs,
+      "r15 measured medians 696-1183 ms")
     val st = pts.map(_.stateRows)
     val fedTotal = Batches.toLong * (rows + Keys)
     // The 2 h watermark + 1 h lookback keeps <= ~5 batches of each side
