@@ -79,17 +79,36 @@ object IndexBuildTime {
     // Cumulative cuts of the fused assign_write stage (VERDICT r15 next
     // #2): cand_join ⊂ nn_descent ⊂ full_write, each re-trains then
     // executes its prefix — deltas between cut medians attribute the fused
-    // stage's wall. Fewer reps than the builds: each cut set costs about a
-    // build.
-    val cutReps = sys.env.getOrElse("SPARK_GRAFT_CUT_REPS", "2").toInt
-    val cutRows = (1 to cutReps).map(_ =>
-      SimilarityQueries.timeBuildCuts(spark, dir).toMap)
+    // stage's wall.
+    //
+    // ≥3 reps + per-rep monotonicity (VERDICT r16 next #3): r16 ran 2 reps
+    // and published a rep where the nn_descent PREFIX measured slower than
+    // its full_write SUPERSET (185.0 vs 148.3 s) — cuts that cannot steer a
+    // fix. A rep whose cumulative cuts are not non-decreasing (5% noise
+    // slack: a prefix may not exceed its superset by more than that) is a
+    // contention artifact by construction and is re-run (≤2 retries); the
+    // artifact records per-rep retries and the final monotone verdict so a
+    // still-violating rep is visible, never silently averaged in.
+    val cutReps = math.max(3, sys.env.getOrElse("SPARK_GRAFT_CUT_REPS", "3").toInt)
     val cutNames = Seq("cand_join", "nn_descent", "full_write")
+    def monotone(m: Map[String, Double]): Boolean =
+      cutNames.sliding(2).forall { case Seq(a, b) => m(b) >= m(a) * 0.95 }
+    val cutRows = (1 to cutReps).map { _ =>
+      var row = SimilarityQueries.timeBuildCuts(spark, dir).toMap
+      var retries = 0
+      while (!monotone(row) && retries < 2) {
+        retries += 1
+        row = SimilarityQueries.timeBuildCuts(spark, dir).toMap
+      }
+      (row, retries, monotone(row))
+    }
     val cutsJson = cutNames.map { c =>
-      val ts = cutRows.map(_(c))
+      val ts = cutRows.map(_._1(c))
       s""""$c":{"all_sec":${ts.map(t => "%.2f".format(t)).mkString("[", ",", "]")},""" +
         s""""median_sec":${"%.2f".format(Stats.median(ts))}}"""
-    }.mkString(",")
+    }.mkString(",") +
+      s""","retries":${cutRows.map(_._2).mkString("[", ",", "]")},""" +
+      s""""monotone":${cutRows.map(_._3).mkString("[", ",", "]")}"""
     val json =
       s"""{"index_build":{"dir":"$dir","reps":$reps,""" +
         s""""warmup_cold":{"total_sec":${"%.2f".format(warm)},${phasesJson(warmPhases)}},""" +

@@ -83,4 +83,13 @@ object TopKCosAggregator {
   val top3: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopKCosAggregator(3),
       ExpressionEncoder[(Double, Long)]())
+
+  /** The graph BUILD's top-[[graft.queries.SimilarityQueries.KnnK]]
+    * extraction (VERDICT r16 next #2): sized from KnnK itself so the build
+    * and the monitors cannot drift apart if K changes. Referenced lazily
+    * (inside `listPairs`), so the cross-object init order is safe. */
+  val topKnnK: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(
+      new TopKCosAggregator(graft.queries.SimilarityQueries.KnnK),
+      ExpressionEncoder[(Double, Long)]())
 }

@@ -1006,10 +1006,13 @@ object SimilarityQueries {
   /** Size bound under which the capped postings side of the build's probe
     * join is broadcast (VERDICT r15 next #2). The side is bounded index
     * structure — NList·CandCap = √n·CandCap rows with their vectors — so
-    * the bound translates to a corpus bound: at dim 64 it admits
-    * n ≲ 2·10⁸; past it the join falls back to the keyed shuffle. 256 MiB
-    * is deliberately below executor broadcast comfort (a 1000-executor
-    * cluster replicates the block per executor, not per core). */
+    * the bound translates to a corpus bound: at dim 64 each row is
+    * 8·64 + 48 = 560 B, so 256 MiB admits √n·96 ≤ ~4.8·10⁵ rows, i.e.
+    * n ≲ 2.5·10⁷; past it the join falls back to the keyed shuffle
+    * (ADVICE r16: the first statement of this envelope overstated it 8×).
+    * 256 MiB is deliberately below executor broadcast comfort (a
+    * 1000-executor cluster replicates the block per executor, not per
+    * core). */
   val BroadcastPostingsBytes: Long = 256L << 20
 
   /** Coarse-list count for the corpus-wide graph, derived from the corpus
@@ -1271,8 +1274,9 @@ object SimilarityQueries {
     // stage's dominant cost was this join's probe-side exchange + sort).
     // The estimate is static and conservative (rows × (8·dim + 48 B) ≈
     // 25 MB at n = 200k, dim 64); past [[BroadcastPostingsBytes]]
-    // (n ≳ 10⁸ at dim 64) the hint is withheld and the keyed equi-join
-    // shuffles as before — still linear, never all-pairs.
+    // (n ≳ 2.5·10⁷ at dim 64 — ADVICE r16 corrected the threshold) the
+    // hint is withheld and the keyed equi-join shuffles as before — still
+    // linear, never all-pairs.
     val cappedSide = if (bcPostings) broadcast(capped) else capped
     val raw = probing
       .join(cappedSide, Seq("list"))
@@ -1306,11 +1310,29 @@ object SimilarityQueries {
     // table is ≤ KnnK² rows per vector; cosines for hop pairs found by the
     // probe too are bit-identical (commutative IEEE products, same fold
     // order), so the consumers' distincts collapse them exactly.
-    val wG = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("nid"))
-    val g3 = pairs0.withColumn("rnk", row_number().over(wG))
-      .filter(col("rnk") <= KnnK)
-      .select(col("vec_id"), col("nid"), col("cosine"))
+    //
+    // Top-K extraction runs through the BOUNDED MAP-SIDE AGGREGATOR, not a
+    // row_number window (VERDICT r16 next #2 — NN-descent was the dominant
+    // ~110–150 s of the 172.5 s x100 build, and its biggest term was this
+    // window: hash-exchange + per-partition sort of the FULL symmetrized
+    // candidate volume, ~300M rows × 24 B at x100, for an output of
+    // KnnK·n rows). [[graft.functions.TopKCosAggregator]] keeps a ≤KnnK
+    // sorted buffer per (partition, key), so the shuffle carries at most
+    // KnnK entries per key per partition and nothing sorts the candidate
+    // volume. Value-identical to the window: per vec_id the candidate nids
+    // are distinct (pairs0 is deduped), (cosine DESC, nid ASC) is a total
+    // order, and bounded top-K under a total order is an associative,
+    // commutative merge — the oracle keeps its row_number formulation.
+    // [[withObjHashRoom]] (set around the build's EXECUTION sites) keeps
+    // the partial aggregate hash-based at corpus-key-count maps (Spark's
+    // default 128-key fallback would go straight to a sort-based partial —
+    // a local sort of the candidate volume; the exchange saving holds
+    // either way, the hash path also drops the sort).
+    val g3 = pairs0.groupBy(col("vec_id"))
+      .agg(graft.functions.TopKCosAggregator.topKnnK(
+        col("cosine"), col("nid")).as("tops"))
+      .select(col("vec_id"), explode(col("tops")).as("t"))
+      .select(col("vec_id"), col("t._2").as("nid"), col("t._1").as("cosine"))
     val g = g3.select(col("vec_id"), col("nid"))
     val hop = g.as("a").join(g.as("b"), col("a.nid") === col("b.vec_id"))
       .filter(col("a.vec_id") =!= col("b.nid"))
@@ -1550,6 +1572,29 @@ object SimilarityQueries {
   private val graphDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Boolean, Long), String]()
 
+  /** Runs `body` — an index-BUILD execution — with the object-hash
+    * aggregation fallback threshold raised to 2²⁰ keys, restoring the prior
+    * value after. The build's top-[[KnnK]] extraction is a typed Aggregator
+    * over √n-ish distinct keys per task (VERDICT r16 next #2); Spark's
+    * default threshold of 128 keys would push its PARTIAL aggregate to the
+    * sort-based path — a per-task sort of the full candidate volume, the
+    * very cost the aggregator removes. Memory stays bounded: ≤ 2²⁰ keys ×
+    * (KnnK+1 small tuples) per task (~tens of MB), and a task that does see
+    * more distinct keys (a 100 TB deployment with coarse partitions) falls
+    * back to sort-based gracefully — correctness is unaffected. Scoped, not
+    * session-global: other registered queries keep the stock threshold
+    * their plans were audited under. */
+  private def withObjHashRoom[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, (1 << 20).toString)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private[queries] def graphTables(s: org.apache.spark.sql.SparkSession, dir: String,
                           trained: Boolean = true,
                           maxId: Long = Long.MaxValue) = {
@@ -1557,8 +1602,10 @@ object SimilarityQueries {
       val out = graft.streaming.StreamHarness.tempDir("cgraph")
       val (pairs0, g3, hopsSym, capped, asg) = listPairs(s, dir, trained, maxId)
       val tPhase2 = System.nanoTime()
-      graphUnion(pairs0, g3, hopsSym, capped, asg)
-        .write.mode("overwrite").partitionBy("part").parquet(out)
+      withObjHashRoom(s) {
+        graphUnion(pairs0, g3, hopsSym, capped, asg)
+          .write.mode("overwrite").partitionBy("part").parquet(out)
+      }
       BuildPhases.record("assign_write", tPhase2)
       out
     })
@@ -1606,7 +1653,7 @@ object SimilarityQueries {
     * Cuts re-execute their shared prefix (no caching — the shipped build
     * runs uncached, so a cached cut would not measure the shipped shape). */
   private[graft] def timeBuildCuts(s: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[(String, Double)] = {
+      dir: String): Seq[(String, Double)] = withObjHashRoom(s) {
     val (pairs0, g3, hopsSym, capped, asg) = listPairs(s, dir)
     def t(act: => Unit): Double = {
       val t0 = System.nanoTime(); act; (System.nanoTime() - t0) / 1e9

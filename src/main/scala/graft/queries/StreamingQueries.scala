@@ -1706,6 +1706,32 @@ object StreamingQueries {
       name.drop(pre.length).forall(_.isDigit)) Some(name.drop(pre.length).toLong)
     else None
 
+  /** A tiered snapshot run `g<lvl>_<lo>_<hi>`: the compacted union of
+    * batches lo ≤ k < hi, at merge level `lvl` (see [[maybeCompactParts]]).
+    * The seed is NOT part of any run — it is the standing base and is never
+    * rewritten by compaction. */
+  private final case class SnapRun(lvl: Int, lo: Long, hi: Long,
+      path: org.apache.hadoop.fs.Path)
+
+  private val SnapRunRe = "g(\\d+)_(\\d+)_(\\d+)".r
+
+  private def parseRun(p: org.apache.hadoop.fs.Path): Option[SnapRun] =
+    p.getName match {
+      case SnapRunRe(l, lo, hi) => Some(SnapRun(l.toInt, lo.toLong, hi.toLong, p))
+      case _ => None
+    }
+
+  /** A run is authoritative only once its `_SUCCESS` marker is visible.
+    * On local FS / HDFS the tmp→final rename is atomic so the marker (laid
+    * down by the parquet committer inside tmp) arrives with the dir; on an
+    * object store whose rename is copy+delete (e.g. S3A — ADVICE r16) a
+    * crash can leave a partial final-named dir, and the marker check keeps
+    * reads on the still-live inputs (subsumed parts are only deleted AFTER
+    * a completed rename, so a marker-less run's inputs are intact). */
+  private def runComplete(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+
   private[queries] def partPaths(s: SparkSession, dir: String,
       before: Option[Long] = None): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -1713,46 +1739,86 @@ object StreamingQueries {
     if (!fs.exists(p)) Seq.empty
     else {
       val all = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
-      // Snapshot generation g<j> = the compacted union of seed + every part
-      // of batches < j (see [[maybeCompactParts]]). Reads select the LATEST
-      // eligible generation and only the b-parts at or after it — b-parts
-      // below the generation are subsumed (and may be mid-deletion after a
-      // crash, so they must be ignored, not merely expected absent).
-      val gens = all.flatMap(q => partNum(q.getName, "g").map(_ -> q))
-        .filter { case (j, _) => before.forall(j <= _) }
-      val gen = gens.sortBy(_._1).lastOption
-      val floor = gen.map(_._1).getOrElse(-1L)
+      val runs = all.flatMap(parseRun).filter(r => runComplete(fs, r.path))
+      // Deep-replay guard (ADVICE r16): a run STRADDLING `before` mixes
+      // batches the replay must and must not see, and its input parts were
+      // deleted after the fold — a silent partial union would drop rows.
+      // Streaming replay only ever re-runs the newest batch (folds at batch
+      // start cover strictly earlier batches, so hi ≤ id there); anything
+      // deeper fails loudly instead of reading an incomplete table.
+      before.foreach { id =>
+        val straddling = runs.filter(r => r.lo < id && id < r.hi)
+        require(straddling.isEmpty,
+          s"replay below a compacted fold: batch $id is inside " +
+            s"${straddling.map(_.path.getName).mkString(",")} under $dir — " +
+            "the fold's input parts are deleted, a partial read would drop rows")
+      }
+      val eligible = runs.filter(r => before.forall(r.hi <= _))
+      // Prefer the highest-level run covering a range; lower-level runs and
+      // b-parts it subsumes may be mid-deletion after a crash, so they are
+      // ignored rather than expected absent.
+      val selected = eligible.filter(r =>
+        !eligible.exists(o => o.lvl > r.lvl && o.lo <= r.lo && r.hi <= o.hi))
+      def covered(k: Long): Boolean =
+        eligible.exists(r => r.lo <= k && k < r.hi)
       val incs = all.flatMap(q => partNum(q.getName, "b").map(_ -> q))
-        .filter { case (k, _) => k >= floor && before.forall(k < _) }
+        .filter { case (k, _) => before.forall(k < _) && !covered(k) }
         .sortBy(_._1).map(_._2)
-      val seed = if (gen.isEmpty) all.filter(_.getName == "seed") else Seq.empty
-      (seed ++ gen.map(_._2).toSeq ++ incs).map(_.toString)
+      val seed = all.filter(_.getName == "seed")
+      (seed ++ selected.sortBy(_.lo).map(_.path) ++ incs).map(_.toString)
     }
   }
 
-  /** How many committed increment parts a standing table accumulates before
-    * [[maybeCompactParts]] folds them into a snapshot generation: bounds
-    * every per-batch re-read of the table at one snapshot + < CompactEvery
-    * increments, so drain cost is flat in batch index instead of growing
-    * with committed part count (VERDICT r15 next #1 — the measured
+  /** Fan-out of the tiered compaction ([[maybeCompactParts]]): how many
+    * committed increment parts accumulate before a level-0 fold, and how
+    * many runs a level holds before they merge one level up. Bounds every
+    * per-batch re-read of a standing table at seed + (CompactEvery−1)
+    * runs per level × log_CompactEvery(batches) levels + < CompactEvery
+    * increments, so drain cost is flat-ish in batch index instead of
+    * growing with committed part count (VERDICT r15 next #1 — the measured
     * O(batches²) mode: edges 1.5→5 s, monitor 4.4→12.9 s over 8 batches at
-    * the 200k corpus came from re-reading every prior `b<id>` part). */
+    * the 200k corpus came from re-reading every prior `b<id>` part; r16's
+    * single-generation fix re-wrote seed + everything per spike — O(total),
+    * the r16 next #5 residual the tiering removes). */
   private[queries] val CompactEvery: Int = 4
 
-  /** Fold a standing table's committed increments into a snapshot
-    * generation `g<id>` = union(seed ∪ gens ∪ b-parts < id), then delete the
-    * subsumed parts. Runs at the START of batch `id`, so it only touches
-    * parts strictly before the batch — the replay-idempotence contract
+  /** TIERED compaction (VERDICT r16 next #5 — r16's single-generation
+    * design folded seed + everything-so-far on every spike, O(total) per
+    * spike): increments fold into LEVELED runs, LSM-style, so a spike
+    * rewrites ONE level's worth of data, never the whole table, and the
+    * seed — the standing base, the largest part — is never rewritten at
+    * all. At the start of batch `id`:
+    *
+    *  - level-0 fold: once `every` uncovered `b<k>` parts (k < id) have
+    *    accumulated, they fold into `g1_<lo>_<id>` (lo = the highest hi of
+    *    any existing run, 0 when none) — cost bounded by `every` recent
+    *    batches;
+    *  - cascade: once `every` runs exist AT a level, they fold into one
+    *    run a level up (they are contiguous by construction — a level-up
+    *    fold always consumes ALL of its level) — cost bounded by that
+    *    level's total size, paid once per every^lvl batches;
+    *  - sweep: parts covered by a completed run are deleted.
+    *
+    * A drain of B batches therefore reads ≤ 1 seed + (every−1)·log_every(B)
+    * runs + (every−1) live b-parts per batch, amortized compaction cost
+    * O(B·log B) total instead of the full-compaction O(B²/every).
+    *
+    * Runs strictly over parts < id, so the replay-idempotence contract
     * ([[partPaths]]) is preserved across every crash point:
     *
     *  - crash before the tmp→final rename: the tmp dir is invisible to
     *    [[partPaths]] (dot-prefixed) and the old parts are still live —
-    *    replay recompacts from them;
-    *  - crash after the rename, mid-deletion: reads already resolve through
-    *    `g<id>` (subsumed b-parts are ignored by the floor filter), and the
-    *    replay finishes the deletion;
-    *  - replay of a fully compacted batch: `g<id>` exists → skip straight
-    *    to the (empty) deletion.
+    *    replay recomputes the same fold (its name and membership are pure
+    *    functions of the surviving listing);
+    *  - crash after the rename, mid-deletion: reads resolve through the
+    *    completed run (subsumed parts are ignored by the coverage filter,
+    *    not expected absent), and the replay's sweep finishes the deletion;
+    *  - partial final-named dir on a copy+delete filesystem: no `_SUCCESS`
+    *    marker → [[partPaths]] ignores it, this method deletes and
+    *    rewrites it (see [[runComplete]]; on local FS / HDFS the rename is
+    *    atomic and this path never engages);
+    *  - replay of a fully compacted batch: every fold target exists → skip
+    *    straight to the (empty) sweep.
     *
     * Snapshot file count targets ~128 MiB per file from the measured input
     * bytes, capped at the session parallelism — compaction exists to cut
@@ -1763,31 +1829,66 @@ object StreamingQueries {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
-    val all = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
-    val gens = all.flatMap(q => partNum(q.getName, "g").map(_ -> q))
-    val floor = gens.map(_._1).maxOption.getOrElse(-1L)
-    val pending = all.flatMap(q => partNum(q.getName, "b").map(_ -> q))
-      .count { case (k, _) => k >= floor && k < id }
-    if (gens.exists(_._1 == id) || pending >= every) {
-      val gp = new org.apache.hadoop.fs.Path(p, s"g$id")
+
+    def listing() = fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+    def completeRuns(all: Seq[org.apache.hadoop.fs.Path]): Seq[SnapRun] =
+      all.flatMap(parseRun).filter(r => runComplete(fs, r.path))
+
+    def fold(lvl: Int, lo: Long, hi: Long,
+        inputs: Seq[org.apache.hadoop.fs.Path]): Unit = {
+      val gp = new org.apache.hadoop.fs.Path(p, s"g${lvl}_${lo}_$hi")
+      if (fs.exists(gp) && !runComplete(fs, gp)) fs.delete(gp, true)
       if (!fs.exists(gp)) {
-        val inputs = partPaths(s, dir, Some(id))
-        val bytes = inputs.map(pt => fs.getContentSummary(
-          new org.apache.hadoop.fs.Path(pt)).getLength).sum
+        val bytes = inputs.map(pt => fs.getContentSummary(pt).getLength).sum
         val nFiles = math.max(1L, math.min(
           s.sparkContext.defaultParallelism.toLong, bytes / (128L << 20) + 1)).toInt
-        val tmp = new org.apache.hadoop.fs.Path(p, s".g$id.tmp")
+        val tmp = new org.apache.hadoop.fs.Path(p, s".g${lvl}_${lo}_$hi.tmp")
         if (fs.exists(tmp)) fs.delete(tmp, true)
-        s.read.parquet(inputs: _*).coalesce(nFiles)
+        s.read.parquet(inputs.map(_.toString): _*).coalesce(nFiles)
           .write.mode("overwrite").parquet(tmp.toString)
+        require(runComplete(fs, tmp), s"fold wrote no _SUCCESS under $tmp")
         require(fs.rename(tmp, gp), s"compaction rename failed: $tmp -> $gp")
       }
-      (all.filter(_.getName == "seed") ++
-        gens.collect { case (j, q) if j < id => q } ++
-        all.flatMap(q => partNum(q.getName, "b").map(_ -> q))
-          .collect { case (k, q) if k < id => q })
-        .foreach(q => fs.delete(q, true))
     }
+
+    // Level-0: fold accumulated uncovered increments below this batch.
+    val all0 = listing()
+    val runs0 = completeRuns(all0)
+    val floor = runs0.map(_.hi).maxOption.getOrElse(0L)
+    val pending = all0
+      .flatMap(q => partNum(q.getName, "b").map(_ -> q))
+      .filter { case (k, _) =>
+        k >= floor && k < id && !runs0.exists(r => r.lo <= k && k < r.hi) }
+    if (pending.size >= every)
+      fold(1, floor, id, pending.sortBy(_._1).map(_._2))
+
+    // Cascade: fold any level that reached `every` live runs into one run a
+    // level up. Re-list each round — a fold changes the listing, and replay
+    // convergence depends on decisions reading the CURRENT state.
+    var cascading = true
+    while (cascading) {
+      cascading = false
+      val runs = completeRuns(listing())
+      val live = runs.filter(r =>
+        !runs.exists(o => o.lvl > r.lvl && o.lo <= r.lo && r.hi <= o.hi))
+      live.groupBy(_.lvl).toSeq.sortBy(_._1).find(_._2.size >= every)
+        .foreach { case (lvl, rs) =>
+          fold(lvl + 1, rs.map(_.lo).min, rs.map(_.hi).max,
+            rs.sortBy(_.lo).map(_.path))
+          cascading = true
+        }
+    }
+
+    // Sweep: delete parts subsumed by a completed run (never the seed —
+    // compaction never rewrites the standing base).
+    val allF = listing()
+    val runsF = completeRuns(allF)
+    val deadB = allF.flatMap(q => partNum(q.getName, "b").map(_ -> q))
+      .collect { case (k, q) if runsF.exists(r => r.lo <= k && k < r.hi) => q }
+    val deadRuns = runsF.filter(r =>
+      runsF.exists(o => o.lvl > r.lvl && o.lo <= r.lo && r.hi <= o.hi))
+      .map(_.path)
+    (deadB ++ deadRuns).foreach(q => fs.delete(q, true))
   }
 
   /** Read the union of a standing table's committed parts (see
@@ -1844,9 +1945,9 @@ object StreamingQueries {
     * edges / post_probe / monitor / total sections — both exist for
     * [[graft.StreamMaintainScale]]'s drain-cost measurement (VERDICT r14
     * next #2) and are no-ops for every registered query. `compactEvery`
-    * bounds how many committed increment parts accumulate before the
-    * standing tables fold into a snapshot generation
-    * ([[maybeCompactParts]], VERDICT r15 next #1). */
+    * bounds how many committed increment parts (and runs per level)
+    * accumulate before the standing tables fold into a tiered snapshot run
+    * ([[maybeCompactParts]], VERDICT r15 next #1, tiered per r16 next #5). */
   def s28Maintain(s: SparkSession, dir: String,
       permute: Seq[DataFrame] => Seq[DataFrame] = identity,
       candCap: Int = SimilarityQueries.CandCap,
@@ -1937,10 +2038,11 @@ object StreamingQueries {
                 tMark = t1
               }
               // Standing-table compaction (VERDICT r15 next #1): before any
-              // read, fold accumulated increments into a snapshot generation
-              // so this batch — and every later one — reads one snapshot
-              // plus < CompactEvery parts instead of the whole drain
-              // history. Runs strictly over parts < id, so the replay
+              // read, fold accumulated increments into tiered snapshot
+              // runs so this batch — and every later one — reads the seed
+              // plus O(log batches) runs plus < CompactEvery parts instead
+              // of the whole drain history; a spike rewrites one level,
+              // never the seed (VERDICT r16 next #5). Runs strictly over parts < id, so the replay
               // contract below is untouched; crash-safety per
               // [[maybeCompactParts]], pinned by StreamReplaySpec's
               // compaction-boundary kill.

@@ -88,14 +88,20 @@ class StreamReplaySpec extends SparkSpec {
     assert(cleanPosts.nonEmpty, "vacuous: no admissions in the clean run")
   }
 
-  test("s28 compaction batch is replay-idempotent and actually compacts (kill at the boundary)") {
-    // 5 chunks at CompactEvery = 4: batch 4 starts by folding b0–b3 (+seed)
-    // into snapshot g4, then writes its own b4 — the round's new crash
-    // window (VERDICT r15 next #1). The kill loses batch 4's commit AFTER
-    // the drain finished, so the restart REPLAYS the compaction batch:
-    // maybeCompactParts must no-op against the existing g4 and the
-    // recomputed b4 must come out bit-equal.
+  test("s28 tiered merge batch is replay-idempotent and actually compacts (kill at the boundary)") {
+    // 5 chunks at compactEvery = 2 drive the FULL tiered cascade (VERDICT
+    // r16 next #5): batch 2 folds b0–b1 into g1_0_2, batch 4 folds b2–b3
+    // into g1_2_4 AND immediately merges both level-1 runs into g2_0_4 —
+    // a level-0 fold and a level-1→2 merge in the same batch, the round's
+    // new crash window. The kill loses batch 4's commit AFTER the drain
+    // finished, so the restart REPLAYS the tiered-merge batch:
+    // maybeCompactParts must converge against the existing g2_0_4 (folds
+    // are pure functions of the surviving listing) and the recomputed b4
+    // must come out bit-equal. The seed is asserted PRESENT — tiered
+    // compaction never rewrites the standing base (that was the r16
+    // full-compaction O(total) spike this design removes).
     val chunksN = 5
+    val compactEvery = 2
     def tableRows(d: String): Seq[Seq[Any]] =
       StreamingQueries.readParts(spark, d).collect()
         .map(_.toSeq.toSeq).toSeq.sortBy(_.mkString("|"))
@@ -110,14 +116,14 @@ class StreamReplaySpec extends SparkSpec {
 
     RecallAlertBus.drain()
     val clean = StreamingQueries.s28Maintain(spark, dir, monitor = true,
-      chunksN = chunksN)
+      chunksN = chunksN, compactEvery = compactEvery)
     assert(RecallAlertBus.drain().size == chunksN)
-    // Discrimination: the drain really compacted — each standing table is
-    // one g4 snapshot + the last batch's own part, with the subsumed
-    // increments and the seed gone.
+    // Discrimination: the cascade really merged — each standing table is
+    // the untouched seed, ONE level-2 run covering batches 0–3 (the
+    // intermediate level-1 runs swept), and the last batch's own part.
     for (d <- Seq(clean.postDir, clean.probeDir, clean.edgeDir))
-      assert(partNames(d) == Seq("b4", "g4"),
-        s"expected compacted layout [b4, g4] under $d, got ${partNames(d)}")
+      assert(partNames(d) == Seq("b4", "g2_0_4", "seed"),
+        s"expected tiered layout [b4, g2_0_4, seed] under $d, got ${partNames(d)}")
     val cleanRows = Seq(clean.postDir, clean.probeDir, clean.edgeDir,
       clean.alertDir).map(tableRows)
 
@@ -131,11 +137,11 @@ class StreamReplaySpec extends SparkSpec {
       finally q2.stop()
     }
     val crashed = StreamingQueries.s28Maintain(spark, dir, monitor = true,
-      chunksN = chunksN, drive = Some(crashDrive))
+      chunksN = chunksN, compactEvery = compactEvery, drive = Some(crashDrive))
     assert(RecallAlertBus.drain().size == chunksN + 1,
-      "lost-commit restart did not replay the compaction batch")
+      "lost-commit restart did not replay the tiered-merge batch")
     for (d <- Seq(crashed.postDir, crashed.probeDir, crashed.edgeDir))
-      assert(partNames(d) == Seq("b4", "g4"),
+      assert(partNames(d) == Seq("b4", "g2_0_4", "seed"),
         s"replayed drain layout diverged under $d: ${partNames(d)}")
     val crashedRows = Seq(crashed.postDir, crashed.probeDir, crashed.edgeDir,
       crashed.alertDir).map(tableRows)
@@ -143,6 +149,27 @@ class StreamReplaySpec extends SparkSpec {
         .zip(Seq("postings", "probe lists", "edges", "alerts")))
       assert(c == r, s"$what diverged under compaction-boundary replay")
     assert(cleanRows.head.nonEmpty, "vacuous: no admissions in the clean run")
+  }
+
+  test("partPaths fails loudly on a replay below a compacted fold (ADVICE r16)") {
+    val d = StreamHarness.tempDir("deep-replay")
+    val df = spark.range(4).selectExpr("id AS v")
+    for (k <- 0 until 4)
+      df.filter(col("v") === k).write.mode("overwrite").parquet(s"$d/b$k")
+    StreamingQueries.maybeCompactParts(spark, d, 4L, every = 4)
+    // Normal replay AT the fold boundary still reads exactly batches 0–3.
+    val ok = StreamingQueries.readParts(spark, d, Some(4L))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ok == Seq(0L, 1L, 2L, 3L), s"fold changed the visible rows: $ok")
+    // A DEEPER replay (batch 2 is inside g1_0_4, whose input parts were
+    // deleted after the fold) must fail loudly — before this guard the
+    // partial part set was returned silently, dropping batches 2–3's
+    // absence from the caller's view (ADVICE r16).
+    val e = intercept[IllegalArgumentException] {
+      StreamingQueries.partPaths(spark, d, Some(2L))
+    }
+    assert(e.getMessage.contains("replay below a compacted fold"),
+      s"wrong failure: ${e.getMessage}")
   }
 
   test("s29 admission register survives lost-commit replay + restart with identical emissions") {
