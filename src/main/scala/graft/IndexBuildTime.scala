@@ -76,39 +76,47 @@ object IndexBuildTime {
       s""""$leg":{"all_sec":${ts.map(t => "%.2f".format(t)).mkString("[", ",", "]")},""" +
         s""""median_sec":${"%.2f".format(Stats.median(ts))}}"""
     }.mkString(",")
-    // Cumulative cuts of the fused assign_write stage (VERDICT r15 next
-    // #2): cand_join ⊂ nn_descent ⊂ full_write, each re-trains then
-    // executes its prefix — deltas between cut medians attribute the fused
-    // stage's wall.
-    //
-    // ≥3 reps + per-rep monotonicity (VERDICT r16 next #3): r16 ran 2 reps
-    // and published a rep where the nn_descent PREFIX measured slower than
-    // its full_write SUPERSET (185.0 vs 148.3 s) — cuts that cannot steer a
-    // fix. A rep whose cumulative cuts are not non-decreasing (5% noise
-    // slack: a prefix may not exceed its superset by more than that) is a
-    // contention artifact by construction and is re-run (≤2 retries); the
-    // artifact records per-rep retries and the final monotone verdict so a
+    // MARGINAL cuts of the fused assign_write stage (VERDICT r15 next #2;
+    // semantics updated in r17): since the build materializes its shared
+    // candidate table (listPairs persists `canon`/`g3`, the r17 NN-descent
+    // fix), the three cuts execute in the shipped order SHARING those
+    // caches — cand_join pays the cold candidate stage + cache write,
+    // nn_descent then measures ONLY the incremental top-K + hop cost over
+    // the warm cache, full_write only the τ-part + parquet write. They are
+    // stage MARGINALS, not cumulative prefixes, so the r16 next-#3
+    // trustworthiness gate is a per-rep CONSISTENCY check instead of
+    // cumulative monotonicity: the marginals must SUM to ≈ the fused
+    // stage's independently measured wall (|sum/assign_write − 1| ≤ 0.35 —
+    // a contended rep inflates one marginal without inflating the build
+    // median it must explain, and is re-run, ≤2 retries). ≥3 reps; per-rep
+    // retries and the final consistency verdict are recorded so a
     // still-violating rep is visible, never silently averaged in.
     val cutReps = math.max(3, sys.env.getOrElse("SPARK_GRAFT_CUT_REPS", "3").toInt)
     val cutNames = Seq("cand_join", "nn_descent", "full_write")
-    def monotone(m: Map[String, Double]): Boolean =
-      cutNames.sliding(2).forall { case Seq(a, b) => m(b) >= m(a) * 0.95 }
+    val assignMed = Stats.median(repRows.map(_._2.getOrElse("assign_write", 0.0)))
+    def consistent(m: Map[String, Double]): Boolean = {
+      val sum = cutNames.map(m).sum
+      assignMed > 0 && math.abs(sum / assignMed - 1.0) <= 0.35
+    }
     val cutRows = (1 to cutReps).map { _ =>
       var row = SimilarityQueries.timeBuildCuts(spark, dir).toMap
       var retries = 0
-      while (!monotone(row) && retries < 2) {
+      while (!consistent(row) && retries < 2) {
         retries += 1
         row = SimilarityQueries.timeBuildCuts(spark, dir).toMap
       }
-      (row, retries, monotone(row))
+      (row, retries, consistent(row))
     }
     val cutsJson = cutNames.map { c =>
       val ts = cutRows.map(_._1(c))
       s""""$c":{"all_sec":${ts.map(t => "%.2f".format(t)).mkString("[", ",", "]")},""" +
         s""""median_sec":${"%.2f".format(Stats.median(ts))}}"""
     }.mkString(",") +
-      s""","retries":${cutRows.map(_._2).mkString("[", ",", "]")},""" +
-      s""""monotone":${cutRows.map(_._3).mkString("[", ",", "]")}"""
+      s""","mode":"marginal","assign_write_median_sec":${"%.2f".format(assignMed)},""" +
+      s""""sum_sec":${cutRows.map(r => "%.2f".format(cutNames.map(r._1).sum))
+        .mkString("[", ",", "]")},""" +
+      s""""retries":${cutRows.map(_._2).mkString("[", ",", "]")},""" +
+      s""""consistent":${cutRows.map(_._3).mkString("[", ",", "]")}"""
     val json =
       s"""{"index_build":{"dir":"$dir","reps":$reps,""" +
         s""""warmup_cold":{"total_sec":${"%.2f".format(warm)},${phasesJson(warmPhases)}},""" +

@@ -1291,21 +1291,35 @@ object SimilarityQueries {
           struct(col("nid").as("vec_id"), col("vec_id").as("nid"),
             col("cosine")))).as("p"))
         .select(col("p.vec_id"), col("p.nid"), col("p.cosine"))
-    // pairs0 feeds the top-K graph, the hop expansion, and the consumers'
-    // final merges; the repeated subtree is identical, so ReuseExchange
-    // shares its shuffles across branches (persisting it measured slower —
-    // cache write cost exceeds the reuse win). Dedup is required — the
-    // probe join emits one copy of a pair per shared probed list, and a
-    // duplicate would occupy two ranks in the top-K windows — and it runs
-    // on the UNORDERED key BEFORE symmetrizing (VERDICT r15 next #2): both
-    // directions carry bit-identical cosines (commutative IEEE dot and
-    // norm product, same fold order), so canonical-distinct-then-explode
-    // yields exactly the set distinct-after-symmetrize did while shuffling
+    // The canonical pair table feeds the top-K graph, the hop expansion
+    // (twice, through the self-join), and the τ-filtered edge part — FOUR
+    // consuming branches of one fused write. The repeated subtree is
+    // textually identical, but measured at x10/x100 (round 17,
+    // BuildExplain census) NEITHER ReuseExchange nor AQE's stage cache
+    // shares it: g3∪hops executed ≈ 3× pairs0's wall, the full union ≈ 4×
+    // — the probe join, router, and dedup re-ran per branch. So the build
+    // MATERIALIZES the canonical table explicitly (MEMORY_AND_DISK — at
+    // 100 TB this is the same "index intermediate as a table" discipline
+    // as the materialized output parts; the r15 note that persisting
+    // measured slower predates the broadcast probe join and the 4-branch
+    // consumption, and is overturned by the r17 cut measurements).
+    // [[releaseBuildCaches]] drops it once the build's one write commits.
+    //
+    // Dedup is required — the probe join emits one copy of a pair per
+    // shared probed list, and a duplicate would occupy two ranks in the
+    // top-K — and it runs on the UNORDERED key BEFORE symmetrizing
+    // (VERDICT r15 next #2): both directions carry bit-identical cosines
+    // (commutative IEEE dot and norm product, same fold order), so
+    // canonical-distinct-then-explode yields exactly the set
+    // distinct-after-symmetrize did while shuffling — and now caching —
     // half the rows.
-    val pairs0 = symmetrize(raw
+    val canon = raw
       .select(least(col("vec_id"), col("nid")).as("vec_id"),
         greatest(col("vec_id"), col("nid")).as("nid"), col("cosine"))
-      .distinct())
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    buildCaches.add(canon)
+    val pairs0 = symmetrize(canon)
     // NN-descent round: expand through the seeded top-K graph. The hop
     // table is ≤ KnnK² rows per vector; cosines for hop pairs found by the
     // probe too are bit-identical (commutative IEEE products, same fold
@@ -1328,11 +1342,16 @@ object SimilarityQueries {
     // default 128-key fallback would go straight to a sort-based partial —
     // a local sort of the candidate volume; the exchange saving holds
     // either way, the hash path also drops the sort).
+    // g3 itself is tiny (≤ KnnK·n rows) but consumed three times (its own
+    // output part + both sides of the hop self-join) — persisted so the
+    // aggregation over the symmetrized volume runs once.
     val g3 = pairs0.groupBy(col("vec_id"))
       .agg(graft.functions.TopKCosAggregator.topKnnK(
         col("cosine"), col("nid")).as("tops"))
       .select(col("vec_id"), explode(col("tops")).as("t"))
       .select(col("vec_id"), col("t._2").as("nid"), col("t._1").as("cosine"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    buildCaches.add(g3)
     val g = g3.select(col("vec_id"), col("nid"))
     val hop = g.as("a").join(g.as("b"), col("a.nid") === col("b.vec_id"))
       .filter(col("a.vec_id") =!= col("b.nid"))
@@ -1572,6 +1591,27 @@ object SimilarityQueries {
   private val graphDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, Boolean, Long), String]()
 
+  /** The build's materialized intermediates (the canonical pair table, the
+    * top-K graph — GB-scale at x100) — registered by [[listPairs]],
+    * dropped by the build's caller once its one write has committed. The
+    * long-lived `prepared` vector cache is deliberately NOT here: it
+    * predates round 17 and other e-family plans may resolve against it
+    * through the CacheManager. The
+    * queue (rather than scoped vals) keeps [[listPairs]]'s signature
+    * stable across its three executors (graphTables, timeBuildCuts,
+    * explainBuild); draining a cache an in-flight concurrent build still
+    * holds merely recomputes it — correctness is unaffected. */
+  private val buildCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]()
+
+  private def releaseBuildCaches(): Unit = {
+    var df = buildCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = buildCaches.poll()
+    }
+  }
+
   /** Runs `body` — an index-BUILD execution — with the object-hash
     * aggregation fallback threshold raised to 2²⁰ keys, restoring the prior
     * value after. The build's top-[[KnnK]] extraction is a typed Aggregator
@@ -1602,10 +1642,10 @@ object SimilarityQueries {
       val out = graft.streaming.StreamHarness.tempDir("cgraph")
       val (pairs0, g3, hopsSym, capped, asg) = listPairs(s, dir, trained, maxId)
       val tPhase2 = System.nanoTime()
-      withObjHashRoom(s) {
+      try withObjHashRoom(s) {
         graphUnion(pairs0, g3, hopsSym, capped, asg)
           .write.mode("overwrite").partitionBy("part").parquet(out)
-      }
+      } finally releaseBuildCaches()
       BuildPhases.record("assign_write", tPhase2)
       out
     })
@@ -1637,35 +1677,69 @@ object SimilarityQueries {
       .union(asg.select(col("vec_id"), col("list").as("nid"),
         col("ccos").as("cosine")).withColumn("part", lit("asg")))
 
-  /** Cumulative cuts of the fused `assign_write` stage (VERDICT r15 next
-    * #2), SlopeAttribution-style: after one untimed prepare+train, each cut
-    * executes a PREFIX of the fused job's plan into a sink, so the deltas
-    * attribute the stage's wall to the candidate probe-join, the NN-descent
-    * refinement, and the partitioned parquet write:
+  /** MARGINAL cuts of the fused `assign_write` stage (VERDICT r15 next #2;
+    * r17 semantics): after one untimed prepare+train, the cuts execute in
+    * the shipped order SHARING the build's materialized intermediates
+    * (`canon`/`g3` — released only after the last cut), so each cut times
+    * the marginal cost of its stage exactly as the one shipped write pays
+    * it:
     *
     *  - `cand_join`  — routing + capped probe join + canonical dedup +
-    *    symmetrize (pairs0) into the noop sink;
-    *  - `nn_descent` — pairs0 + the top-K window + hop expansion + hop
-    *    scoring (g3 ∪ hops) into the noop sink;
-    *  - `full_write` — the shipped union of all five parts written to
-    *    scratch parquet, the same plan [[graphTables]] executes.
+    *    cache write + symmetrize (pairs0, COLD) into the noop sink;
+    *  - `nn_descent` — the bounded top-K aggregation + hop expansion + hop
+    *    scoring (g3 ∪ hops) over the WARM canon cache;
+    *  - `full_write` — the shipped five-part union written to scratch
+    *    parquet, warm canon+g3 (its marginal: the τ-part + the write).
     *
-    * Cuts re-execute their shared prefix (no caching — the shipped build
-    * runs uncached, so a cached cut would not measure the shipped shape). */
+    * The three marginals must sum to ≈ the fused stage's wall —
+    * [[graft.IndexBuildTime]] gates each rep on that consistency. */
+  /** Plan-dump hook for [[BuildExplain]]: the fused build union's physical
+    * plan, plus a one-line census of Exchange vs ReusedExchange nodes. */
+  private[queries] def explainBuild(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = withObjHashRoom(s) {
+    val (pairs0, g3, hopsSym, capped, asg) = listPairs(s, dir)
+    def census(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // AFTER execution the AdaptiveSparkPlan prints its FINAL plan —
+      // runtime stage reuse is visible there, not in the static explain.
+      val plan = df.queryExecution.executedPlan.toString
+      def count(p: String) = p.r.findAllIn(plan).size
+      println(s"[buildexplain] $tag sec=${"%.1f".format(sec)} " +
+        s"exchanges=${count("Exchange ")} reused=${count("ReusedExchange")} " +
+        s"objhashagg=${count("ObjectHashAggregate")} " +
+        s"sortagg=${count("SortAggregate")} scans=${count("Scan parquet")} " +
+        s"final=${count("isFinalPlan=true")}")
+    }
+    census("pairs0", pairs0)
+    census("g3", g3)
+    census("g3+hops", g3.union(hopsSym))
+    census("full", graphUnion(pairs0, g3, hopsSym, capped, asg))
+    graphUnion(pairs0, g3, hopsSym, capped, asg).explain("formatted")
+    releaseBuildCaches()
+  }
+
   private[graft] def timeBuildCuts(s: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(String, Double)] = withObjHashRoom(s) {
-    val (pairs0, g3, hopsSym, capped, asg) = listPairs(s, dir)
-    def t(act: => Unit): Double = {
-      val t0 = System.nanoTime(); act; (System.nanoTime() - t0) / 1e9
-    }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    val out = graft.streaming.StreamHarness.tempDir("cutw")
-    Seq(
-      "cand_join" -> t(noop(pairs0)),
-      "nn_descent" -> t(noop(g3.union(hopsSym))),
-      "full_write" -> t(graphUnion(pairs0, g3, hopsSym, capped, asg)
-        .write.mode("overwrite").partitionBy("part").parquet(out)))
+    try {
+      val (pairs0, g3, hopsSym, capped, asg) = listPairs(s, dir)
+      def t(act: => Unit): Double = {
+        val t0 = System.nanoTime(); act; (System.nanoTime() - t0) / 1e9
+      }
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val out = graft.streaming.StreamHarness.tempDir("cutw")
+      // The cuts share the build's materialized intermediates exactly as
+      // the shipped one-write job does: cand_join pays the canon cache
+      // write, the later cuts read it — the deltas still attribute the
+      // stage because that IS the shipped execution order.
+      Seq(
+        "cand_join" -> t(noop(pairs0)),
+        "nn_descent" -> t(noop(g3.union(hopsSym))),
+        "full_write" -> t(graphUnion(pairs0, g3, hopsSym, capped, asg)
+          .write.mode("overwrite").partitionBy("part").parquet(out)))
+    } finally releaseBuildCaches()
   }
 
   /** Materialized CLUSTER LABELS over the graph index, built once per
