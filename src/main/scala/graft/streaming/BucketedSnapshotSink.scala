@@ -103,40 +103,49 @@ abstract class BucketedSnapshotSink(path: String, keyCols: Seq[String],
       return
     }
     val spark = batch.sparkSession
-    // Touched-bucket discovery is metadata, not data: ≤ nBuckets ints.
-    val touched = batch.select(bucketOf.as(BucketCol))
-      .distinct().collect().map(_.getInt(0)).toSet
-    if (touched.nonEmpty) {
-      val prevPaths = touched.toSeq.sorted
-        .flatMap(b => man.get(b).map(v => bucketPath(v, b).toString))
-      val prev = prevPaths match {
-        case Seq() => None
-        case ps    => Some(spark.read.parquet(ps: _*))
-      }
-      merge(prev, batch)
-        .withColumn(BucketCol, bucketOf)
-        .write.mode("overwrite").partitionBy(BucketCol)
-        .parquet(root.resolve(version).toString)
-      val nextMan = man ++ touched.map(_ -> version)
-      val tmp = root.resolve(s"_latest.tmp.$batchId")
-      Files.writeString(tmp,
-        nextMan.toSeq.sorted.map { case (b, v) => s"$b\t$v" }.mkString("\n"))
-      Files.move(tmp, latestPtr, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-      // GC (safe: the manifest swap above is already durable). Full sweep,
-      // not just this batch's delta: any bucket dir the NEW manifest does
-      // not reference is dead — including ones orphaned by a past crash
-      // between a manifest swap and its GC (ADVICE r3) — and so is any
-      // whole version dir no bucket references anymore.
-      val live = nextMan.values.toSet
-      versionsOnDisk.foreach { v =>
-        if (!live(v)) deleteRecursively(v)
-        else bucketDirsIn(v).foreach { b =>
-          if (!nextMan.get(b).contains(v))
-            deleteRecursively(s"$v/$BucketCol=$b")
+    // Two actions consume the batch (touched-bucket discovery, then the
+    // merge write), and a foreachBatch DataFrame re-executes its whole
+    // upstream plan — source file read + wire parse — per action; one
+    // persist makes the second action read the computed rows instead
+    // (guide §5: cache exactly what is reused). Unpersisted in the finally
+    // below so the engine never carries sink-batch blocks across triggers.
+    val cached = batch.persist()
+    try {
+      // Touched-bucket discovery is metadata, not data: ≤ nBuckets ints.
+      val touched = cached.select(bucketOf.as(BucketCol))
+        .distinct().collect().map(_.getInt(0)).toSet
+      if (touched.nonEmpty) {
+        val prevPaths = touched.toSeq.sorted
+          .flatMap(b => man.get(b).map(v => bucketPath(v, b).toString))
+        val prev = prevPaths match {
+          case Seq() => None
+          case ps    => Some(spark.read.parquet(ps: _*))
+        }
+        merge(prev, cached)
+          .withColumn(BucketCol, bucketOf)
+          .write.mode("overwrite").partitionBy(BucketCol)
+          .parquet(root.resolve(version).toString)
+        val nextMan = man ++ touched.map(_ -> version)
+        val tmp = root.resolve(s"_latest.tmp.$batchId")
+        Files.writeString(tmp,
+          nextMan.toSeq.sorted.map { case (b, v) => s"$b\t$v" }.mkString("\n"))
+        Files.move(tmp, latestPtr, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        // GC (safe: the manifest swap above is already durable). Full sweep,
+        // not just this batch's delta: any bucket dir the NEW manifest does
+        // not reference is dead — including ones orphaned by a past crash
+        // between a manifest swap and its GC (ADVICE r3) — and so is any
+        // whole version dir no bucket references anymore.
+        val live = nextMan.values.toSet
+        versionsOnDisk.foreach { v =>
+          if (!live(v)) deleteRecursively(v)
+          else bucketDirsIn(v).foreach { b =>
+            if (!nextMan.get(b).contains(v))
+              deleteRecursively(s"$v/$BucketCol=$b")
+          }
         }
       }
-    }
+    } finally { cached.unpersist(); () }
     Files.writeString(root.resolve(s"_batch_$batchId"), "")
   }
 

@@ -111,10 +111,40 @@ object StreamHarness {
     * `start` receives the raw-line streaming DataFrame (single `value`
     * column) and must start the query. */
   def drain(spark: SparkSession, source: StreamSource, chunks: Seq[DataFrame])(
-      start: DataFrame => StreamingQuery): Unit = {
-    drainMeasured(spark, source, chunks)(start)
-    ()
-  }
+      start: DataFrame => StreamingQuery): Unit =
+    drainPublish(spark, source, chunks.map(c => () => source.append(c)))(start)
+
+  /** [[drain]] generalized over the publish step: each element publishes one
+    * micro-batch's lines — a DataFrame append or a staged-file link
+    * ([[FileStreamSource.appendStaged]]) — and the query drains after each.
+    * The staged form removes the per-query feed re-render (guide §1.2: the
+    * distributed algorithm first — don't compute what a previous identical
+    * job already rendered), leaving the engine's micro-batch machinery
+    * itself as the timed cost. */
+  def drainPublish(spark: SparkSession, source: StreamSource,
+                   publish: Seq[() => Unit])(
+      start: DataFrame => StreamingQuery): Unit =
+    withStreamShuffle(spark) {
+      val q = start(source.open(spark))
+      try publish.foreach { p => p(); q.processAllAvailable() }
+      finally q.stop()
+    }
+
+  /** Two-source sibling of [[drainPublish]]: both publish lists advance in
+    * lockstep (publish boundaries = batch boundaries on both sides). */
+  def drain2Publish(spark: SparkSession,
+                    sourceA: StreamSource, publishA: Seq[() => Unit],
+                    sourceB: StreamSource, publishB: Seq[() => Unit])(
+      start: (DataFrame, DataFrame) => StreamingQuery): Unit =
+    withStreamShuffle(spark) {
+      val q = start(sourceA.open(spark), sourceB.open(spark))
+      try publishA.map(Option(_)).zipAll(publishB.map(Option(_)), None, None)
+        .foreach { case (a, b) =>
+          a.foreach(_())
+          b.foreach(_())
+          q.processAllAvailable()
+        } finally q.stop()
+    }
 
   /** [[drain]] variant that also returns each data-carrying micro-batch's
     * processing time in ms, read from the query's progress log after the
@@ -179,13 +209,7 @@ object StreamHarness {
              sourceA: StreamSource, chunksA: Seq[DataFrame],
              sourceB: StreamSource, chunksB: Seq[DataFrame])(
       start: (DataFrame, DataFrame) => StreamingQuery): Unit =
-    withStreamShuffle(spark) {
-      val q = start(sourceA.open(spark), sourceB.open(spark))
-      try chunksA.map(Option(_)).zipAll(chunksB.map(Option(_)), None, None)
-        .foreach { case (a, b) =>
-          a.foreach(sourceA.append)
-          b.foreach(sourceB.append)
-          q.processAllAvailable()
-        } finally q.stop()
-    }
+    drain2Publish(spark,
+      sourceA, chunksA.map(c => () => sourceA.append(c)),
+      sourceB, chunksB.map(c => () => sourceB.append(c)))(start)
 }

@@ -46,6 +46,32 @@ final class FileStreamSource(val dir: String,
     maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n)).text(dir)
   }
   override def append(chunk: DataFrame): Unit = FileFeed.append(chunk, dir)
+
+  /** Publish a PRE-RENDERED chunk: hard-link (copy if the staging dir sits
+    * on another filesystem) every data part-file of `stagedDir` into the
+    * watched dir under a chunk-unique name. The bytes entering the stream
+    * are exactly the staged render's — only the transport differs (a
+    * metadata link instead of a re-render job), mirroring how a broker
+    * serves the same log segment to every consumer group. Metadata files
+    * (`_SUCCESS`, hidden names) are skipped, matching the file source's own
+    * listing filter. */
+  def appendStaged(stagedDir: String): Unit = {
+    val src = Paths.get(stagedDir)
+    val s = Files.list(src)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .foreach { p =>
+          val tgt = Paths.get(dir).resolve(s"${src.getFileName}-${p.getFileName}")
+          try Files.createLink(tgt, p)
+          catch { case _: Exception => Files.copy(p, tgt); () }
+        }
+    } finally s.close()
+  }
 }
 
 /** Distributed feed writer for [[FileStreamSource]]: renders a one-column
