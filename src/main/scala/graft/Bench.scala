@@ -98,6 +98,16 @@ object Bench {
       // long-running SQL server serving this many distinct queries would be.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // Scan-parallelism FLOOR, derived from the session's core count (so
+      // the driver's lower-core bench keeps a matching floor): the default
+      // split sizing packs a whole compute-heavy corpus into one 128 MB
+      // split — at the derived x10/x100 scale points the documents scan ran
+      // as a SINGLE task while 31 cores idled (guide §6 input split size;
+      // §2.5 input skew). On real 100 TB inputs the natural split count
+      // exceeds any per-node floor, so this is a no-op there; it is NOT a
+      // local[32] constant — it tracks SPARK_GRAFT_CPUS.
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_SPLITS", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

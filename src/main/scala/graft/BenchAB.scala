@@ -129,6 +129,13 @@ object BenchAB {
       require(sh(Seq("git", "worktree", "add", "--force", "--detach", wt, commit)) == 0,
         s"worktree add failed for $commit")
       val childOut = s"$wt/ab_out.json"
+      // extraEnv LAST: with duplicate keys the later entry wins in the
+      // child process env, and a leg's explicit settings (the control
+      // legs' ONLY=ControlQueries, their rep count) must beat the caller's
+      // forwarded SPARK_GRAFT_ONLY — the first subset A/B run this round
+      // had the forwarding after extraEnv, so the control legs silently
+      // ran the caller's query subset and the drift geomean had no common
+      // queries to average (NaN, unqualifiable artifact).
       val env = Seq(
         "SPARK_GRAFT_SF_DIR" -> sfDir,
         "SPARK_GRAFT_REPS" -> reps,
@@ -137,9 +144,9 @@ object BenchAB {
         "SPARK_GRAFT_SCALE_DIR" -> sfDir,
         "SPARK_GRAFT_SCALEUP_FACTOR" -> "1",
         "SPARK_GRAFT_BENCH_OUT" -> childOut) ++
-        extraEnv ++
         sys.env.get("SPARK_GRAFT_ONLY").map("SPARK_GRAFT_ONLY" -> _) ++
-        sys.env.get("SPARK_GRAFT_CPUS").map("SPARK_GRAFT_CPUS" -> _)
+        sys.env.get("SPARK_GRAFT_CPUS").map("SPARK_GRAFT_CPUS" -> _) ++
+        extraEnv
       val rc = sh(Seq("sbt", "-batch", "runMain graft.Bench"),
         Some(new java.io.File(wt)), env)
       val json =

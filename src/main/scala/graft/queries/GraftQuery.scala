@@ -16,6 +16,34 @@ final case class GraftQuery(
 
 object GraftQuery {
 
+  /** The previous [[sortedOnce]] cache — one live entry across the whole
+    * registry, rotated (unpersisted) at the START of the next sortedOnce
+    * call so (a) storage never accumulates across queries or bench reps and
+    * (b) every run re-registers fresh and recomputes from the parquet
+    * inputs (no cross-rep reuse). */
+  private val lastSorted =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  /** Trailing presentation sort over a SHUFFLE-FREE expensive child
+    * (optimization r17, guide §2.4/§5): a global `orderBy` range-partitions
+    * its child, and the range partitioner's sampling pass EVALUATES the
+    * child in full before the real pass does — for a map-only pipeline
+    * (regex scrub, JSON parse, array quantization) that is the whole
+    * expensive computation executed twice (children that end in a shuffle
+    * or aggregate don't pay this: the sample pass re-reads their shuffle
+    * files). Persisting the child shares one evaluation between the sample
+    * and output passes; the cache entry is rotated out on the next
+    * sortedOnce call. Results are unchanged — same rows, same total order.
+    */
+  def sortedOnce(df: DataFrame,
+                 cols: org.apache.spark.sql.Column*): DataFrame = {
+    Option(lastSorted.getAndSet(null)).foreach(_.unpersist(false))
+    val cached =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastSorted.set(cached)
+    cached.orderBy(cols: _*)
+  }
+
   /** Mark every non-recursive CTE `AS MATERIALIZED` (DuckDB planner hint;
     * value-neutral). Under `WITH RECURSIVE`, DuckDB stops auto-materializing
     * multiply-referenced CTEs, so a CTE read by the recursive member — or a

@@ -970,20 +970,121 @@ object RelationalQueries {
     * attribute the x100 slope between the window sort (whose parallelism
     * the 5-value partition key caps) and the final orderBy (whose range
     * partitioner re-samples the windowed child). */
+  /** The previous q40 run's cached range-partitioned frame — rotated (and
+    * unpersisted) on each new run so repeated bench reps hold at most one
+    * live cache entry. */
+  private val q40LastCached =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   private[graft] def q40Frame(s: SparkSession, dir: String,
       cut: String = "full"): DataFrame = {
     val base = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
     if (cut == "scan") return base
+    // TWO-PHASE rank family (optimization r17, guide §2.5): the direct
+    // `Window.partitionBy(o_orderpriority)` puts each priority's whole
+    // row set in ONE task — 5-way parallelism at every scale, the one
+    // parallelism cap AQE cannot split (skew handling only splits JOIN
+    // partitions), measured 20.8 s at x100 with 32 cores ~idle. Because
+    // (o_totalprice, o_orderkey) is UNIQUE within a priority (o_orderkey is
+    // the orders PK; pinned by Q40TwoPhaseSpec), every rank-family value is
+    // a function of the row's POSITION in the per-priority total order and
+    // the priority's row count n alone: rank = dense_rank = position,
+    // percent_rank = (pos−1)/(n−1), cume_dist = pos/n, ntile(4) = the tile
+    // containing pos (larger tiles first). So:
+    //  1. range-partition by (priority, price, key) — pid order IS sort
+    //     order, so per-pid counts give global offsets;
+    //  2. row_number within (pid, priority) — full-parallel local sort;
+    //  3. positions = broadcast cumulative offsets over the tiny
+    //     (partitions × 5) count table + local row numbers.
+    // Both phases shuffle the narrow projection once each at full
+    // parallelism instead of once into 5 tasks; equality with the direct
+    // window form (incl. IEEE bit-equality of the two divisions — exact
+    // int64 inputs, one correctly-rounded double divide in both engines) is
+    // spec-pinned on real and tie-free-synthetic frames.
+    // PERSIST is load-bearing, not a cache win: the offsets branch and the
+    // row_number branch both consume `marked`, and a physical plan is a
+    // TREE — an unpersisted fork duplicates the range exchange, each copy
+    // SAMPLES its own boundaries (RangePartitioner seeds by RDD id), and
+    // the two branches' _pid assignments can disagree (exchange reuse did
+    // NOT fire here — pinned by Q40TwoPhaseSpec). An InMemoryRelation is
+    // the one DataFrame-level DAG-sharing primitive: the shuffle under it
+    // runs once, so both branches see the same boundaries even across
+    // block eviction (recompute re-reads the same map output). One live
+    // entry at a time: each q40 run unpersists the previous run's cache,
+    // so bench reps do not accumulate storage.
+    // Rotate the previous run's entry out BEFORE persisting: unpersist
+    // drops cache entries by PLAN equality, so doing it after would also
+    // deregister the new (identical-plan) entry — and a fresh registration
+    // per run means every bench rep recomputes from parquet instead of
+    // silently reading the previous rep's materialized cache.
+    Option(q40LastCached.getAndSet(null)).foreach(_.unpersist(false))
+    val marked = base
+      .repartitionByRange(col("o_orderpriority"), col("o_totalprice"),
+        col("o_orderkey"))
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    q40LastCached.set(marked)
+    val counts = marked.groupBy(col("_pid"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("_n"))
+    val offs = counts
+      .withColumn("_off", coalesce(sum(col("_n")).over(
+        Window.partitionBy(col("o_orderpriority")).orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_tot", sum(col("_n")).over(
+        Window.partitionBy(col("o_orderpriority"))))
+      .select(col("_pid"), col("o_orderpriority"), col("_off"), col("_tot"))
+    val local = Window.partitionBy(col("_pid"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    // ntile(4): q = n div 4 rows per tile, the first r = n mod 4 tiles take
+    // one extra. Positions ≤ r·(q+1) land in the big tiles; the rest index
+    // the size-q tiles past that prefix. All arithmetic is exact integer
+    // `div`/`%` (Spark's `/` is double division); greatest(_q, 1) only
+    // guards the branch never taken when q = 0 (then every pos is in the
+    // prefix).
+    val ranked = marked
+      .withColumn("_rn", row_number().over(local))
+      .join(broadcast(offs), Seq("_pid", "o_orderpriority"))
+      .withColumn("_pos", col("_off") + col("_rn"))
+      .withColumn("_q", expr("_tot div 4"))
+      .withColumn("_r", col("_tot") % 4)
+      .withColumn("rnk", col("_pos"))
+      .withColumn("drnk", col("_pos"))
+      .withColumn("prnk", when(col("_tot") === 1, lit(0.0)).otherwise(
+        (col("_pos") - 1).cast("double") / (col("_tot") - 1).cast("double")))
+      .withColumn("cdist",
+        col("_pos").cast("double") / col("_tot").cast("double"))
+      .withColumn("tile4",
+        when(col("_pos") <= col("_r") * (col("_q") + 1),
+          expr("(_pos - 1) div (_q + 1) + 1"))
+          .otherwise(expr("_r + (_pos - _r * (_q + 1) - 1) div greatest(_q, 1) + 1"))
+          .cast("int"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        col("rnk"), col("drnk"), col("prnk"), col("cdist"), col("tile4"))
+    // sortedOnce: the final presentation sort's range sampling would
+    // otherwise re-run the row_number/join path a second time (the cache
+    // below `marked` only shares the range-partitioned input, not the
+    // ranked output).
+    if (cut == "window") ranked
+    else GraftQuery.sortedOnce(ranked, col("o_orderkey"))
+  }
+
+  /** q40's ORIGINAL direct-window formulation, kept as the spec reference:
+    * [[q40Frame]]'s two-phase plan must equal this row-for-row (the oracle
+    * checks it against DuckDB too; this form is the Spark-internal witness
+    * for the equivalence argument). */
+  private[graft] def q40DirectFrame(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val ranked = base
+    base
       .withColumn("rnk", rank().over(w).cast("long"))
       .withColumn("drnk", dense_rank().over(w).cast("long"))
       .withColumn("prnk", percent_rank().over(w))
       .withColumn("cdist", cume_dist().over(w))
       .withColumn("tile4", ntile(4).over(w))
-    if (cut == "window") ranked else ranked.orderBy(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
   }
 
   val q40RankFamily: GraftQuery = GraftQuery(

@@ -107,11 +107,14 @@ object StreamingQueries {
       val raw = Tables.load(s, dir, "events")
         .select(when(col("event_id") % 97 === 0, Wire.fitbitLineWith(lit("bad")))
           .otherwise(Wire.fitbitLine).as("value"))
-      parseFitbit(raw)
+      val parsed = parseFitbit(raw)
         .select(col("user_id"), col("lat"), col("long"), col("pulse"),
           col("temp"), col("age"), col("bp_cat"), col("machine_ts"),
           col("_corrupt").isNotNull.as("is_corrupt"))
-        .orderBy(col("user_id"), col("machine_ts"), col("long"), col("pulse"))
+      // sortedOnce: the CSV render + PERMISSIVE from_csv parse is the whole
+      // cost and shuffle-free — a bare orderBy parses every line twice.
+      GraftQuery.sortedOnce(parsed,
+        col("user_id"), col("machine_ts"), col("long"), col("pulse"))
     },
     Some(s"""SELECT CAST(user_id AS VARCHAR) AS user_id, $LatSql AS lat, $LongSql AS long,
       CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS pulse,
@@ -159,10 +162,13 @@ object StreamingQueries {
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType)))
       Tables.prepare(s)
-      s.read.schema(schema).option("timestampFormat", JsonTsFmt).json(path)
+      val parsed = s.read.schema(schema)
+        .option("timestampFormat", JsonTsFmt).json(path)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
-        .orderBy(col("event_id"))
+      // sortedOnce: the JSON parse is the whole cost and shuffle-free — a
+      // bare orderBy parses the corpus twice (range sampling + output).
+      GraftQuery.sortedOnce(parsed, col("event_id"))
     },
     Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
       FROM events ORDER BY event_id"""))
@@ -347,13 +353,15 @@ object StreamingQueries {
       val warn = graft.functions.HealthFunctions.warning(
         graft.functions.HealthFunctions.roundHalfUp(col("value")), age,
         col("event_type"), criticalCats = EventCriticalCats)
-      Tables.load(s, dir, "events")
+      val rendered = Tables.load(s, dir, "events")
         .select(renderTuple(col("user_id").cast("string"), warn,
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")).as("rendered"),
           warn.as("w"))
         .filter(col("w") =!= "no-use")
         .select(col("rendered"))
-        .orderBy(col("rendered"))
+      // sortedOnce: classifier + tuple render is shuffle-free (c01's
+      // rationale).
+      GraftQuery.sortedOnce(rendered, col("rendered"))
     },
     Some(s"""SELECT '(' || CAST(user_id AS VARCHAR) || ',' || $WarningSql || ',' ||
         $TsStrSql || ')' AS rendered
@@ -622,9 +630,10 @@ object StreamingQueries {
       // Total order needs lat too: lat derives from event_id while the other
       // four keys derive from (user_id, temp), so two events of one user with
       // the same value tie on everything but lat (ADVICE r6).
-      mapData(parseFitbit(raw))
-        .orderBy(col("user_id"), col("lat"), col("long"), col("pulse"),
-          col("temp"))
+      // sortedOnce: render + parse is the whole cost, shuffle-free (c01's
+      // rationale).
+      GraftQuery.sortedOnce(mapData(parseFitbit(raw)),
+        col("user_id"), col("lat"), col("long"), col("pulse"), col("temp"))
     },
     Some(s"""SELECT CAST(user_id AS VARCHAR) AS user_id, $LatSql AS lat,
       $LongSql AS long, $PulseSql AS pulse, value AS temp

@@ -848,7 +848,9 @@ object TextQueries {
           .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ids"),
             md5(col("redacted").cast("binary")).as("redacted_digest"),
             length(col("redacted")).cast("long").as("n_chars_redacted"))
-          .orderBy(col("doc_id"))
+          // sortedOnce: the three-regex scrub chain is shuffle-free, so a
+          // bare orderBy runs every regex twice (range sampling + output).
+          .transform(d => GraftQuery.sortedOnce(d, col("doc_id")))
       },
       Some(s"""WITH aug AS (
           SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
