@@ -149,6 +149,18 @@ object Bench {
       runOnce(n, sfDir)
       if (scaleDirOk) runOnce(n, scaleDir)
     }
+    // Stage every wire feed untimed, next to the index pre-build (ADVICE
+    // r17 #4, optimization r18): staging renders the same bytes a broker
+    // would already hold — fixture manufacture, not the stream under test.
+    // Through r17 the first consuming query per (dir, tag) paid the render
+    // inside ONE timed rep (inflating its rep CV while every later consumer
+    // excluded feed manufacture); pre-staging removes the first-payer
+    // asymmetry so all 30 streaming medians time the same thing: the
+    // micro-batch engine, state stores, sinks, and readback.
+    if (names.exists(_.matches("s\\d\\d_.*"))) {
+      graft.queries.StreamingQueries.prestageFeeds(spark, sfDir)
+      if (scaleDirOk) graft.queries.StreamingQueries.prestageFeeds(spark, scaleDir)
+    }
 
     // Reps interleave ROUND-ROBIN across queries — rep 1 of every query,
     // then rep 2, … — so one contended wall-clock stretch inflates ONE rep

@@ -74,6 +74,33 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Positional word windows (d30) — see [[HashOps.wordWindows]]. */
+  case class WordWindows(child: Expression, w: Int) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.wordWindows(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.expr.HashOps.wordWindows($c, $w)")
+    override protected def withNewChildInternal(newChild: Expression): WordWindows =
+      copy(child = newChild)
+  }
+
+  /** Packed canonical pairs over a (distinct-id) array — d37's pair
+    * expansion as one codegen'd call emitting n·(n−1)/2 single-long keys
+    * (see [[HashOps.pairPack]] for the packing contract and guard). */
+  case class PairPack(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      HashOps.pairPack(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.expr.HashOps.pairPack($c)")
+    override protected def withNewChildInternal(newChild: Expression): PairPack =
+      copy(child = newChild)
+  }
+
   case class MinhashSig(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = true)
     override protected def nullSafeEval(input: Any): Any =
@@ -529,6 +556,39 @@ object HashExpressions {
       copy(child = newChild)
   }
 
+  /** Exact string-set membership against a driver-built key set — the
+    * EXACT sibling of [[BloomContains]] for map-side scrub sets whose
+    * hit/miss counts land in the result (a Bloom's false positives would
+    * corrupt them). The keys ride as a reference object (one copy per
+    * executor, the same envelope as broadcasting the set for a hash join);
+    * the probe is one hash lookup inside whole-stage codegen — NOT an
+    * `array_contains` linear scan, which made a 6.5k-entry scrub set
+    * quadratic over a 92k-window corpus (measured 55 s vs ~1 s at sf0.1). */
+  case class StringSetContains(child: Expression, keys: Array[Array[Byte]])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+
+    @transient private lazy val set = {
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+        math.max(keys.length * 2, 16))
+      keys.foreach(k =>
+        s.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(k)))
+      s
+    }
+
+    def contains(v: org.apache.spark.unsafe.types.UTF8String): Boolean =
+      set.contains(v)
+
+    override protected def nullSafeEval(input: Any): Any =
+      contains(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("strset", this, classOf[StringSetContains].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.contains($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): StringSetContains =
+      copy(child = newChild)
+  }
+
   case class DotFold(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -554,6 +614,11 @@ object HashExpressions {
         args(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("graft_bigram_hashes",
       args => BigramHashes(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_pair_pack",
+      args => PairPack(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_word_windows",
+      args => WordWindows(args.head,
+        args(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       args => MinhashSig(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",

@@ -157,6 +157,68 @@ object HashOps {
     new GenericArrayData(seen.toArray)
   }
 
+  /** Positional word windows: element i (0-based) is the " "-joined slice
+    * ws[i·w .. i·w+w), for ⌈n/w⌉ windows — the d30 window builder as ONE
+    * codegen'd call per row. The declarative form (`transform` over an
+    * index sequence with an `array_join(slice(...))` lambda) is a
+    * CodegenFallback HOF evaluated per ELEMENT with per-element ArrayData
+    * churn; this loop concatenates bytes directly. Value-identical to
+    * `array_join(slice(ws, (i-1)*w+1, w), " ")` for i in 1..⌈n/w⌉. */
+  def wordWindows(ws: ArrayData, w: Int): ArrayData = {
+    val n = ws.numElements()
+    val m = (n + w - 1) / w
+    val out = new Array[UTF8String](m)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < m) {
+      val from = i * w
+      val until = math.min(from + w, n)
+      val parts = new Array[UTF8String](until - from)
+      var j = from
+      while (j < until) { parts(j - from) = ws.getUTF8String(j); j += 1 }
+      out(i) = UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  /** Canonical ordered pairs of an id array, PACKED into single longs:
+    * for every index pair i < j with distinct values, emits
+    * `(min << 32) | max` — one 8-byte shuffle key instead of the two-long
+    * (doc_a, doc_b) row (guide §2.3 narrower types: the d37 pair-count
+    * exchange is the repo's largest shuffle, and its key width drops ~25%
+    * of the row). Emits exactly n·(n−1)/2 rows where the explode×explode +
+    * filter formulation generated n² rows and dropped half. GUARDED: ids
+    * must fit in an unsigned 32-bit slot or the packing would alias —
+    * violations throw rather than corrupt (unpack with an UNSIGNED shift;
+    * ids ≥ 2³¹ set the sign bit of the packed long). */
+  def pairPack(ds: ArrayData): ArrayData = {
+    val n = ds.numElements()
+    val out = new Array[Long](n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val a = ds.getLong(i)
+      if (a < 0L || a > 0xFFFFFFFFL)
+        throw new IllegalArgumentException(
+          s"graft_pair_pack: id $a outside [0, 2^32) - packed pair key would alias")
+      var j = i + 1
+      while (j < n) {
+        val b = ds.getLong(j)
+        if (a != b) {
+          val lo = math.min(a, b)
+          val hi = math.max(a, b)
+          out(idx) = (lo << 32) | hi
+          idx += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      if (idx == out.length) out else java.util.Arrays.copyOf(out, idx))
+  }
+
   /** Dot product as an index-order accumulation — identical floating-point
     * order to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (a left fold), so
     * results stay bit-equal to the declarative builder and the DuckDB

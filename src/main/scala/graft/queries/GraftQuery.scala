@@ -34,7 +34,17 @@ object GraftQuery {
     * files). Persisting the child shares one evaluation between the sample
     * and output passes; the cache entry is rotated out on the next
     * sortedOnce call. Results are unchanged — same rows, same total order.
-    */
+    *
+    * CONTRACT (ADVICE r17): the single rotation slot assumes queries are
+    * BUILT AND EXECUTED SEQUENTIALLY — build A, run A, build B, run B — as
+    * Bench/Verify/the driver do. Building a second sortedOnce frame before
+    * executing the first unpersists the first frame's cache mid-flight:
+    * still CORRECT for the deterministic children used here (the sample and
+    * output passes recompute the same rows), but it silently restores the
+    * double evaluation this helper exists to remove, and a NONDETERMINISTIC
+    * child could then diverge between the two passes. A concurrent server
+    * should scope the cache per returned frame (e.g. release via a
+    * QueryExecutionListener) instead of this shared slot. */
   def sortedOnce(df: DataFrame,
                  cols: org.apache.spark.sql.Column*): DataFrame = {
     Option(lastSorted.getAndSet(null)).foreach(_.unpersist(false))

@@ -504,6 +504,15 @@ object MultimodalQueries {
     "m08_crossmodal_evidence",
     s"cross-modal evidence pairs: media (<=3) / text (>=${SimilarityQueries.SemTau}) / joint (<=$JointHamming & >=$JointTau) classes over banded candidates",
     (s, dir) => {
+      // The r17 join tree is the measured optimum and stays: per-vector
+      // transform+norm on the (small) embeddings side, computed ONCE per
+      // vector at broadcast build. Two r18 alternatives were measured and
+      // REJECTED — a Bloom prefilter of the embeddings scan by candidate
+      // ids (its build actions cost more than the joins save at every
+      // bench scale) and a raw-float join with per-candidate transforms
+      // (candidates outnumber vectors ~128:1 at sf0.1 — 257k pairs vs 2k
+      // vectors — so per-candidate work is the WRONG side of the join).
+      // See OPTIMIZATION_r18.md for the numbers.
       val cand = phashCandidates(s, dir, JointHamming)
       val emb = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -526,14 +535,20 @@ object MultimodalQueries {
         .withColumn("joint_dup",
           !col("media_dup") && !col("text_dup") &&
             coalesce(col("cosine") >= JointTau, lit(false)))
-      scored
+      // sortedOnce (optimization r18): the presentation sort's range
+      // sampler re-executes its child, and here the child's work ABOVE the
+      // last exchange — the two broadcast probes, the cosine dot, and the
+      // evidence filter over the FULL ~257k-pair candidate volume — is the
+      // query's dominant cost. Persisting the (tiny, post-filter) result
+      // shares one evaluation between the sample and output passes.
+      GraftQuery.sortedOnce(scored
         .filter(col("media_dup") || col("text_dup") || col("joint_dup"))
         .select(col("doc_a"), col("doc_b"), col("hamming"), col("cosine"),
           when(col("media_dup") && col("text_dup"), "both")
             .when(col("media_dup"), "media")
             .when(col("text_dup"), "text")
-            .otherwise("joint").as("evidence"))
-        .orderBy(col("doc_a"), col("doc_b"))
+            .otherwise("joint").as("evidence")),
+        col("doc_a"), col("doc_b"))
     },
     Some {
       val dot = (a: String, b: String) =>

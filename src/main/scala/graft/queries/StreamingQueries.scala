@@ -80,20 +80,146 @@ object StreamingQueries {
       }
     })
 
-  /** Publisher list for the staged events-table wire feed: one publisher per
+  /** Publisher list for a registered staged wire feed: one publisher per
     * chunk, each hard-linking that chunk's staged files into `src`'s watched
-    * dir. `tag` keys the staging, so callers passing a non-default `render`
-    * MUST pass a render-distinct tag. */
+    * dir. The feed is RESOLVED from [[feedRegistry]] by tag — call sites
+    * cannot pair a tag with a divergent render (ADVICE r17). */
   private def feedPublishers(s: SparkSession, dir: String, src: FileStreamSource,
-                             tag: String = "fitbit",
-                             render: => Column = Wire.fitbitLine): Seq[() => Unit] =
-    stagedChunks(dir, tag)(feedChunks(s, dir, render))
-      .map(d => () => src.appendStaged(d))
+                             tag: String = "fitbit"): Seq[() => Unit] =
+    stagedFeed(s, dir, tag).map(d => () => src.appendStaged(d))
 
   /** Fresh watched-directory source per query run (temp dir is
     * shutdown-hook cleaned like every harness dir). */
   private def fileSource(tag: String): FileStreamSource =
     new FileStreamSource(StreamHarness.tempDir(s"$tag-feed"))
+
+  /** The at-least-once feed s08 and s14 share (every 50th event doubled).
+    * HOISTED to one definition (ADVICE r17): the staged-feed cache keys by
+    * (dir, tag) only, so two queries publishing under the tag "fitbit-dup"
+    * MUST render identically — inlining the expression at both call sites
+    * let an edit to one silently feed the other stale staged bytes. A
+    * single shared val makes tag↔render bijectivity structural. */
+  private val dupFeedRender: Column =
+    explode(when(col("event_id") % 50 === 0,
+      array(Wire.fitbitLine, Wire.fitbitLine))
+      .otherwise(array(Wire.fitbitLine)))
+
+  /** s25's corrupt-every-97th fitbit wire (c01's corruption policy on the
+    * live stream). */
+  private val badFitbitFeedRender: Column =
+    when(col("event_id") % 97 === 0, Wire.fitbitLineWith(lit("bad")))
+      .otherwise(Wire.fitbitLine)
+
+  /** s07's 3-field sales wire. */
+  private val salesFeedRender: Column = concat_ws(",", lit("sales"),
+    date_format(col("ts"), "yyyy-MM-dd"),
+    graft.functions.HealthFunctions.roundHalfUp(col("value")).cast("string"))
+
+  /** s13's seq-versioned sales wire ([[Wire.SalesSchemaV2]]). */
+  private val salesV2FeedRender: Column = concat_ws(",", lit("sales"),
+    date_format(col("ts"), "yyyy-MM-dd"),
+    graft.functions.HealthFunctions.roundHalfUp(col("value")).cast("string"),
+    col("event_id").cast("string"))
+
+  /** s21's SCD2 dimension-update wire. */
+  private val scdFeedRender: Column = concat_ws(",", lit("scd"),
+    col("user_id").cast("string"),
+    floor(col("value") / lit(100.0)).cast("int").cast("string"),
+    col("event_id").cast("string"))
+
+  /** s22's multiplexed wire: dimension updates under the `scd` tag, clicks
+    * under a distinct tag the scd pipeline's demux drops. */
+  private val scdClickFeedRender: Column = when(col("event_type") === "click",
+    concat_ws(",", lit("clickq"), col("user_id").cast("string"),
+      col("event_id").cast("string")))
+    .otherwise(scdFeedRender)
+
+  /** s23's as-of click/purchase wire. */
+  private val aofFeedRender: Column = concat_ws(",", lit("aof"),
+    col("user_id").cast("string"),
+    col("event_id").cast("string"), unix_micros(col("ts")).cast("string"),
+    col("event_type"))
+
+  /** s06's two-chunk profile feed from the customer dimension: chunk 1 =
+    * every v1 profile line, chunk 2 = every v2 update (the upsert register
+    * resolves by the monotone ver column, so within-chunk order is
+    * immaterial — no orderBy, no collect). */
+  private def s06ProfileChunks(s: SparkSession, dir: String): Seq[DataFrame] = {
+    def line(ver: Int) = concat_ws(",",
+      lit("new-user-notification"),
+      (col("c_custkey") % 60 + 18).cast("string"),
+      when(col("c_custkey") % 2 === 0, lit("F")).otherwise(lit("M")),
+      col("c_mktsegment"),
+      (when(lit(ver) === 1, col("c_acctbal")).otherwise(col("c_acctbal") + 1))
+        .cast("string"),
+      (lit(1.5) + (col("c_custkey") % 50) / lit(100.0)).cast("string"),
+      lit(ver).cast("double").cast("string"),
+      (col("c_custkey") % 40).cast("double").cast("string"),
+      when(col("c_custkey") % 3 === 0, lit("HYP_1"))
+        .when(col("c_custkey") % 3 === 1, lit("NORMAL")).otherwise(lit("ELEV")),
+      (col("c_custkey") % 40 + 100).cast("double").cast("string"),
+      (col("c_custkey") % 30 + 60).cast("double").cast("string"),
+      concat(lit("u"), col("c_custkey")),
+      concat(lit("d"), col("c_custkey")))
+    val cust = Tables.load(s, dir, "customer")
+    Seq(cust.select(line(1).as("value")), cust.select(line(2).as("value")))
+  }
+
+  /** The `doc_id|text` wire feed s26/s27/s29 share under the staged tag
+    * "docs". */
+  private def docsFeedChunks(s: SparkSession, dir: String): Seq[DataFrame] =
+    StreamHarness.rangeChunks(Tables.load(s, dir, "documents"), "doc_id", Chunks)
+      .map(_.select(concat(col("doc_id"), lit("|"), col("text")).as("value")))
+
+  /** THE one tag → feed definition table (ADVICE r17): the staging cache
+    * keys by (dir, tag), so correctness requires tag ↔ render bijectivity —
+    * previously enforced by hand at every call site (s08 and s14 each
+    * inlined an identical dup render under the shared tag "fitbit-dup",
+    * where an edit to one would silently feed the other stale staged
+    * bytes). Publishers now RESOLVE the feed from this registry by tag, so
+    * a tag has exactly one render definition, structurally. It also gives
+    * the bench a complete feed list to pre-stage untimed
+    * ([[prestageFeeds]]). */
+  private val feedRegistry: Map[String, (SparkSession, String) => Seq[DataFrame]] =
+    Map(
+      "fitbit" -> ((s, dir) => feedChunks(s, dir)),
+      // Single-chunk fitbit backlog for queries whose semantics do not
+      // depend on a multi-batch split (VERDICT r17 next #6): s03/s04/s11
+      // are stateless append pipelines — no watermark, no cross-batch
+      // state, results batch-boundary-independent — so the 2-chunk split
+      // only doubled their fixed per-trigger cost (incremental planning +
+      // commit, ~250 ms/trigger measured by StreamPhases). Stateful and
+      // cross-batch queries keep the 2-chunk feed; the test suite drives
+      // deeper batch counts for all of them.
+      "fitbit1" -> ((s, dir) =>
+        Seq(Tables.load(s, dir, "events").select(Wire.fitbitLine.as("value")))),
+      "fitbit-dup" -> ((s, dir) => feedChunks(s, dir, dupFeedRender)),
+      "fitbit-bad" -> ((s, dir) => feedChunks(s, dir, badFitbitFeedRender)),
+      "sales" -> ((s, dir) => feedChunks(s, dir, salesFeedRender)),
+      "salesv2" -> ((s, dir) => feedChunks(s, dir, salesV2FeedRender)),
+      "scd" -> ((s, dir) => feedChunks(s, dir, scdFeedRender)),
+      "scd-click" -> ((s, dir) => feedChunks(s, dir, scdClickFeedRender)),
+      "aof" -> ((s, dir) => feedChunks(s, dir, aofFeedRender)),
+      "s06-profile" -> (s06ProfileChunks(_, _)),
+      "docs" -> (docsFeedChunks(_, _)))
+
+  /** The staged part-file dirs for a registered feed tag. */
+  private def stagedFeed(s: SparkSession, dir: String, tag: String): Seq[String] =
+    stagedChunks(dir, tag)(feedRegistry(tag)(s, dir))
+
+  /** Stage EVERY registered wire feed for `dir`, untimed (ADVICE r17 #4):
+    * without this the one-time render lands inside the FIRST consuming
+    * query's timed region at each corpus dir (inflating that query's rep CV
+    * while later consumers exclude feed manufacture entirely). Bench calls
+    * this next to the IndexPrebuild pass so no query's timed reps absorb
+    * staging and the first-payer asymmetry disappears. Idempotent — the
+    * per-(dir, tag) compute-once map makes repeated calls no-ops. */
+  def prestageFeeds(s: SparkSession, dir: String): Unit =
+    feedRegistry.keys.toSeq.sorted.foreach(tag => stagedFeed(s, dir, tag))
+
+  private def docsFeedPublishers(s: SparkSession, dir: String,
+                                 src: FileStreamSource): Seq[() => Unit] =
+    stagedFeed(s, dir, "docs").map(d => () => src.appendStaged(d))
 
   /** c01 — the CSV wire-parse layer itself (P2/P3/P6 typed parse + the
     * malformed-line policy the reference lacks, SURVEY.md §2.7): every 97th
@@ -241,7 +367,7 @@ object StreamingQueries {
     (s, dir) => {
       val out = StreamHarness.tempDir("s03-out")
       val src = fileSource("s03")
-      StreamHarness.drainPublish(s, src, feedPublishers(s, dir, src)) { raw =>
+      StreamHarness.drainPublish(s, src, feedPublishers(s, dir, src, "fitbit1")) { raw =>
         warningAlerts(parseFitbit(raw))
           .writeStream
           .option("checkpointLocation", StreamHarness.checkpointDir("s03"))
@@ -275,7 +401,7 @@ object StreamingQueries {
     (s, dir) => {
       val out = StreamHarness.tempDir("s04-out")
       val src = fileSource("s04")
-      StreamHarness.drainPublish(s, src, feedPublishers(s, dir, src)) { raw =>
+      StreamHarness.drainPublish(s, src, feedPublishers(s, dir, src, "fitbit1")) { raw =>
         history(parseFitbit(raw))
           .writeStream.format("parquet")
           .option("path", out)
@@ -378,33 +504,11 @@ object StreamingQueries {
     "s06_profile_upsert",
     "streaming profile upsert: 12-field new-user parse + keyed register, update beats initial (K1/P6)",
     (s, dir) => {
-      def line(ver: Int) = concat_ws(",",
-        lit("new-user-notification"),
-        (col("c_custkey") % 60 + 18).cast("string"),
-        when(col("c_custkey") % 2 === 0, lit("F")).otherwise(lit("M")),
-        col("c_mktsegment"),
-        (when(lit(ver) === 1, col("c_acctbal")).otherwise(col("c_acctbal") + 1))
-          .cast("string"),
-        (lit(1.5) + (col("c_custkey") % 50) / lit(100.0)).cast("string"),
-        lit(ver).cast("double").cast("string"),
-        (col("c_custkey") % 40).cast("double").cast("string"),
-        when(col("c_custkey") % 3 === 0, lit("HYP_1"))
-          .when(col("c_custkey") % 3 === 1, lit("NORMAL")).otherwise(lit("ELEV")),
-        (col("c_custkey") % 40 + 100).cast("double").cast("string"),
-        (col("c_custkey") % 30 + 60).cast("double").cast("string"),
-        concat(lit("u"), col("c_custkey")),
-        concat(lit("d"), col("c_custkey")))
-      // chunk 1 = every v1 profile line, chunk 2 = every v2 update: the
-      // upsert register resolves by the monotone ver column (bmi), so
-      // within-chunk arrival order is immaterial — no orderBy, no collect.
-      val cust = Tables.load(s, dir, "customer")
-      val chunks = Seq(cust.select(line(1).as("value")),
-        cust.select(line(2).as("value")))
       val sink = new UpsertSink(StreamHarness.tempDir("s06-prof"),
         Seq("user_id"), Seq("ver"))
       val src = fileSource("s06")
       StreamHarness.drainPublish(s, src,
-        stagedChunks(dir, "s06-profile")(chunks).map(d => () => src.appendStaged(d))) { raw =>
+        feedPublishers(s, dir, src, "s06-profile")) { raw =>
         parseNewUser(raw)
           .filter(col("_corrupt").isNull)
           .withColumn("ver", col("bmi"))
@@ -443,14 +547,11 @@ object StreamingQueries {
     "s07_sales_upsert",
     "streaming sales upsert: sales wire parse + max-count-per-date register (K2/P7)",
     (s, dir) => {
-      val salesLine = concat_ws(",", lit("sales"),
-        date_format(col("ts"), "yyyy-MM-dd"),
-        graft.functions.HealthFunctions.roundHalfUp(col("value")).cast("string"))
       val sink = new UpsertSink(StreamHarness.tempDir("s07-sales"),
         Seq("date"), Seq("count"))
       val src = fileSource("s07")
       StreamHarness.drainPublish(s, src,
-        feedPublishers(s, dir, src, "sales", salesLine)) { raw =>
+        feedPublishers(s, dir, src, "sales")) { raw =>
         parseSales(raw)
           .filter(col("_corrupt").isNull).select(col("date"), col("count"))
           .writeStream
@@ -471,13 +572,10 @@ object StreamingQueries {
     "s08_stream_dedup",
     "stateful streaming dropDuplicates over an at-least-once feed",
     (s, dir) => {
-      val dup = explode(when(col("event_id") % 50 === 0,
-        array(Wire.fitbitLine, Wire.fitbitLine))
-        .otherwise(array(Wire.fitbitLine)))
       val qn = "s08_sink_" + UUID.randomUUID().toString.replace("-", "")
       val src = fileSource("s08")
       StreamHarness.drainPublish(s, src,
-        feedPublishers(s, dir, src, "fitbit-dup", dup)) { raw =>
+        feedPublishers(s, dir, src, "fitbit-dup")) { raw =>
         parseFitbit(raw)
           .select(col("user_id"), col("machine_ts"), col("long"))
           .dropDuplicates("user_id", "machine_ts", "long")
@@ -600,7 +698,7 @@ object StreamingQueries {
     (s, dir) => {
       val topic = StreamHarness.tempDir("s11-topic")
       val src = fileSource("s11")
-      StreamHarness.drainPublish(s, src, feedPublishers(s, dir, src)) { raw =>
+      StreamHarness.drainPublish(s, src, feedPublishers(s, dir, src, "fitbit1")) { raw =>
         warningAlerts(parseFitbit(raw))
           .select(renderTuple(col("user_id"), col("warning"),
             col("ts_str")).as("payload"))
@@ -652,15 +750,11 @@ object StreamingQueries {
     "s13_sales_lww_exact",
     "exact sales last-write-wins: seq-versioned wire (SalesSchemaV2) + upsert register ordered by offset (K2 exact)",
     (s, dir) => {
-      val salesLineV2 = concat_ws(",", lit("sales"),
-        date_format(col("ts"), "yyyy-MM-dd"),
-        graft.functions.HealthFunctions.roundHalfUp(col("value")).cast("string"),
-        col("event_id").cast("string"))
       val sink = new UpsertSink(StreamHarness.tempDir("s13-sales"),
         Seq("date"), Seq("seq"))
       val src = fileSource("s13")
       StreamHarness.drainPublish(s, src,
-        feedPublishers(s, dir, src, "salesv2", salesLineV2)) { raw =>
+        feedPublishers(s, dir, src, "salesv2")) { raw =>
         parseSalesV2(raw)
           .filter(col("_corrupt").isNull)
           .select(col("date"), col("count"), col("seq"))
@@ -691,13 +785,10 @@ object StreamingQueries {
     "s14_dedup_watermark",
     "bounded-state streaming dedup: dropDuplicatesWithinWatermark (state evicted past the 2h watermark)",
     (s, dir) => {
-      val dup = explode(when(col("event_id") % 50 === 0,
-        array(Wire.fitbitLine, Wire.fitbitLine))
-        .otherwise(array(Wire.fitbitLine)))
       val qn = "s14_sink_" + UUID.randomUUID().toString.replace("-", "")
       val src = fileSource("s14")
       StreamHarness.drainPublish(s, src,
-        feedPublishers(s, dir, src, "fitbit-dup", dup)) { raw =>
+        feedPublishers(s, dir, src, "fitbit-dup")) { raw =>
         parseFitbit(raw)
           .select(col("user_id"), col("machine_ts"), col("long"),
             try_to_timestamp(col("ts_str"),
@@ -963,8 +1054,7 @@ object StreamingQueries {
       val qn = "s19_sink_" + UUID.randomUUID().toString.replace("-", "")
       val src = new FileStreamSource(StreamHarness.tempDir("s19-feed"),
         maxFilesPerTrigger = Some(4))
-      stagedChunks(dir, "fitbit")(feedChunks(s, dir))
-        .foreach(src.appendStaged) // entire backlog, up front
+      stagedFeed(s, dir, "fitbit").foreach(src.appendStaged) // entire backlog, up front
       val key = "spark.sql.shuffle.partitions"
       val prev = s.conf.getOption(key)
       s.conf.set(key, StreamHarness.StreamShufflePartitions.toString)
@@ -1044,14 +1134,11 @@ object StreamingQueries {
     "s21_scd2_history",
     "SCD2 dimension history sink: change-compressed version rows with validity ranges (K1 history variant)",
     (s, dir) => {
-      val scdLine = concat_ws(",", lit("scd"), col("user_id").cast("string"),
-        floor(col("value") / lit(100.0)).cast("int").cast("string"),
-        col("event_id").cast("string"))
       val sink = new graft.streaming.Scd2Sink(StreamHarness.tempDir("s21-scd2"),
         Seq("user_id"), "seq", Seq("v"))
       val src = fileSource("s21")
       StreamHarness.drainPublish(s, src,
-        feedPublishers(s, dir, src, "scd", scdLine)) { raw =>
+        feedPublishers(s, dir, src, "scd")) { raw =>
         parseScd(raw)
           .filter(col("_corrupt").isNull)
           .select(col("user_id"), col("seq"), col("v"))
@@ -1095,19 +1182,11 @@ object StreamingQueries {
     "s22_temporal_join",
     "point-in-time enrichment against the streamed SCD2 history (repeatable features)",
     (s, dir) => {
-      // Multiplexed wire: dimension updates under the `scd` tag, clicks
-      // under a distinct tag that the scd pipeline's demux drops.
-      val line = when(col("event_type") === "click",
-        concat_ws(",", lit("clickq"), col("user_id").cast("string"),
-          col("event_id").cast("string")))
-        .otherwise(concat_ws(",", lit("scd"), col("user_id").cast("string"),
-          floor(col("value") / lit(100.0)).cast("int").cast("string"),
-          col("event_id").cast("string")))
       val sink = new graft.streaming.Scd2Sink(StreamHarness.tempDir("s22-scd2"),
         Seq("user_id"), "seq", Seq("v"))
       val src = fileSource("s22")
       StreamHarness.drainPublish(s, src,
-        feedPublishers(s, dir, src, "scd-click", line)) { raw =>
+        feedPublishers(s, dir, src, "scd-click")) { raw =>
         parseScd(raw) // tag demux: clickq lines never reach the register
           .filter(col("_corrupt").isNull)
           .select(col("user_id"), col("seq"), col("v"))
@@ -1182,13 +1261,10 @@ object StreamingQueries {
     "s23_asof_stream",
     "native as-of join exec inside foreachBatch (custom plan x streaming)",
     (s, dir) => {
-      val line = concat_ws(",", lit("aof"), col("user_id").cast("string"),
-        col("event_id").cast("string"), unix_micros(col("ts")).cast("string"),
-        col("event_type"))
       val out = StreamHarness.tempDir("s23-out")
       val src = fileSource("s23")
       StreamHarness.drainPublish(s, src,
-        feedPublishers(s, dir, src, "aof", line)) { raw =>
+        feedPublishers(s, dir, src, "aof")) { raw =>
         raw.filter(Wire.tagOf(col("value")) === "aof")
           .select(Wire.parseCsv(col("value"), AsofWireSchema).as("r"))
           .select(col("r.*"))
@@ -1396,9 +1472,7 @@ object StreamingQueries {
       // spans >1 micro-batch, so the listener's merge is non-vacuous.
       val src = new FileStreamSource(StreamHarness.tempDir("s25-feed"),
         maxFilesPerTrigger = Some(1))
-      stagedChunks(dir, "fitbit-bad")(feedChunks(s, dir, render =
-        when(col("event_id") % 97 === 0, Wire.fitbitLineWith(lit("bad")))
-          .otherwise(Wire.fitbitLine))).foreach(src.appendStaged)
+      stagedFeed(s, dir, "fitbit-bad").foreach(src.appendStaged)
       val key = "spark.sql.shuffle.partitions"
       val prev = s.conf.getOption(key)
       s.conf.set(key, StreamHarness.StreamShufflePartitions.toString)
@@ -1593,12 +1667,8 @@ object StreamingQueries {
     s"streaming LSH dedup admission: per-(band, bucket) min-id state flags near-dup candidates on arrival",
     (s, dir) => {
       val qn = "s26_sink_" + UUID.randomUUID().toString.replace("-", "")
-      val docs = Tables.load(s, dir, "documents")
-      val chunks = StreamHarness.rangeChunks(docs, "doc_id", Chunks)
-        .map(_.select(concat(col("doc_id"), lit("|"), col("text")).as("value")))
       val src = fileSource("s26")
-      StreamHarness.drainPublish(s, src,
-        stagedChunks(dir, "docs")(chunks).map(d => () => src.appendStaged(d))) { raw =>
+      StreamHarness.drainPublish(s, src, docsFeedPublishers(s, dir, src)) { raw =>
         s26Admission(raw)
           .writeStream.format("memory").queryName(qn)
           .option("checkpointLocation", StreamHarness.checkpointDir("s26"))
@@ -1707,12 +1777,8 @@ object StreamingQueries {
     s"streaming sequence packing: per-shard stateful token offsets cut ${TextQueries.PackSeqTokens}-token sequences on arrival",
     (s, dir) => {
       val qn = "s27_sink_" + UUID.randomUUID().toString.replace("-", "")
-      val docs = Tables.load(s, dir, "documents")
-      val chunks = StreamHarness.rangeChunks(docs, "doc_id", Chunks)
-        .map(_.select(concat(col("doc_id"), lit("|"), col("text")).as("value")))
       val src = fileSource("s27")
-      StreamHarness.drainPublish(s, src,
-        stagedChunks(dir, "docs")(chunks).map(d => () => src.appendStaged(d))) { raw =>
+      StreamHarness.drainPublish(s, src, docsFeedPublishers(s, dir, src)) { raw =>
         s27Segments(raw)
           .writeStream.format("memory").queryName(qn)
           .option("checkpointLocation", StreamHarness.checkpointDir("s27"))
@@ -2429,12 +2495,8 @@ object StreamingQueries {
     "streaming cross-modal admission: text MinHash bands + verified media pHash bands probe one stateful register; either modality flags a dup on arrival",
     (s, dir) => {
       val qn = "s29_sink_" + UUID.randomUUID().toString.replace("-", "")
-      val docs = Tables.load(s, dir, "documents")
-      val chunks = StreamHarness.rangeChunks(docs, "doc_id", Chunks)
-        .map(_.select(concat(col("doc_id"), lit("|"), col("text")).as("value")))
       val src = fileSource("s29")
-      StreamHarness.drainPublish(s, src,
-        stagedChunks(dir, "docs")(chunks).map(d => () => src.appendStaged(d))) { raw =>
+      StreamHarness.drainPublish(s, src, docsFeedPublishers(s, dir, src)) { raw =>
         s29Admission(raw)
           .writeStream.format("memory").queryName(qn)
           .option("checkpointLocation", StreamHarness.checkpointDir("s29"))

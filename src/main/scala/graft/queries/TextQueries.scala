@@ -939,40 +939,63 @@ object TextQueries {
     * at ~77% df, the 31st at 5%), so the operator takes the rank-K form;
     * ties break lexically, making the cut deterministic on both engines.
     *
-    * Scale: the df table is vocab-sized (one distinct + one partial agg),
+    * Scale: the df table is vocab-sized (per-doc `array_distinct` map-side,
+    * one partial agg on the token key — the only exchange in the query),
     * its top-K is a TakeOrderedAndProject heap, and the K-row stop list is
-    * BROADCAST back onto the token stream — the corpus itself shuffles only
-    * once, on doc_id, for the positional reassembly (collect_list of
-    * (pos, token) structs sorted per doc — order restored explicitly, never
-    * assumed from shuffle order). */
+    * BROADCAST back onto the documents as a one-row array; the scrub itself
+    * is a map-side array `filter` per document (original token order
+    * preserved by construction), so the corpus never shuffles at all. */
   val d26StopwordScrub: GraftQuery = GraftQuery(
     "d26_stopword_scrub",
     s"corpus-adaptive scrub of the top-$ScrubK df tokens with order-preserving reassembly",
     (s, dir) => {
-      val tok = docs(s, dir)
-        .select(col("doc_id"), posexplode(split(col("text"), " "))
-          .as(Seq("pos", "token")))
-        .filter(col("token") =!= "")
-      val stop = tok.select(col("doc_id"), col("token")).distinct()
+      // Optimization r18 (guide §2.4 remove shuffles outright): the r17
+      // shape exploded every token THREE shuffle-heavy times — a
+      // (doc_id, token) distinct exchange, a token-df exchange, and a
+      // reassembly exchange of the ENTIRE token stream back onto doc_id
+      // (collect_list of (pos, token) structs + per-doc sort). The scrub
+      // itself is a pure per-document function of (text, stop set), so with
+      // the K-row stop list attached as a one-row broadcast array the
+      // reassembly is a map-side array `filter` that preserves original
+      // token order by construction — the corpus is never shuffled at all.
+      // Per-doc DISTINCT tokens come from `array_distinct` on the scan
+      // (map-side), so the df aggregate is the ONE remaining exchange.
+      // Results are bit-identical: same df counts (array_distinct ≡ the
+      // (doc_id, token) distinct), same deterministic (df DESC, token)
+      // cut, same order-preserving reassembly — DiffArray-style proof via
+      // the unchanged oracle plus D26MapSideScrubSpec.
+      // LAYERED projections, not one wide select: a repeated expression
+      // tree (split, filter) re-evaluates per reference — and inside a
+      // higher-order-function lambda, per ELEMENT (no codegen subexpression
+      // elimination for CodegenFallback HOFs). Materializing each array
+      // once per row keeps the multi-reference projections cheap;
+      // CollapseProject leaves multi-use non-cheap aliases alone.
+      val nonEmpty = filter(split(col("text"), " "), t => t =!= "")
+      val stop = docs(s, dir)
+        .select(explode(array_distinct(nonEmpty)).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("token")).limit(ScrubK)
-        .select(col("token"), lit(1).as("is_stop"))
-      val re = tok.join(broadcast(stop), Seq("token"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("is_stop").isNull, 1L).otherwise(0L)).as("n_kept"),
-          array_join(transform(
-            array_sort(collect_list(when(col("is_stop").isNull,
-              struct(col("pos"), col("token"))))),
-            x => x.getField("token")), " ").as("scrubbed"))
-      docs(s, dir).select(col("doc_id"))
-        .join(re, Seq("doc_id"), "left")
+      // The K-row stop list ships as the exact-set kernel (d30's
+      // mechanism): K is a constant, so the driver collect is bounded by
+      // construction, and the probe is one hash lookup in codegen — no
+      // join of any kind remains in the scrub.
+      val stops = stop.collect().map(r => r.getString(0).getBytes("UTF-8"))
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_stop_d26",
+        args => graft.functions.expr.HashExpressions.StringSetContains(args.head, stops),
+        "built-in")
+      // sortedOnce: the scrub child is now a shuffle-free map pipeline
+      // (split + filters per doc), which a bare orderBy would evaluate
+      // twice (c01/d24's rationale).
+      GraftQuery.sortedOnce(docs(s, dir)
+        .select(col("doc_id"), nonEmpty.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          filter(col("toks"), t => !call_function("graft_stop_d26", t)).as("kept"))
         .select(col("doc_id"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          md5(coalesce(col("scrubbed"), lit("")).cast("binary"))
-            .as("scrubbed_digest"))
-        .orderBy(col("doc_id"))
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(col("kept")).cast("long").as("n_kept"),
+          md5(array_join(col("kept"), " ").cast("binary")).as("scrubbed_digest")),
+        col("doc_id"))
     },
     Some(s"""WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1204,37 +1227,68 @@ object TextQueries {
     * footers, licence blurbs) are dropped from every document. Differs
     * from d26 (single frequent TOKENS) and d19 (contamination against an
     * external benchmark): the unit is a multi-word window and the
-    * frequency is cross-document. Scale: window explode is map-side; the
-    * document-frequency count is one partial-aggregable shuffle on the
-    * window string; the boilerplate set is tiny (df ≥ threshold) so it
-    * broadcasts back onto the stream; reassembly is one shuffle on doc_id.
-    * No corpus-sized structure ever sits on the driver. */
+    * frequency is cross-document. Scale: windows are a map-side array per
+    * document; the document-frequency count is one partial-aggregable
+    * shuffle on the window string (per-doc-distinct, so it IS the doc
+    * count); the boilerplate set (df ≥ threshold — thousands of windows at
+    * sf0.1, bounded like any broadcast build side) ships to executors as an
+    * exact hash-set kernel and the reassembly is a map-side array filter
+    * with O(1) membership probes — the corpus never shuffles. The set is
+    * driver-materialized exactly as the former broadcast hash relation
+    * was; the corpus itself never sits on the driver. */
   val d30BoilerplateScrub: GraftQuery = GraftQuery(
     "d30_boilerplate_scrub",
     s"boilerplate scrub: $BoilerW-word windows in >= $BoilerMinDocs docs removed (CCNet line dedup)",
     (s, dir) => {
-      val wins = docs(s, dir)
+      // Optimization r18 (guide §2.4 remove shuffles outright; the d26
+      // discipline): the r17 shape exploded every window into a
+      // countDistinct expand + df exchange AND shuffled the whole window
+      // stream back onto doc_id for the collect_list reassembly. The scrub
+      // is a pure per-document function of (windows, boiler set): windows
+      // are computed map-side as an array (`transform` over the window
+      // index sequence, original order preserved), per-doc DISTINCT windows
+      // feed the df aggregate (array_distinct ≡ countDistinct(doc_id) —
+      // one exchange, narrower input), and the boiler set rides back as a
+      // one-row broadcast array so the reassembly is a map-side array
+      // `filter`. The corpus never shuffles. Value-equal by the unchanged
+      // oracle plus D26MapSideScrubSpec's d30 leg.
+      // LAYERED projections (the d26 rationale — a repeated non-cheap alias
+      // re-evaluates per reference), and the window builder is the NATIVE
+      // kernel `graft_word_windows` (one codegen'd call per row): the
+      // declarative transform-over-sequence lambda is a CodegenFallback HOF
+      // evaluated per element — and with `split` inlined into the lambda it
+      // re-split the document PER WINDOW (measured 53 s at sf0.1 vs ~1 s).
+      def winsOf(d: org.apache.spark.sql.DataFrame) = d
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .select(col("doc_id"),
-          explode(sequence(lit(1),
-            ceil(size(col("ws")) / lit(BoilerW.toDouble)).cast("int"))).as("i"),
-          col("ws"))
-        .select(col("doc_id"), col("i"),
-          array_join(slice(col("ws"),
-            (col("i") - 1) * BoilerW + 1, lit(BoilerW)), " ").as("w"))
-      val boiler = wins.groupBy(col("w"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
+          call_function("graft_word_windows", col("ws"), lit(BoilerW)).as("wins"))
+      val boiler = winsOf(docs(s, dir))
+        .select(explode(array_distinct(col("wins"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= BoilerMinDocs)
-        .select(col("w"), lit(true).as("is_boiler"))
-      wins.join(broadcast(boiler), Seq("w"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_windows"),
-          sum(when(col("is_boiler"), 1).otherwise(0)).cast("bigint").as("n_removed"),
-          array_join(transform(
-            sort_array(collect_list(when(col("is_boiler").isNull,
-              struct(col("i"), col("w"))))),
-            x => x.getField("w")), " ").as("kept_text"))
-        .orderBy(col("doc_id"))
+      // The boiler set is NOT small at scale (6.5k windows at sf0.1, ~26k at
+      // x10) — an array_contains membership probe is a linear scan per
+      // window (measured quadratic: 55 s sf0.1). It rides as an EXACT
+      // hash-set kernel instead ([[HashExpressions.StringSetContains]]):
+      // driver-collected like the r17 broadcast(boiler) hash relation was
+      // (same memory envelope), probed O(1) inside codegen. Exactness
+      // matters — n_removed counts hits, so a Bloom is not an option.
+      val boilers = boiler.collect().map(r => r.getString(0).getBytes("UTF-8"))
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_boiler_d30",
+        args => graft.functions.expr.HashExpressions.StringSetContains(args.head, boilers),
+        "built-in")
+      // sortedOnce: the scrub child is now a shuffle-free map pipeline
+      // (split + window kernel + set probes per doc), which a bare orderBy
+      // would evaluate twice (c01/d24's rationale).
+      GraftQuery.sortedOnce(winsOf(docs(s, dir))
+        .select(col("doc_id"), col("wins"),
+          filter(col("wins"), w => !call_function("graft_boiler_d30", w)).as("kept"))
+        .select(col("doc_id"),
+          size(col("wins")).cast("long").as("n_windows"),
+          (size(col("wins")) - size(col("kept"))).cast("bigint").as("n_removed"),
+          array_join(col("kept"), " ").as("kept_text")),
+        col("doc_id"))
     },
     Some(s"""WITH words AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1736,9 +1790,17 @@ object TextQueries {
           call_function("graft_shingle_hashes",
             call_function("graft_token_hashes", col("text")), lit(3)).as("sh"))
         .filter(size(col("sh")) > 0)
-      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
       val post = sh.select(col("doc_id"), explode(col("sh")).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Per-doc shingle-set sizes FROM THE PERSISTED POSTINGS (optimization
+      // r18, guide §1.2 redundant passes): `graft_shingle_hashes` dedupes
+      // per doc, so postings carry exactly one row per (doc, shingle) and
+      // count-per-doc IS size(sh). The r17 plan showed each of the two size
+      // legs re-running the whole scan + tokenize + shingle pipeline plus a
+      // REPARTITION_BY_COL corpus shuffle — two full extra corpus passes for
+      // a table the cache already determines. post is partitioned by doc_id
+      // (the repartition above), so this aggregate adds NO exchange.
+      val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val informative = post.groupBy(col("g"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, ContDfCap))
@@ -1746,32 +1808,49 @@ object TextQueries {
       // df pre-count FIRST (8-byte map-side-combined state per shingle, so
       // no key ever accumulates an unbounded posting list), then the pair
       // expansion collects ≤ ContDfCap doc ids per surviving shingle and
-      // explodes its ordered pairs in place. The postings are persisted
+      // emits its ordered pairs in place. The postings are persisted
       // once (the d09 toksT discipline) — a self-join formulation instead
       // re-evaluates the whole shingle pipeline per side, ~2× the query's
       // measured cost. The collect_list lands on the join's existing
       // g-partitioning, so the pair expansion adds no shuffle.
+      //
+      // Pairs ride as ONE PACKED LONG (optimization r18, guide §2.3 shuffle
+      // fewer bytes / §1.2 fewer rows): `graft_pair_pack` emits
+      // (min << 32) | max per distinct pair — n·(n−1)/2 rows from one
+      // Generate where explode×explode emitted n² and filtered half — and
+      // the pair-count exchange (the repo's largest, Σdf²/2 rows) carries an
+      // 8-byte key instead of 16. The kernel THROWS if an id exceeds 32 bits
+      // (packing would alias); unpack uses the UNSIGNED shift so ids ≥ 2³¹
+      // survive the sign bit. Value-equal to the unpacked formulation —
+      // pinned by D37PairPackSpec and the unchanged joined-pairs oracle.
       val shared = post.join(informative, "g")
         .groupBy(col("g"))
         .agg(collect_list(col("doc_id")).as("ds"))
-        .select(explode(col("ds")).as("doc_a"), col("ds"))
-        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
+        .select(explode(call_function("graft_pair_pack", col("ds"))).as("pk"))
+        .groupBy(col("pk"))
         .agg(count(lit(1)).as("n_shared"))
+        .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+          col("n_shared"))
       // Plain joins, NOT broadcast(sizes): the per-doc size table is
       // O(corpus documents), so forcing it driver-side breaks at 100 TB
       // (r10 ADVICE). The PAIR table is the bounded-small side (df-capped,
       // ≤ ContDfCap²/2 rows per surviving shingle) — left unhinted, the
       // planner broadcasts it / AQE picks the side from runtime stats.
-      shared
+      // sortedOnce (optimization r18): the child's work above its last
+      // exchange — the final pair-count aggregate read, the unpack, both
+      // size joins, and the τ filter over every distinct pair — would run
+      // twice under a bare orderBy (range-sampling pass + output pass);
+      // the post-filter result is tiny, so one persisted evaluation is
+      // shared instead.
+      GraftQuery.sortedOnce(shared
         .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (col("n_shared").cast("double") / col("n_a")).as("cont_a_in_b"),
           (col("n_shared").cast("double") / col("n_b")).as("cont_b_in_a"))
-        .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= ContTau)
-        .orderBy(col("doc_a"), col("doc_b"))
+        .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= ContTau),
+        col("doc_a"), col("doc_b"))
     },
     Some(s"""WITH th AS (
         SELECT doc_id, ${tokenHashesSql("text")} AS th FROM documents),

@@ -67,8 +67,21 @@ final class FileStreamSource(val dir: String,
         }
         .foreach { p =>
           val tgt = Paths.get(dir).resolve(s"${src.getFileName}-${p.getFileName}")
+          // Fall back to a copy ONLY when hard links are genuinely
+          // unavailable (cross-filesystem staging, a filesystem without
+          // link support). Real failures — permissions, a duplicate publish
+          // into the same watched dir, a missing staged file — must
+          // propagate here rather than resurface as a confusing secondary
+          // error from the copy path (ADVICE r17).
           try Files.createLink(tgt, p)
-          catch { case _: Exception => Files.copy(p, tgt); () }
+          catch {
+            case _: UnsupportedOperationException => Files.copy(p, tgt); ()
+            case e: java.nio.file.FileSystemException
+                if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] &&
+                  !e.isInstanceOf[java.nio.file.AccessDeniedException] &&
+                  !e.isInstanceOf[java.nio.file.NoSuchFileException] =>
+              Files.copy(p, tgt); ()
+          }
         }
     } finally s.close()
   }

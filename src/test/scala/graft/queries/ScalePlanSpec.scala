@@ -174,15 +174,19 @@ class ScalePlanSpec extends SparkSpec {
       s"no semi join below the cost aggregate:\n$plan")
   }
 
-  test("d26 heap-selects the stop list and broadcasts it back onto the tokens") {
-    val plan = TextQueries.d26StopwordScrub
-      .run(spark, "/root/testdata/sf0.001")
-      .queryExecution.executedPlan.toString
-    // Top-K by document frequency must be a heap, and the K-row stop list
-    // must come back as a broadcast — the corpus itself shuffles only once
-    // (doc_id reassembly).
-    assert(plan.contains("TakeOrderedAndProject"), plan)
-    assert(plan.contains("BroadcastHashJoin"), plan)
+  test("d26 scrubs map-side — no corpus shuffle, no join in the main plan") {
+    val df = TextQueries.d26StopwordScrub.run(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // Optimization r18: the K-row stop list is computed by a bounded
+    // TakeOrdered collect (its own job at build time) and ships as the
+    // exact-set kernel, so the MAIN plan is a pure map pipeline + cached
+    // presentation sort: no join of any kind, and no exchange keyed on
+    // doc_id — the corpus never shuffles.
+    assert(plan.contains("graft_stop_d26") || plan.contains("strsetcontains") ||
+      plan.contains("StringSetContains") || plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      s"d26 reassembly shuffles the corpus again:\n$plan")
+    assert(!plan.contains("Join"), s"d26 main plan regained a join:\n$plan")
   }
 
   test("d27 shard shuffle partitions by shard, no global sort before the window") {
