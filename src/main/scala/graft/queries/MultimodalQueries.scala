@@ -403,12 +403,15 @@ object MultimodalQueries {
     *
     * Scale design: both inputs are the MATERIALIZED per-directory label
     * tables (m04's CC labels, e15's ptau-only labels — index structure,
-    * built once); the union graph has exactly ≤ 2 edges per document and
-    * one node per cluster, so the CC runs on a 3n-row bipartite graph with
-    * log-diameter pointer-jumping rounds — the d21/m04 machinery, one
-    * keyed equi-join + partial-aggregable min per round, never a pairwise
-    * expansion of cluster members (within-cluster doc-doc edges would be
-    * Σ cluster² rows; membership edges are linear by construction). */
+    * built once); the unified components are fully determined by which
+    * (media cluster, text cluster) pairs co-occur on an asset, so the CC
+    * runs on the CLUSTER graph — one node per cluster, one edge per
+    * distinct co-membership pair (≤ n, typically ≪ n) — with
+    * log-diameter pointer-jumping rounds over cluster-count-sized tables;
+    * docs attach to their component by one mcluster-keyed join afterwards.
+    * Never a pairwise expansion of cluster members (within-cluster doc-doc
+    * edges would be Σ cluster² rows; co-membership edges are linear by
+    * construction). */
   val m07CrossmodalDedup: GraftQuery = GraftQuery(
     "m07_crossmodal_dedup",
     "cross-modal dup unification: one asset-level keep/drop from media (m04) + text-embedding (e15) clusters",
@@ -419,18 +422,36 @@ object MultimodalQueries {
         .select(col("id").as("doc_id"), col("cluster").as("tcluster"))
       val assets = media.join(text, Seq("doc_id"), "left")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val fwd = assets
-        .select(col("doc_id").as("src"),
-          (col("mcluster") + lit(MClusterBase)).as("dst"))
-        .union(assets.filter(col("tcluster").isNotNull)
-          .select(col("doc_id").as("src"),
-            (col("tcluster") + lit(TClusterBase)).as("dst")))
-      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      val nodes = assets.select(col("doc_id").as("id"))
-        .union(fwd.select(col("dst").as("id"))).distinct()
-      val labels = graft.operators.ConnectedComponents.label(nodes, edges)
-        .filter(col("id") < MClusterBase)
-        .select(col("id").as("doc_id"), col("cluster"))
+      // CC over the CLUSTER graph, not the 3n-row doc↔cluster bipartite
+      // graph (optimization r18, guide §2.3 shuffle keys/metadata instead
+      // of payloads): the unified components are fully determined by which
+      // (media cluster, text cluster) pairs co-occur on an asset, so the
+      // per-round join/aggregate shuffles cluster-count-sized tables and
+      // the paths are HALF as long (doc hops gone — one fewer halving
+      // round; measured 9 → 8 rounds, rows per round ≪ 3n at every scale).
+      // The label algebra survives unchanged: every doc d has
+      // mcluster(d) ≤ d with mcluster(d) in d's unified component, so
+      // min doc id of a component = min mcluster in it; m-node ids
+      // (mcluster + 2⁴⁰) sort below every t-node id (tcluster + 2⁴¹), so
+      // the CC label of an m-node minus the namespace base IS the unified
+      // canonical doc. Pinned row-for-row vs the bipartite formulation by
+      // CrossmodalDedupSpec (transitive A–C chain + canonical uniqueness)
+      // and M07ClusterGraphSpec; the oracle stays the full doc-level
+      // recursion.
+      val mt = assets.filter(col("tcluster").isNotNull)
+        .select((col("mcluster") + lit(MClusterBase)).as("src"),
+          (col("tcluster") + lit(TClusterBase)).as("dst"))
+        .distinct()
+      val edges = mt.union(mt.select(col("dst").as("src"), col("src").as("dst")))
+      val nodes = assets.select((col("mcluster") + lit(MClusterBase)).as("id"))
+        .distinct()
+        .union(mt.select(col("dst").as("id")).distinct())
+      val mLabels = graft.operators.ConnectedComponents.label(nodes, edges)
+        .filter(col("id") < TClusterBase)
+        .select((col("id") - MClusterBase).as("mcluster"),
+          (col("cluster") - MClusterBase).as("cluster"))
+      val labels = assets.join(mLabels, Seq("mcluster"))
+        .select(col("doc_id"), col("cluster"))
       val sizes = labels.groupBy(col("cluster"))
         .agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "cluster")
